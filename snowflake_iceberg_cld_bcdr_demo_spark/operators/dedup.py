@@ -1,0 +1,208 @@
+"""Deduplication operators over a document corpus.
+
+Exact dedup is a hash-groupBy (one shuffle on a 128-bit digest — uniform
+key distribution, no skew).  Near-dup (MinHash+LSH, SimHash, n-gram
+Jaccard) shingles documents, computes signatures with md5-based hash
+families (portable: the DuckDB oracle reproduces them bit-for-bit), and
+joins only within LSH bands so the candidate-pair join stays sub-quadratic
+at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group documents by content hash; emit per-group copy count and the
+    keeper (min id).  Downstream, `n_copies > 1` rows are the dup sets.
+
+    Scale: single shuffle on md5(text) — 32-byte keys, uniformly
+    distributed, map-side partial agg keeps shuffle volume ≈ |distinct|.
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.col(id_col)).alias("keeper_doc_id"),
+    )
+
+
+def dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus dedup summary (total / distinct / duplicate docs)."""
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5(F.col(text_col))))
+        .cast("long")
+        .alias("n_duplicates"),
+    )
+
+
+def char_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
+    """Explode each doc into its distinct character k-shingles of the
+    normalized text → (id, shingle).  Built-ins only: sequence + explode +
+    substring; the explode is a narrow op (no shuffle)."""
+    norm = normalized_text(F.col(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
+        .filter(F.length("norm_text") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("norm_text") - (k - 1))).alias("pos"),
+            "norm_text",
+        )
+        .select("doc_id", F.expr(f"substring(norm_text, pos, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def _minhash_val(shingle: Column, seed: int) -> Column:
+    """Portable hash family member: md5 of the seeded shingle (hex string
+    order = unsigned byte order, identical in any engine)."""
+    return F.md5(F.concat(F.lit(f"{seed}#"), shingle))
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, h0..h{n-1}) MinHash signature matrix.
+
+    One groupBy(doc_id) computes all hash family members as MIN aggregates
+    — a single shuffle regardless of signature width."""
+    aggs = [
+        F.min(_minhash_val(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    return shingled.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature into `bands` groups of `num_hashes//bands` rows;
+    docs sharing any band key become candidate pairs (doc_a < doc_b).
+
+    Scale: the join is per-band-key (self-join on md5 band digest), so
+    work is proportional to collisions, not |docs|²."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + i}") for i in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle → signature → band → candidate
+    pairs → estimated Jaccard (fraction of agreeing signature rows)."""
+    sh = char_shingles(docs, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage after
+    LSH): |A∩B| via shingle co-join, |A∪B| = |A|+|B|−|A∩B|."""
+    sh = char_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        candidate_pairs.join(a, candidate_pairs.doc_a == F.col("a.doc_id"))
+        .join(
+            b,
+            (candidate_pairs.doc_b == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("n_shingles", "n_a"), inter.doc_a == sizes.doc_id)
+        .drop("doc_id")
+        .join(
+            sizes.withColumnRenamed("n_shingles", "n_b").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens using portable md5-derived
+    bit planes: bit_j = sign(Σ_tokens (md5_bit_j ? +1 : −1)).
+
+    Implemented as explode(tokens) → per-(doc,bit) vote sum → bit assembly;
+    two shuffles, both on doc_id (co-partitioned)."""
+    from ..functions.text import tokens
+
+    tok = (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        .select("doc_id", F.explode("toks").alias("token"))
+    )
+    # md5 hex → first `bits` bits via conv(hex_slice, 16, 10); 8 hex chars
+    # per 32-bit word keeps conv inside long range.
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    votes = tok.select("doc_id", h.alias("hv"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_doc = votes.groupBy("doc_id").agg(*bit_aggs)
+    sim = sum(
+        F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(bits)
+    )
+    return per_doc.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,312 @@
+"""Training-data-pipeline queries over the `documents` / `embeddings`
+testdata tables: dedup (exact + MinHash/LSH + n-gram Jaccard), similarity
+search (brute-force + hyperplane-LSH ANN), and text analysis.
+
+The MinHash family is md5-based, so the DuckDB oracle reproduces the
+signatures bit-for-bit — near-dup detection is hash-verified, not just
+rows-counted.  Approximate ANN (`lsh_topk`) intentionally has no SQL oracle
+(approximate semantics); the exact brute-force scorer is the oracle-checked
+baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, similarity, textops
+from ..sources.testdata import table
+from .registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")))
+        return fn
+
+    return wrap
+
+
+# Deterministic hyperplanes for the ANN scale path (fixed seed → stable
+# literals in the plan; regenerated identically every run).
+_PLANES = np.random.default_rng(42).standard_normal((8, 64)).round(4).tolist()
+
+# Shared SQL fragments for the oracle side ------------------------------
+
+_SHINGLE_CTE = """
+    norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, length(norm_text) - 6),
+                                     i -> substring(norm_text, CAST(i AS INTEGER), 8)))
+                   AS shingle
+        FROM norm WHERE length(norm_text) >= 8
+    )
+"""
+
+_MINHASH_AGG = ",\n".join(
+    f"           min(md5('{i}#' || shingle)) AS h{i}" for i in range(16)
+)
+
+_SIG_CTE = f"""
+    sig AS (
+        SELECT doc_id,
+{_MINHASH_AGG}
+        FROM sh GROUP BY doc_id
+    )
+"""
+
+_BAND_CTE = """
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sig
+        UNION ALL
+        SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM sig
+        UNION ALL
+        SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM sig
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+"""
+
+_AGREE = " + ".join(
+    f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(16)
+)
+
+
+# ----------------------------------------------------------------------
+# Text analysis
+# ----------------------------------------------------------------------
+
+
+@_spec(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_calc
+    FROM documents
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (north-star text analysis; JVM regex,
+    narrow map over the corpus scan)."""
+    return textops.token_counts(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "text_quality",
+    """
+    SELECT doc_id, n_tokens, n_chars_calc, punct_ratio, digit_ratio,
+           GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),
+               CAST(0.5 AS DOUBLE) + LEAST(n_tokens, 100) * CAST(0.005 AS DOUBLE)
+                   - punct_ratio * 2 - digit_ratio * 2)) AS quality_score
+    FROM (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_calc,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                     / NULLIF(length(text), 0) AS punct_ratio,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                     / NULLIF(length(text), 0) AS digit_ratio
+        FROM documents
+    ) t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length/punctuation/digit ratios."""
+    return textops.quality_scores(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "lang_id",
+    """
+    SELECT doc_id, labeled_lang, predicted_lang,
+           CAST(CASE WHEN predicted_lang = labeled_lang THEN 1 ELSE 0 END AS INTEGER)
+               AS agrees
+    FROM (
+        SELECT doc_id, lang AS labeled_lang,
+               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM (
+            SELECT doc_id, lang,
+                   length(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is)\\b'))      AS s_en,
+                   length(regexp_extract_all(text, '(?i)\\b(der|die|das|und|nicht|ist)\\b')) AS s_de,
+                   length(regexp_extract_all(text, '(?i)\\b(le|les|des|et|est|une)\\b'))     AS s_fr,
+                   length(regexp_extract_all(text, '(?i)\\b(el|los|las|y|es|una)\\b'))       AS s_es
+            FROM documents
+        ) scores
+    ) pred
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-scored language ID (deterministic arg-max, ties en→de→fr→es)."""
+    return textops.language_id(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-text md5 fingerprint (dedup key / provenance id)."""
+    return textops.fingerprints(table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Deduplication
+# ----------------------------------------------------------------------
+
+
+@_spec(
+    "dedup_exact_groups",
+    """
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy (one uniform shuffle)."""
+    return dedup.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_stats",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_duplicates
+    FROM documents
+    """,
+)
+def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup summary."""
+    return dedup.dedup_stats(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE}
+    SELECT p.doc_a, p.doc_b,
+           ROUND(({_AGREE}) / 16.0, 4) AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc_id
+    JOIN sig sb ON p.doc_b = sb.doc_id
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4×4) near-dup candidates with estimated Jaccard.
+    The md5-seeded hash family makes the signatures engine-portable — the
+    oracle reproduces them exactly.  Sub-quadratic: pairs only form inside
+    LSH bands."""
+    return dedup.minhash_similarity(
+        table(spark, sf_dir, "documents"), k=8, num_hashes=16, bands=4
+    )
+
+
+@_spec(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh a ON p.doc_a = a.doc_id
+        JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           i.n_common / CAST(sa.n_shingles + sb.n_shingles - i.n_common AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 8-gram Jaccard for the LSH candidate pairs (verification
+    stage after MinHash pruning)."""
+    docs = table(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.char_shingles(docs, k=8), 16), 16, 4
+    )
+    return dedup.ngram_jaccard_pairs(docs, cands, k=8)
+
+
+@_spec("simhash_fingerprints", None)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc (md5-derived bit planes). No SQL oracle —
+    hex→int bit surgery isn't cleanly portable; rows-only check."""
+    return dedup.simhash(table(spark, sf_dir, "documents"), bits=32)
+
+
+# ----------------------------------------------------------------------
+# Similarity search
+# ----------------------------------------------------------------------
+
+
+@_spec(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                            CAST(q.qv AS DOUBLE[])))) AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id != 0
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0 (exact baseline; broadcast
+    query + TakeOrdered — the pattern that scales to a full-scan scorer)."""
+    return similarity.brute_force_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@_spec("ann_lsh_topk", None)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN top-10 (approximate — no SQL oracle;
+    recall is checked against the brute-force baseline in tests)."""
+    return similarity.lsh_topk(
+        table(spark, sf_dir, "embeddings"), query_vec_id=0, planes=_PLANES, k=10
+    )
+
+
+@_spec(
+    "embedding_label_stats",
+    """
+    SELECT label, COUNT(*) AS n_vectors,
+           MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))) AS min_norm,
+           MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[])))) AS max_norm,
+           CAST(MAX(len(embedding)) AS INTEGER) AS n_dims
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding profile (count, min/max L2 norm, dims —
+    order-independent folds only, per the numeric determinism contract)."""
+    return similarity.label_norm_stats(table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+The reference runs on Snowflake warehouses with two access paths to one
+Iceberg warehouse (external tables vs a catalog-linked database —
+``scripts/10_external_tables.sql:45-88`` vs
+``scripts/11_catalog_linked_database.sql:50-55`` in the reference).  Here a
+single SparkSession carries both "catalogs"; when an Iceberg runtime jar is
+on the classpath the factory wires real Iceberg catalogs, otherwise the
+pure-PySpark lakehouse catalog in :mod:`.sources.catalog` provides the same
+semantics (snapshots, append, time travel, metadata-only replication) over
+parquet.
+
+Scale posture (100 TB): AQE on (runtime shuffle-partition coalescing + skew
+join), broadcast threshold left at a real value so 5-row dims broadcast,
+shuffle partitions sized by env, UTC session timezone so timestamp semantics
+are stable across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Maven coordinate used when an Iceberg runtime is available; never
+#: downloaded implicitly (offline test environments have no network).
+ICEBERG_PACKAGE = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13"
+
+
+def _iceberg_jar_present() -> bool:
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "iceberg-spark-runtime*.jar")))
+
+
+def build_session(
+    app_name: str = "snowflake-iceberg-cld-bcdr-demo-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession with engine defaults.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    shuffle partitions default to the same so local runs don't pay for
+    200 empty reducers (at cluster scale this is overridden upward).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if warehouse:
+        b = b.config("spark.sql.warehouse.dir", warehouse)
+    if _iceberg_jar_present():
+        # Dual Iceberg catalogs over one warehouse path — mirrors the
+        # reference's EXT + CLD access paths to the same Glue/S3 data.
+        wh = warehouse or "/tmp/lakehouse"
+        for cat in ("ext", "cld"):
+            b = (
+                b.config(f"spark.sql.catalog.{cat}", "org.apache.iceberg.spark.SparkCatalog")
+                .config(f"spark.sql.catalog.{cat}.type", "hadoop")
+                .config(f"spark.sql.catalog.{cat}.warehouse", wh)
+            )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def get_session() -> SparkSession:
+    """Return the active session, building one with defaults if needed."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

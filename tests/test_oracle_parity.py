@@ -1,0 +1,36 @@
+"""Every registered query with an oracle must match DuckDB at sf0.001
+(fast gate; the driver runs sf0.01). Rows-only queries must run and
+return a stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+
+from .conftest import SF_SMALL
+from .oracle_compare import compare, duck_connection
+
+_WITH_ORACLE = [n for n, s in QUERY_SPECS.items() if s.oracle is not None]
+_ROWS_ONLY = [n for n, s in QUERY_SPECS.items() if s.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duck_connection(SF_SMALL)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_parity(spark, duck, name):
+    spec = QUERY_SPECS[name]
+    df = spec.build(spark, SF_SMALL)
+    ok, msg = compare(df, duck, spec.oracle)
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    spec = QUERY_SPECS[name]
+    df = spec.build(spark, SF_SMALL)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
