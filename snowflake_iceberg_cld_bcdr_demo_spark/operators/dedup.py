@@ -40,12 +40,22 @@ def dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def char_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8) -> DataFrame:
-    """Explode each doc into its distinct character k-shingles of the
-    normalized text → (id, shingle).  Built-ins only: sequence + explode +
-    substring; the explode is a narrow op (no shuffle)."""
+def char_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    dedup_shingles: bool = True,
+) -> DataFrame:
+    """Explode each doc into its character k-shingles of the normalized
+    text → (id, shingle).  Built-ins only: sequence + explode + substring;
+    the explode is a narrow op (no shuffle).
+
+    ``dedup_shingles=False`` skips the distinct: MIN-based MinHash is
+    duplicate-insensitive, and dropping the distinct removes the single
+    biggest shuffle (the multiset is ~2× the set size but shuffle-free)."""
     norm = normalized_text(F.col(text_col))
-    return (
+    out = (
         docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
         .filter(F.length("norm_text") >= k)
         .select(
@@ -54,23 +64,32 @@ def char_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             "norm_text",
         )
         .select("doc_id", F.expr(f"substring(norm_text, pos, {k})").alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if dedup_shingles else out
 
 
-def _minhash_val(shingle: Column, seed: int) -> Column:
-    """Portable hash family member: md5 of the seeded shingle (hex string
-    order = unsigned byte order, identical in any engine)."""
-    return F.md5(F.concat(F.lit(f"{seed}#"), shingle))
+def _hash_pair(shingle: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit integer hashes from ONE md5 (hex halves) —
+    the portable base of a Kirsch-Mitzenmacher family ``h_i = h1 + i·h2``.
+    One digest per shingle instead of one per family member (16× less
+    hashing); the DuckDB oracle reproduces the integers exactly via
+    ``CAST(('0x' || substring(md5(s), …, 8)) AS BIGINT)``."""
+    d = F.md5(shingle)
+    h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+    return h1, h2
 
 
 def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature matrix.
 
-    One groupBy(doc_id) computes all hash family members as MIN aggregates
-    — a single shuffle regardless of signature width."""
+    One groupBy(doc_id) computes all family members as MIN aggregates —
+    a single shuffle regardless of signature width, with map-side partial
+    MINs doing almost all the work in the scan stage."""
+    h1, h2 = _hash_pair(F.col("shingle"))
     aggs = [
-        F.min(_minhash_val(F.col("shingle"), i)).alias(f"h{i}") for i in range(num_hashes)
+        F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(1 << 32))).alias(f"h{i}")
+        for i in range(num_hashes)
     ]
     return shingled.groupBy("doc_id").agg(*aggs)
 
@@ -117,7 +136,7 @@ def minhash_similarity(
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → signature → band → candidate
     pairs → estimated Jaccard (fraction of agreeing signature rows)."""
-    sh = char_shingles(docs, text_col, id_col, k)
+    sh = char_shingles(docs, text_col, id_col, k, dedup_shingles=False)
     sig = minhash_signatures(sh, num_hashes)
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     sa = sig.alias("sa")

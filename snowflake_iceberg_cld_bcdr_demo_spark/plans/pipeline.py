@@ -49,8 +49,13 @@ _SHINGLE_CTE = """
     )
 """
 
+# Kirsch-Mitzenmacher family from ONE md5 per shingle: h1/h2 are the two
+# 32-bit hex halves, member i = (h1 + i*h2) mod 2^32 — mirrors
+# operators.dedup._hash_pair exactly.
+_H1 = "CAST(('0x' || substring(md5(shingle), 1, 8)) AS BIGINT)"
+_H2 = "CAST(('0x' || substring(md5(shingle), 9, 8)) AS BIGINT)"
 _MINHASH_AGG = ",\n".join(
-    f"           min(md5('{i}#' || shingle)) AS h{i}" for i in range(16)
+    f"           min(({_H1} + {i} * {_H2}) % 4294967296) AS h{i}" for i in range(16)
 )
 
 _SIG_CTE = f"""
@@ -61,15 +66,21 @@ _SIG_CTE = f"""
     )
 """
 
-_BAND_CTE = """
+
+def _band_key(cols: list[str]) -> str:
+    joined = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+    return f"md5({joined})"
+
+
+_BAND_CTE = f"""
     banded AS (
-        SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2 || '|' || h3) AS band_key FROM sig
+        SELECT doc_id, 0 AS band, {_band_key(['h0', 'h1', 'h2', 'h3'])} AS band_key FROM sig
         UNION ALL
-        SELECT doc_id, 1, md5(h4 || '|' || h5 || '|' || h6 || '|' || h7) FROM sig
+        SELECT doc_id, 1, {_band_key(['h4', 'h5', 'h6', 'h7'])} FROM sig
         UNION ALL
-        SELECT doc_id, 2, md5(h8 || '|' || h9 || '|' || h10 || '|' || h11) FROM sig
+        SELECT doc_id, 2, {_band_key(['h8', 'h9', 'h10', 'h11'])} FROM sig
         UNION ALL
-        SELECT doc_id, 3, md5(h12 || '|' || h13 || '|' || h14 || '|' || h15) FROM sig
+        SELECT doc_id, 3, {_band_key(['h12', 'h13', 'h14', 'h15'])} FROM sig
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -246,7 +257,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage after MinHash pruning)."""
     docs = table(spark, sf_dir, "documents")
     cands = dedup.lsh_candidate_pairs(
-        dedup.minhash_signatures(dedup.char_shingles(docs, k=8), 16), 16, 4
+        dedup.minhash_signatures(dedup.char_shingles(docs, k=8, dedup_shingles=False), 16), 16, 4
     )
     return dedup.ngram_jaccard_pairs(docs, cands, k=8)
 
