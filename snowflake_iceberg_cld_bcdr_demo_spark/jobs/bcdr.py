@@ -1,0 +1,117 @@
+"""BCDR simulation: two logical "accounts" over one shared warehouse —
+metadata-only replication, failover promote, post-failover validation.
+
+The reference replicates only *definitions* (roles/integrations/one EXT
+database) via failover groups every 10 minutes
+(`20_failover_groups_primary.sql:109-172`); Iceberg data and the Glue
+catalog are shared storage, so data RPO = 0 by construction
+(`docs/ARCHITECTURE.md:429-439`, `docs/TALK_TRACK.md:201-218`).  CLDs are
+explicitly NOT replicated — the secondary builds its own over the same
+catalog (`20:96-101`, `30_cld_secondary_setup.sql:171-176`).  Promote
+flips the replica to primary (`21_failover_groups_secondary.sql:253-264`);
+the secondary stays read-only until promoted (`21:209`).
+
+Here an :class:`Account` = a name + its EXT registry + PROD view registry
+over the shared :class:`LakehouseCatalog`.  ``replicate_definitions``
+copies EXT bindings + view SQL (never data files); ``promote`` executes
+the failover state machine; ``validate_consistency`` ports the
+`90_validation_queries.sql:149-168` MATCH/MISMATCH count reconciliation.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ..sources.lakehouse import ExternalTables, LakehouseCatalog, ViewRegistry
+
+
+@dataclass
+class Account:
+    """One logical Snowflake-account analog."""
+
+    name: str
+    catalog: LakehouseCatalog
+    ext: ExternalTables
+    prod: ViewRegistry
+    role: str = "primary"  # or "replica"
+    promoted_at: float | None = None
+    history: list[str] = field(default_factory=list)
+
+    @property
+    def is_writable(self) -> bool:
+        return self.role == "primary"
+
+
+def make_account(
+    spark: SparkSession, warehouse: str, name: str, role: str = "primary"
+) -> Account:
+    cat = LakehouseCatalog(spark, warehouse, name=name)
+    return Account(
+        name=name,
+        catalog=cat,
+        ext=ExternalTables(cat, registry_name=f"ext_{name}"),
+        prod=ViewRegistry(warehouse, database=f"prod_{name}"),
+        role=role,
+    )
+
+
+def replicate_definitions(primary: Account, secondary: Account) -> dict:
+    """Metadata-only replication (`20:109-172` semantics): copy EXT
+    bindings and PROD view SQL from primary to secondary.  No data files
+    move — both accounts read the same warehouse (zero-copy DR)."""
+    if not primary.is_writable:
+        raise PermissionError(f"{primary.name} is not primary")
+    copied_ext = 0
+    for ext_name in primary.ext.names():
+        ns_tbl = primary.ext._read()[ext_name]
+        secondary.ext.register(ext_name, *ns_tbl)
+        copied_ext += 1
+    copied_views = 0
+    for name, sql in primary.prod.definitions().items():
+        secondary.prod.create_or_replace(name, sql)
+        copied_views += 1
+    secondary.history.append(f"replicated from {primary.name}")
+    return {
+        "ext_tables_replicated": copied_ext,
+        "views_replicated": copied_views,
+        "data_files_copied": 0,  # the zero-copy invariant
+    }
+
+
+def promote(secondary: Account, old_primary: Account | None = None) -> dict:
+    """Failover: replica → primary (`21:253-264`); optional demotion of
+    the old primary (planned failover / failback `21:286-300`)."""
+    if secondary.role == "primary":
+        return {"status": "NOOP", "detail": f"{secondary.name} already primary"}
+    secondary.role = "primary"
+    secondary.promoted_at = time.time()
+    secondary.history.append("promoted to primary")
+    if old_primary is not None and old_primary.role == "primary":
+        old_primary.role = "replica"
+        old_primary.history.append(f"demoted; {secondary.name} promoted")
+    return {"status": "PROMOTED", "account": secondary.name}
+
+
+def validate_consistency(
+    spark: SparkSession, a: Account, b: Account, namespace: str
+) -> list[dict]:
+    """Two-path count reconciliation with MATCH/MISMATCH verdicts —
+    the `90_validation_queries.sql:149-168` port (U2+J8).  Compares every
+    table visible to both accounts."""
+    results = []
+    tables = sorted(set(a.catalog.list_tables(namespace)) & set(b.catalog.list_tables(namespace)))
+    for tbl in tables:
+        ca = a.catalog.load(namespace, tbl).count()
+        cb = b.catalog.load(namespace, tbl).count()
+        results.append(
+            {
+                "table": tbl,
+                f"{a.name}_count": ca,
+                f"{b.name}_count": cb,
+                "verdict": "MATCH" if ca == cb else "MISMATCH",
+            }
+        )
+    return results

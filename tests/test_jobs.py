@@ -1,0 +1,201 @@
+"""Job-layer tests: sync, heartbeat, drift, BCDR failover, scheduler —
+the reference's F1-F5 procedures and its embedded validation suite
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.adtech.generate import (
+    GeneratorConfig,
+    generate_all,
+)
+from snowflake_iceberg_cld_bcdr_demo_spark.jobs import bcdr, drift, heartbeat, sync
+from snowflake_iceberg_cld_bcdr_demo_spark.jobs.logs import MONITORING_NS
+from snowflake_iceberg_cld_bcdr_demo_spark.jobs.scheduler import Scheduler
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+    LakehouseCatalog,
+    ViewRegistry,
+)
+
+
+@pytest.fixture(scope="module")
+def stack(spark, tmp_path_factory):
+    """Warehouse seeded with the 4 advertising tables (small config)."""
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cat = LakehouseCatalog(spark, wh, name="cld")
+    cfg = GeneratorConfig(num_campaigns=8, impressions_per_campaign=150)
+    data = generate_all(spark, cfg)
+    ns = "advertising"
+    for name, df in data.items():
+        parts = ["date_key"] if name != "campaigns" else None
+        cat.create_table(ns, name, df, partition_by=parts)
+    return {"wh": wh, "cat": cat, "ns": ns, "cfg": cfg}
+
+
+def test_sync_creates_views_and_logs(spark, stack):
+    prod = ViewRegistry(stack["wh"], "prod")
+    report = sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)
+    assert report["status"] == "SUCCESS"
+    assert report["tables_found"] == 4
+    # 4 passthrough + 5 aggregate views (`16:190-215,304-422`)
+    assert report["views_created"] == 9
+    assert set(prod.definitions()) >= {
+        "campaigns",
+        "impressions",
+        "clicks",
+        "conversions",
+        "v_campaign_performance",
+    }
+    log = stack["cat"].load(MONITORING_NS, "sync_log")
+    assert log.filter(F.col("status") == "SUCCESS").count() >= 9
+    assert log.filter(F.col("sync_type") == "HEARTBEAT").count() == 1
+    # ids unique (W6 surrogate key)
+    assert log.select("sync_id").distinct().count() == log.count()
+
+    # idempotent re-run appends a second batch of log rows
+    report2 = sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)
+    assert report2["views_created"] == 9
+    log2 = stack["cat"].load(MONITORING_NS, "sync_log")
+    assert log2.count() == log.count() * 2
+    assert log2.select("sync_id").distinct().count() == log2.count()
+
+
+def test_prod_views_query_correctly(spark, stack):
+    prod = ViewRegistry(stack["wh"], "prod")
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)
+    created = prod.apply(spark, prefix="prod")
+    assert "prod_v_campaign_performance" in created
+    perf = spark.table("prod_v_campaign_performance")
+    assert perf.count() > 0
+    tot = perf.agg(
+        F.sum("impressions").alias("i"), F.sum("clicks").alias("c")
+    ).collect()[0]
+    assert tot.i == stack["cat"].load(stack["ns"], "impressions").count()
+    assert tot.c == stack["cat"].load(stack["ns"], "clicks").count()
+
+
+def test_heartbeat_checks(spark, stack):
+    prod = ViewRegistry(stack["wh"], "prod")
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)
+    report = heartbeat.secondary_heartbeat(spark, stack["cat"], stack["ns"], prod)
+    assert report["status"] == "SUCCESS"
+    assert report["failed_checks"] == []
+    assert report["table_counts"]["campaigns"] == 8
+
+    # drop a prod view → coverage check fails (`31:378-450`)
+    prod.drop("clicks")
+    report2 = heartbeat.secondary_heartbeat(spark, stack["cat"], stack["ns"], prod)
+    assert "PROD_VIEW_VALIDATION" in report2["failed_checks"]
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)  # restore
+
+    ready = heartbeat.dr_readiness(spark, stack["cat"])
+    assert ready["cld_ready"] is True
+    assert ready["heartbeats_24h"] >= 8  # two runs × 4 checks
+
+
+def test_drift_detection_and_resync(spark, stack):
+    wh = stack["wh"]
+    p_reg = ViewRegistry(wh, "prodA")
+    s_reg = ViewRegistry(wh, "prodB")
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], p_reg)
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], s_reg)
+
+    # inject drift: mutate one definition, drop another, add an extra
+    s_reg.create_or_replace("v_clicks_daily", "SELECT 1 AS tampered")
+    s_reg.drop("campaigns")
+    s_reg.create_or_replace("only_on_secondary", "SELECT 2 AS extra")
+
+    mon = stack["cat"]
+    drift.export_schema_metadata(spark, "acctA", "prod", {"prod": p_reg}, mon, "meta_a")
+    drift.export_schema_metadata(spark, "acctB", "prod", {"prod": s_reg}, mon, "meta_b")
+    pm = mon.load(MONITORING_NS, "meta_a")
+    sm = mon.load(MONITORING_NS, "meta_b")
+
+    report = drift.detect_schema_drift(spark, pm, sm, mon)
+    assert report["status"] == "DRIFT_DETECTED"
+    assert report["missing_on_secondary"] == 1  # campaigns
+    assert report["missing_on_primary"] == 1  # only_on_secondary
+    assert report["definition_mismatch"] == 1  # v_clicks_daily
+    log = mon.load(MONITORING_NS, "schema_drift_log")
+    assert log.filter(F.col("status") == "DETECTED").count() == 3
+
+    # auto-resync copies primary definitions over (`33:450-497`)
+    report2 = drift.detect_schema_drift(spark, pm, sm, mon, auto_resync_into=s_reg)
+    assert report2["resynced"] == 2
+    drift.export_schema_metadata(spark, "acctB", "prod", {"prod": s_reg}, mon, "meta_b2")
+    report3 = drift.detect_schema_drift(
+        spark, pm, mon.load(MONITORING_NS, "meta_b2"), mon
+    )
+    # only the secondary-extra object remains (resync never deletes)
+    assert report3["missing_on_secondary"] == 0
+    assert report3["definition_mismatch"] == 0
+    assert report3["missing_on_primary"] == 1
+
+
+def test_bcdr_failover_lifecycle(spark, stack):
+    wh = stack["wh"]
+    primary = bcdr.make_account(spark, wh, "primary_acct", role="primary")
+    secondary = bcdr.make_account(spark, wh, "secondary_acct", role="replica")
+    ns = stack["ns"]
+
+    # primary registers EXT tables + PROD views
+    for t in primary.catalog.list_tables(ns):
+        primary.ext.register(f"EXT_{t.upper()}", ns, t)
+    sync.sync_prod_database(spark, primary.catalog, ns, primary.prod)
+
+    rep = bcdr.replicate_definitions(primary, secondary)
+    assert rep["data_files_copied"] == 0  # zero-copy DR
+    assert rep["ext_tables_replicated"] == 4
+    assert rep["views_replicated"] == 9
+
+    # shared storage: both accounts see identical counts (RPO=0)
+    results = bcdr.validate_consistency(spark, primary, secondary, ns)
+    assert all(r["verdict"] == "MATCH" for r in results)
+    assert len(results) == 4
+
+    # replica is read-only until promoted (`21:209`)
+    assert not secondary.is_writable
+    with pytest.raises(PermissionError):
+        bcdr.replicate_definitions(secondary, primary)
+
+    out = bcdr.promote(secondary, old_primary=primary)
+    assert out["status"] == "PROMOTED"
+    assert secondary.is_writable and not primary.is_writable
+    # promoted account serves the replicated views
+    created = secondary.prod.apply(spark, prefix="dr")
+    assert "dr_v_campaign_performance" in created
+    assert spark.table("dr_v_campaign_performance").count() > 0
+    # failback
+    bcdr.promote(primary, old_primary=secondary)
+    assert primary.is_writable and not secondary.is_writable
+
+
+def test_scheduler_semantics():
+    sched = Scheduler()
+    runs = {"a": 0}
+
+    def job():
+        runs["a"] += 1
+        return runs["a"]
+
+    sched.add("sync", job, interval_s=300)
+    assert sched.tick(now=1000.0) == ["sync"]
+    assert sched.tick(now=1100.0) == []  # not due
+    assert sched.tick(now=1300.0) == ["sync"]  # due again
+    assert runs["a"] == 2
+
+    sched.suspend("sync")
+    assert sched.tick(now=2000.0) == []
+    assert sched.resume_all() == ["sync"]
+    assert sched.tick(now=2000.0) == ["sync"]
+
+    # failures recorded, not raised
+    def boom():
+        raise RuntimeError("x")
+
+    sched.add("bad", boom, interval_s=1)
+    sched.tick(now=3000.0)
+    assert sched.tasks["bad"].failures == 1
+    assert sched.tasks["bad"].last_error == "x"
