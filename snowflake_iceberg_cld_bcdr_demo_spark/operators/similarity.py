@@ -87,6 +87,51 @@ def lsh_topk(
     )
 
 
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (all pairs above threshold).
+
+    O(n²) self-join — the oracle-checked correctness baseline.  At corpus
+    scale use :func:`cosine_pairs_lsh`, which only joins within hyperplane
+    buckets (same result modulo LSH recall)."""
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") > threshold)
+    )
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for near-dup pairs: candidates only form inside an LSH
+    bucket (sub-quadratic; misses cross-bucket pairs — recall/cost dial is
+    the plane count)."""
+    bucketed = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+    a = bucketed.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col("bucket")
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") > threshold)
+    )
+
+
 def label_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label embedding stats (count, min/max L2 norm, dims) — sanity
     profile of an embedding table before indexing.  MIN/MAX (not AVG):

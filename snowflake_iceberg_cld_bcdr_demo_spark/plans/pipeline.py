@@ -262,11 +262,42 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, cands, k=8)
 
 
-@_spec("simhash_fingerprints", None)
+_SIMHASH_BITS = 32
+_SIMHASH_VOTES = ",\n".join(
+    f"           SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@_spec(
+    "simhash_fingerprints",
+    f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id,
+{_SIMHASH_VOTES}
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS hv
+            FROM tok
+        ) h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIMHASH_ASSEMBLE} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per doc (md5-derived bit planes). No SQL oracle —
-    hex→int bit surgery isn't cleanly portable; rows-only check."""
-    return dedup.simhash(table(spark, sf_dir, "documents"), bits=32)
+    """32-bit SimHash per doc from md5-derived bit votes — the same
+    hex→int family as MinHash, so the oracle reproduces every bit."""
+    return dedup.simhash(table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS)
 
 
 # ----------------------------------------------------------------------
@@ -294,6 +325,39 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs vec_id=0 (exact baseline; broadcast
     query + TakeOrdered — the pattern that scales to a full-scan scorer)."""
     return similarity.brute_force_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@_spec(
+    "embedding_near_dup_pairs",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])))) AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])))) > 0.4
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (north-star dedup family; threshold 0.4 fits the testdata's cosine
+    distribution — max pairwise ≈ 0.51)."""
+    return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@_spec("embedding_near_dup_lsh", None)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs (sub-quadratic scale path; approximate
+    — recall checked against the exact baseline in tests, no SQL oracle)."""
+    return similarity.cosine_pairs_lsh(
+        table(spark, sf_dir, "embeddings"), threshold=0.4, planes=_PLANES[:4]
+    )
 
 
 @_spec("ann_lsh_topk", None)

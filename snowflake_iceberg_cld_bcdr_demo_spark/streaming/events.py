@@ -1,0 +1,144 @@
+"""Streaming event ingestion + windowed analytics.
+
+Maps the reference's micro-batch behaviors to Structured Streaming:
+
+- the 5-minute sync task (`16_sync_task_primary.sql:483-489`) →
+  ``Trigger.AvailableNow`` / ``ProcessingTime`` micro-batches with
+  checkpointed exactly-once progress (the scheduler's non-overlap
+  guarantee comes free from the streaming engine),
+- Iceberg snapshot appends becoming visible downstream
+  (`05_append_campaigns.py:119-123` → `11:127`) → a file-source stream
+  over the table directory: new snapshot data dirs are discovered as new
+  files, i.e. incremental consumption without reprocessing history,
+- daily/hourly rollups (`31:582-592`) → event-time windows with
+  watermarks bounding state.
+
+Everything is builder-style (returns unstarted DataFrames/queries) so
+tests and jobs compose them with their own sinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..sources.lakehouse import LakehouseCatalog
+
+
+def read_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a directory — each newly landed file is a
+    micro-batch input (the snapshot-append consumption pattern).  At
+    cluster scale ``maxFilesPerTrigger`` bounds batch size so one giant
+    backfill can't blow executor memory."""
+    reader = spark.readStream.schema(schema).format(fmt)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time windowed rollup with a watermark (the hourly heartbeat
+    rollup `31:582-592`, streaming form).  The watermark bounds state:
+    windows older than max(event time) − watermark are finalized and
+    evicted, so state size is O(active windows), not O(history)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicates`` with bounded state) — the streaming form of exact
+    dedup for at-least-once upstream sources."""
+    return events.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
+
+
+def write_stream_to_lakehouse(
+    stream_df: DataFrame,
+    catalog: LakehouseCatalog,
+    namespace: str,
+    table: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Sink a stream into a lakehouse table via ``foreachBatch`` append —
+    one snapshot per micro-batch, giving the same append-only snapshot
+    lineage batch writers produce.  Checkpointing makes restarts resume
+    from the last committed batch (exactly-once into the manifest)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not catalog.table_exists(namespace, table):
+            catalog.create_table(namespace, table, batch_df)
+        else:
+            catalog.append(namespace, table, batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def incremental_snapshot_read(
+    catalog: LakehouseCatalog,
+    namespace: str,
+    table: str,
+    after_snapshot_id: int | None = None,
+) -> tuple[DataFrame | None, int]:
+    """Batch-incremental read of a lakehouse table: rows added AFTER a
+    known snapshot (Iceberg incremental-scan analog).  Returns
+    (DataFrame-or-None, latest_snapshot_id) — callers persist the cursor
+    and hand it back next cycle, which is exactly how the reference's
+    5-minute sync avoids reprocessing (`16:121-132` re-lists, we re-read
+    only new dirs)."""
+    snaps = catalog.snapshots(namespace, table)
+    latest = snaps[-1].snapshot_id
+    if after_snapshot_id is None:
+        return catalog.load(namespace, table), latest
+    if after_snapshot_id >= latest:
+        return None, latest
+    seen = set(snaps[after_snapshot_id - 1].data_dirs) if after_snapshot_id >= 1 else set()
+    new_dirs = [d for d in snaps[-1].data_dirs if d not in seen]
+    if not new_dirs:
+        return None, latest
+    import os
+
+    base = catalog._table_path(namespace, table)
+    df = catalog.spark.read.option("basePath", base).parquet(
+        *[os.path.join(base, d) for d in new_dirs]
+    )
+    return df, latest

@@ -1,0 +1,111 @@
+"""Multimodal plumbing tests: binary columns + typed metadata through
+Arrow-batched mapInPandas, stub gating, metadata-only frame planning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    return M.synthesize_assets(spark, 60).cache()
+
+
+def test_media_schema_and_determinism(spark, assets):
+    # same field names and types (generated columns are non-null, so
+    # nullability flags legitimately differ from the declared schema)
+    assert [(f.name, f.dataType.simpleString()) for f in assets.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in M.MEDIA_SCHEMA.fields
+    ]
+    assert assets.count() == 60
+    again = M.synthesize_assets(spark, 60)
+    a = assets.agg(F.sum(F.length("content")), F.count(F.lit(1))).collect()[0]
+    b = again.agg(F.sum(F.length("content")), F.count(F.lit(1))).collect()[0]
+    assert tuple(a) == tuple(b)
+    # every asset carries 128 opaque bytes + type-appropriate metadata
+    assert assets.filter(F.length("content") != 128).count() == 0
+    assert assets.filter(
+        (F.col("media_type") == "image") & F.col("metadata.width").isNull()
+    ).count() == 0
+    assert assets.filter(
+        (F.col("media_type") == "video") & F.col("metadata.duration_s").isNull()
+    ).count() == 0
+
+
+def test_byte_features_real_compute(assets):
+    feats = M.byte_features(assets)
+    rows = feats.collect()
+    assert len(rows) == 60
+    by_id = {r.asset_id: r for r in rows}
+    assert all(r.n_bytes == 128 for r in rows)
+    assert all(len(r.sha256) == 64 for r in rows)
+    assert all(0.0 <= r.mean_byte <= 255.0 for r in rows)
+    # digests differ per asset (content is genuinely distinct)
+    assert len({r.sha256 for r in rows}) == 60
+    # feature values are deterministic
+    again = {r.asset_id: r for r in M.byte_features(assets).collect()}
+    assert all(again[k].sha256 == v.sha256 for k, v in by_id.items())
+
+
+def test_decode_images_stub_gating(assets):
+    # strict=True must raise the clearly-marked stub error (no Pillow here)
+    with pytest.raises(NotImplementedError):
+        M.decode_images(assets, strict=True)
+    decoded = M.decode_images(assets, strict=False)
+    rows = decoded.collect()
+    n_images = assets.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    assert all(r.decoder == "fake" for r in rows)
+    assert all(r.n_pixels == r.width * r.height for r in rows)
+
+
+def test_resize_images_output_shape(assets):
+    resized = M.resize_images(assets, width=8, height=8)
+    rows = resized.collect()
+    assert all(len(r.content) == 64 for r in rows)
+    assert all(r.width == 8 and r.height == 8 for r in rows)
+    # deterministic output bytes
+    again = M.resize_images(assets, width=8, height=8).collect()
+    assert {r.asset_id: bytes(r.content) for r in rows} == {
+        r.asset_id: bytes(r.content) for r in again
+    }
+
+
+def test_frame_sample_plan_metadata_only(assets):
+    plan = M.frame_sample_plan(assets, every_s=30.0)
+    rows = plan.collect()
+    videos = {
+        r.asset_id: r.metadata.duration_s
+        for r in assets.filter(F.col("media_type") == "video").collect()
+    }
+    assert {r.asset_id for r in rows} == set(videos)
+    for r in rows:
+        assert r.timestamp_s == r.frame_no * 30.0
+        assert r.timestamp_s <= videos[r.asset_id]
+    # pure Catalyst: no Python eval in the plan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain(extended=False)
+    assert "mapInPandas" not in buf.getvalue()
+    assert "BatchEvalPython" not in buf.getvalue()
+
+
+def test_metadata_filter_prunes_before_python(assets):
+    """The image filter must sit below mapInPandas in the plan (no bytes
+    cross to Python for non-image assets)."""
+    decoded = M.decode_images(assets)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        decoded.explain(extended=False)
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "media_type" in plan  # filter present in the scan stage
