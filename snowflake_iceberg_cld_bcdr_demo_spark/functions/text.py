@@ -11,6 +11,11 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 TOKEN_RE = r"\S+"
+#: GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+#: letter runs, digit runs, punctuation runs, residual whitespace.  Uses
+#: only constructs with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle): ordered alternation, basic classes.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 PUNCT_CLASS = "[.,!?;:]"
 DIGIT_CLASS = "[0-9]"
 
@@ -31,6 +36,12 @@ def tokens(col: Column) -> Column:
 
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
+
+
+def bpe_piece_count(col: Column) -> Column:
+    """Sub-word piece count under the BPE-ish pre-tokenizer — the cheap
+    JVM-side proxy for LLM token budgeting over a corpus."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0))
 
 
 def normalized_text(col: Column) -> Column:

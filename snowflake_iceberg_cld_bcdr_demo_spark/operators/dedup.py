@@ -133,11 +133,22 @@ def minhash_similarity(
     k: int = 8,
     num_hashes: int = 16,
     bands: int = 4,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pipeline: shingle → signature → band → candidate
-    pairs → estimated Jaccard (fraction of agreeing signature rows)."""
+    pairs → estimated Jaccard (fraction of agreeing signature rows).
+
+    The signature matrix feeds four plan branches (band explode + both
+    self-join sides); it is persisted so the expensive shingle scan runs
+    once.  Sized n_docs × num_hashes longs — thousands of times smaller
+    than the corpus, safe to cache at any scale (MEMORY_AND_DISK spills
+    if not)."""
+    from pyspark.storagelevel import StorageLevel
+
     sh = char_shingles(docs, text_col, id_col, k, dedup_shingles=False)
     sig = minhash_signatures(sh, num_hashes)
+    if persist_signatures:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = lsh_candidate_pairs(sig, num_hashes, bands)
     sa = sig.alias("sa")
     sb = sig.alias("sb")

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, textops
 from ..sources.testdata import table
@@ -112,6 +113,30 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token counting (north-star text analysis; JVM regex,
     narrow map over the corpus scan)."""
     return textops.token_counts(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_ws_tokens,
+           CAST(length(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+               AS INTEGER) AS n_bpe_pieces
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish sub-word piece counts (north-star token
+    budgeting; ordered-alternation regex portable across Java/RE2)."""
+    from ..functions.text import bpe_piece_count, token_count as ws_count
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_piece_count(F.col("text")).alias("n_bpe_pieces"),
+    )
 
 
 @_spec(
