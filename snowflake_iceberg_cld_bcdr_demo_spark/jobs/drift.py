@@ -50,8 +50,6 @@ def export_schema_metadata(
                     object_definition=definition,
                 )
             )
-    if not rows:
-        return 0
     df = spark.createDataFrame(rows, SCHEMA_METADATA_SCHEMA).withColumn(
         "object_hash", F.sha2(F.col("object_definition"), 256)
     )

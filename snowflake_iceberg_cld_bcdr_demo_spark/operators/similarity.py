@@ -132,6 +132,80 @@ def cosine_pairs_lsh(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF cell) by cosine.
+
+    Centroids arrive as literal arrays (typically a deterministic sample
+    or k-means output collected once — K×dims floats, trivially
+    broadcastable inside the plan).  The argmax is an ``array_max`` over
+    (sim, cell) structs — pure Catalyst, no UDF."""
+    cells = []
+    for k, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        cells.append(F.struct(cosine(F.col(vec_col), cvec).alias("sim"), F.lit(k).alias("cell")))
+    best = F.array_max(F.array(*cells))
+    return emb.select(
+        F.col(id_col), F.col(vec_col), F.col("label"), best["cell"].alias("cell")
+    )
+
+
+def sample_centroids(
+    emb: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic seed centroids: the k lowest-id vectors (documented
+    stand-in for a k-means pass; IVF quality improves with better
+    centroids but correctness/plumbing is identical).  Collects K×dims
+    floats — driver-safe at any corpus size."""
+    rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only vectors whose cell is among the query's
+    ``nprobe`` nearest cells.
+
+    Scale: the assignment is a narrow map; the search probes
+    ``nprobe/K`` of the corpus (the recall/cost dial).  At 100 TB the
+    assigned table is written once partitioned by ``cell`` so probes
+    become partition-pruned scans."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    sims = []
+    for c_idx, c in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        sims.append(
+            F.struct(cosine(F.col(vec_col), cvec).alias("sim"), F.lit(c_idx).alias("cell"))
+        )
+    probe_cells = F.slice(F.sort_array(F.array(*sims), asc=False), 1, nprobe)["cell"]
+    q = (
+        emb.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).alias("query_vec"), probe_cells.alias("probe_cells"))
+    )
+    return (
+        assigned.join(F.broadcast(q), F.array_contains(F.col("probe_cells"), F.col("cell")))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            cosine(F.col(vec_col), F.col("query_vec")).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def label_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label embedding stats (count, min/max L2 norm, dims) — sanity
     profile of an embedding table before indexing.  MIN/MAX (not AVG):

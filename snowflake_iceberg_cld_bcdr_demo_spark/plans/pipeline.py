@@ -385,6 +385,15 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_spec("ann_ivf_topk", None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 (approximate — probes 4 of 8 cells; recall vs the
+    brute-force baseline is asserted in tests, no SQL oracle)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, k=8)
+    return similarity.ivf_topk(emb, query_vec_id=0, centroids=cents, k=10, nprobe=4)
+
+
 @_spec("ann_lsh_topk", None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-10 (approximate — no SQL oracle;

@@ -66,6 +66,10 @@ class LakehouseCatalog:
         self.warehouse = warehouse
         self.name = name
         os.makedirs(warehouse, exist_ok=True)
+        # Partition values keep their declared type (the reference stores
+        # date_key as STRING, `03:59-60`); without this Spark would
+        # re-infer "2024-01-03" partition dirs as DATE on read.
+        spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
     # -- paths -----------------------------------------------------------
     def _table_path(self, namespace: str, table: str) -> str:
@@ -131,6 +135,7 @@ class LakehouseCatalog:
         manifest = {
             "table": f"{namespace}.{table}",
             "partition_by": partition_by or [],
+            "columns": list(df.columns),
             "snapshots": [],
         }
         return self._commit(namespace, table, manifest, df, "create")
@@ -187,9 +192,15 @@ class LakehouseCatalog:
         ]
         # One multi-path read (not a unionAll chain): Spark builds a single
         # file index, so partition pruning/pushdown span all snapshots.
-        return self.spark.read.option("basePath", self._table_path(namespace, table)).parquet(
+        df = self.spark.read.option("basePath", self._table_path(namespace, table)).parquet(
             *paths
         )
+        # partitionBy moves partition columns to the end on read; restore
+        # the declared column order so readers see the created schema.
+        cols = manifest.get("columns")
+        if cols and set(cols) == set(df.columns):
+            df = df.select(*cols)
+        return df
 
     def snapshots(self, namespace: str, table: str) -> list[Snapshot]:
         """Snapshot history — the `table.snapshots()` metadata view

@@ -1,0 +1,96 @@
+"""MV refresh + reference-cadence runbook tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.adtech import views as V
+from snowflake_iceberg_cld_bcdr_demo_spark.adtech.generate import (
+    GeneratorConfig,
+    generate_all,
+)
+from snowflake_iceberg_cld_bcdr_demo_spark.jobs import bcdr, mv, runbook
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import LakehouseCatalog
+
+
+@pytest.fixture(scope="module")
+def stack(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    cat = LakehouseCatalog(spark, wh, name="cld")
+    data = generate_all(spark, GeneratorConfig(num_campaigns=6, impressions_per_campaign=120))
+    for name, df in data.items():
+        parts = ["date_key"] if name != "campaigns" else None
+        cat.create_table("advertising", name, df, partition_by=parts)
+    return {"wh": wh, "cat": cat, "data": data}
+
+
+def test_mv_refresh_matches_view(spark, stack):
+    cat = stack["cat"]
+    out = mv.refresh_mv(spark, cat, "advertising", "v_campaign_performance")
+    assert out["rows"] > 0
+    mv_df = cat.load(mv.MV_NS, "v_campaign_performance")
+    live = V.build(spark, "v_campaign_performance", stack["data"])
+    # materialization is value-identical to the live view
+    assert sorted(map(tuple, mv_df.collect())) == sorted(map(tuple, live.collect()))
+    # partitioned on date_key → pruning-capable layout
+    assert cat.partition_spec(mv.MV_NS, "v_campaign_performance") == ["date_key"]
+
+
+def test_mv_staleness_lifecycle(spark, stack):
+    cat = stack["cat"]
+    assert mv.is_stale(cat, "advertising", "v_campaigns_summary")  # never built
+    mv.refresh_mv(spark, cat, "advertising", "v_campaigns_summary")
+    assert not mv.is_stale(cat, "advertising", "v_campaigns_summary")
+    # source append → stale again; read_or_build self-heals
+    extra = generate_all(spark, GeneratorConfig(num_campaigns=3, impressions_per_campaign=1, seed=7))
+    cat.append("advertising", "campaigns", extra["campaigns"])
+    assert mv.is_stale(cat, "advertising", "v_campaigns_summary")
+    fresh = mv.read_or_build(spark, cat, "advertising", "v_campaigns_summary")
+    assert fresh.count() == 9  # 6 + 3 appended
+    assert not mv.is_stale(cat, "advertising", "v_campaigns_summary")
+    # allow_stale serves the old materialization without refreshing
+    cat.append("advertising", "campaigns", extra["campaigns"].limit(1))
+    stale = mv.read_or_build(spark, cat, "advertising", "v_campaigns_summary", allow_stale=True)
+    assert stale.count() == 9
+    assert mv.is_stale(cat, "advertising", "v_campaigns_summary")
+
+
+def test_refresh_all_builds_five(spark, stack):
+    results = mv.refresh_all(spark, stack["cat"], "advertising")
+    assert {r["mv"] for r in results} == set(V.AGGREGATE_VIEWS)
+    assert all(r["rows"] >= 0 for r in results)
+
+
+def test_runbook_reference_schedule(spark, stack):
+    wh = stack["wh"]
+    primary = bcdr.make_account(spark, wh, "p1", role="primary")
+    secondary = bcdr.make_account(spark, wh, "s1", role="replica")
+    sched = runbook.build_reference_schedule(
+        spark, primary, secondary, "advertising", with_mv_refresh=False
+    )
+    assert set(sched.tasks) == {
+        "sync_prod",
+        "secondary_heartbeat",
+        "replicate_definitions",
+        "schema_drift_check",
+    }
+    # cadences match the reference (BASELINE.md)
+    assert sched.tasks["sync_prod"].interval_s == 300
+    assert sched.tasks["replicate_definitions"].interval_s == 600
+    assert sched.tasks["schema_drift_check"].interval_s == 86400
+
+    ran = sched.tick(now=0.0)
+    assert set(ran) == set(sched.tasks)  # all due at t0
+    assert all(t.last_error is None for t in sched.tasks.values()), {
+        n: t.last_error for n, t in sched.tasks.items()
+    }
+    # after one full cycle the DR side is consistent + drift-free
+    assert sched.tasks["schema_drift_check"].last_result["status"] in (
+        "NO_DRIFT",
+        "DRIFT_DETECTED",  # first run may resync; second must be clean
+    )
+    sched.tick(now=90_000.0)
+    assert sched.tasks["schema_drift_check"].last_result["status"] == "NO_DRIFT"
+    results = bcdr.validate_consistency(spark, primary, secondary, "advertising")
+    assert all(r["verdict"] == "MATCH" for r in results)

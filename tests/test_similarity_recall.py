@@ -1,0 +1,54 @@
+"""Approximate-ANN quality tests: IVF and LSH variants against the exact
+brute-force baseline (recall is the contract for approximate ops — they
+have no SQL oracle by design)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import similarity
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_top10(spark, emb):
+    return [r.vec_id for r in similarity.brute_force_topk(emb, 0, k=10).collect()]
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, exact_top10):
+    """nprobe = K (probe everything) must reproduce the exact result —
+    separates IVF bookkeeping bugs from genuine recall loss."""
+    cents = similarity.sample_centroids(emb, k=8)
+    full = [r.vec_id for r in similarity.ivf_topk(emb, 0, cents, k=10, nprobe=8).collect()]
+    assert full == exact_top10
+
+
+def test_ivf_partial_probe_recall(spark, emb, exact_top10):
+    cents = similarity.sample_centroids(emb, k=8)
+    approx = [r.vec_id for r in similarity.ivf_topk(emb, 0, cents, k=10, nprobe=4).collect()]
+    assert len(approx) <= 10
+    recall = len(set(approx) & set(exact_top10)) / 10
+    assert recall >= 0.3  # half the cells probed → nontrivial recall
+
+
+def test_ivf_assignment_covers_all(spark, emb):
+    cents = similarity.sample_centroids(emb, k=8)
+    assigned = similarity.ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    cells = {r.cell for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8)) and len(cells) > 1
+
+
+def test_registered_ann_variants_run(spark):
+    for name in ("ann_ivf_topk", "ann_lsh_topk"):
+        df = QUERY_SPECS[name].build(spark, SF)
+        rows = df.collect()
+        assert len(rows) <= 10
+        assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rows)
