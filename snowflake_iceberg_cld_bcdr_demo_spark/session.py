@@ -6,9 +6,9 @@ Iceberg warehouse (external tables vs a catalog-linked database —
 ``scripts/11_catalog_linked_database.sql:50-55`` in the reference).  Here a
 single SparkSession carries both "catalogs"; when an Iceberg runtime jar is
 on the classpath the factory wires real Iceberg catalogs, otherwise the
-pure-PySpark lakehouse catalog in :mod:`.sources.catalog` provides the same
-semantics (snapshots, append, time travel, metadata-only replication) over
-parquet.
+pure-PySpark lakehouse catalog in :mod:`.sources.lakehouse` provides the
+same semantics (snapshots, append, time travel, metadata-only replication)
+over parquet.
 
 Scale posture (100 TB): AQE on (runtime shuffle-partition coalescing + skew
 join), broadcast threshold left at a real value so 5-row dims broadcast,
