@@ -823,6 +823,99 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via lag + cumulative-sum
+    window functions — true window-function surface beyond the reference
+    (SURVEY §2.5 notes it has none); the streaming stateful twin lives in
+    `operators/sessions.py::sessionize_stream`."""
+    from ..operators.sessions import sessionize
+
+    return sessionize(table(spark, sf_dir, "events"))
+
+
+@_spec(
+    "rollup_line_status",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (beyond the reference — SURVEY §2.4 notes
+    no grouping sets there; engine completeness for migrating users)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(dec("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
+@_spec(
+    "intersect_active_building",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def intersect_active_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (beyond the reference — §2.6 notes none there)."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@_spec(
+    "except_never_ordered",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def except_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / set difference (beyond the reference)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+@_spec(
     "json_event_props",
     """
     SELECT event_id, event_type,
