@@ -29,10 +29,10 @@ class QuerySpec:
 
 
 def _collect() -> dict[str, QuerySpec]:
-    from . import pipeline, relational
+    from . import pipeline, relational, tpch_ext
 
     specs: dict[str, QuerySpec] = {}
-    for spec in [*relational.SPECS, *pipeline.SPECS]:
+    for spec in [*relational.SPECS, *tpch_ext.SPECS, *pipeline.SPECS]:
         if spec.name in specs:
             raise ValueError(f"duplicate query name {spec.name!r}")
         specs[spec.name] = spec

@@ -1,0 +1,457 @@
+"""Advanced relational shapes beyond the reference's own surface.
+
+The reference workload (SURVEY.md §2.3 note) uses only equi inner/left/
+full-outer joins and the two anti-join patterns — no semi joins, correlated
+subqueries, HAVING, disjunctive join predicates, or ordinal grouping.  A
+user migrating real analytics onto this engine needs those shapes, so each
+is implemented here as an oracle-checked query over the driver testdata,
+expressed the idiomatic-Spark way (decorrelated joins, window rewrites)
+rather than the textual-SQL way.
+
+Scale notes (100 TB posture) follow each builder's docstring: which side
+shuffles, what broadcasts, and what AQE does when a side outgrows the
+broadcast threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dec, dec_avg, dec_sum, one_minus
+from ..sources.testdata import register_views, table
+from .registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")))
+        return fn
+
+    return wrap
+
+
+# --------------------------------------------------------------------------
+# Semi joins / EXISTS
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "semi_join_late_orders",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → LEFT SEMI join with a non-equi residual (TPC-H Q4 shape;
+    beyond the reference, which has no semi joins — SURVEY §2.3 note).
+
+    Scale: the semi join shuffles both sides on orderkey but emits at most
+    one row per order (no fan-out); the date filter pushes to the orders
+    scan, shrinking the build side a year's worth before the exchange."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_spec(
+    "scalar_avg_dormant_rich",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_balance
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / COUNT(*)
+            FROM customer c2 WHERE c2.c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def scalar_avg_dormant_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (global average) + NOT EXISTS anti join
+    (TPC-H Q22 shape). The scalar average follows the decimal contract
+    (exact decimal sum, one double division) so the comparison threshold is
+    bit-identical across engines.
+
+    Scale: the 1-row average broadcasts (BroadcastNestedLoopJoin degenerates
+    to a map-side filter); the anti join shuffles on custkey — or broadcasts
+    the date-filtered orders side when it fits."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(dec_avg(dec("c_acctbal")).alias("avg_bal"))
+    )
+    recent = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum(dec("c_acctbal")).alias("total_balance"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries, decorrelated the Spark way
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "correlated_small_lots",
+    """
+    WITH pavg AS (
+        SELECT l_partkey,
+               CAST(0.2 AS DOUBLE)
+                 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    / COUNT(*)) AS qty_threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, COUNT(*) AS n_small_lots,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS small_lot_revenue
+    FROM lineitem l
+    JOIN pavg a ON a.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < a.qty_threshold
+    GROUP BY p.p_brand
+    """,
+)
+def correlated_small_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 `l_quantity < 0.2 * AVG per
+    part`), decorrelated into a per-partkey pre-aggregate + equi join — the
+    plan Catalyst itself produces for the correlated form, written
+    explicitly so the threshold math stays on the decimal contract.
+
+    Scale: one lineitem-sized shuffle for the per-part averages, one for the
+    join back (both on l_partkey, so AQE reuses the partitioning); the part
+    dim broadcasts. No per-row subquery execution anywhere."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    pavg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (F.lit(0.2).cast("double") * dec_avg(dec("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(pavg, li.l_partkey == pavg.pa_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lots"),
+            dec_sum(dec("l_extendedprice")).alias("small_lot_revenue"),
+        )
+    )
+
+
+@_spec(
+    "cheapest_part_per_brand",
+    """
+    SELECT p.p_brand, p.p_partkey, p.p_name, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (
+        SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+)
+def cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN subquery (TPC-H Q2 min-cost-supplier shape), rewritten
+    as a window MIN over the brand partition — one shuffle on p_brand
+    instead of a self-join, the canonical Spark decorrelation. MIN over raw
+    doubles is order-independent, so no decimal wrapping is needed.
+
+    Scale: single hash-partitioned window; a skewed brand would be handled
+    by AQE skew splitting, and the window frame is unbounded-MIN so Spark
+    computes it in one pass per partition."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING, outer-join distributions, disjunctive predicates
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "having_big_orders",
+    """
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 250
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY … HAVING on an aggregate (TPC-H Q18 large-volume customers;
+    beyond the reference, which never filters on aggregates).
+
+    Implemented HAVING-first: lineitem pre-aggregates to per-order quantity
+    and the >250 filter runs *before* the joins, so only qualifying orders
+    (a tiny fraction) ever reach the customer join — at 100 TB that join is
+    a broadcast of the survivors, not a fact-sized shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 250)
+        .select("l_orderkey", F.round("qty_dec", 2).cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_spec(
+    "order_count_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY n_orders
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with a non-key predicate inside the ON clause (rows
+    keep the customer, drop the match) + two-level aggregation (TPC-H Q13
+    customer distribution).
+
+    Scale: the priority filter cannot be pushed below the outer join's ON
+    semantics but prunes the probe side at the scan; first agg shuffles on
+    custkey, second on the (tiny-cardinality) count value."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@_spec(
+    "disjunctive_join_revenue",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+    """,
+)
+def disjunctive_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive (OR-of-conjunctions) predicate spanning both join sides
+    (TPC-H Q19 discounted-revenue shape).
+
+    Catalyst extracts the common `p_partkey` equi-key so this stays a hash
+    join (broadcast for the part dim), with the OR residual evaluated post-
+    match in codegen; the brand/size disjunction additionally pushes to the
+    part scan as `Or(And(...))` parquet filters."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    clause1 = (
+        (F.col("p_brand") == "Brand#11")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 20)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause1 | clause2)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(dec("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Filter-only scalar aggregate, ordinal grouping, exact percentiles
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "forecast_revenue_delta",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-only global aggregate (TPC-H Q6): no join, no grouping — the
+    whole query is scan + pushed filters + one partial/final agg pair.
+    The `.explain` check for this one is that ALL four predicates appear in
+    PushedFilters and the ReadSchema is 4 columns wide."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(dec("l_extendedprice") * dec("l_discount")).alias("revenue_delta"),
+        )
+    )
+
+
+@_spec(
+    "group_by_ordinal",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def group_by_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ordinal positions (A10 — reference `10:134`, `15:152`
+    `GROUP BY 1,2,…`), run through spark.sql to exercise the actual ordinal
+    resolution path (`spark.sql.groupByOrdinal`, on by default)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY 1, 2
+        """
+    )
+
+
+@_spec(
+    "priority_price_percentiles",
+    """
+    SELECT o_orderpriority,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def priority_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (median / p90) per group — a
+    training-data-pipeline staple (length/quality cutoffs). PERCENTILE_DISC
+    returns an actual data value (no interpolation), so results are
+    bit-identical across engines with no decimal wrapping.
+
+    Scale: exact percentiles need the group's values together — one shuffle
+    on the group key. For percentile-of-everything at 100 TB the approximate
+    path (`approx_percentile`, t-digest, mergeable map-side) is the lever;
+    kept exact here because groups are bounded and the oracle hashes values."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS median_price,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice) AS p90_price,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@_spec(
+    "hash_stratified_sample",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <
+          CASE o_orderstatus WHEN 'O' THEN '1a' WHEN 'F' THEN '34' ELSE '80' END
+    """,
+)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: per-stratum rates
+    (~10% of open, ~20% of fulfilled, ~50% of pending orders) chosen by
+    comparing an md5 prefix of the key — reproducible across engines, runs
+    and cluster sizes, unlike `df.sample` whose RNG is partition-dependent.
+    This is the sampling pattern a training-data pipeline needs for holdout
+    splits (P9's seeded-sample analog with an exact oracle).
+
+    Scale: pure map-side filter, no shuffle, no RNG state; the md5 prefix is
+    uniform so selected fractions concentrate tightly at any size."""
+    o = table(spark, sf_dir, "orders")
+    rate = (
+        F.when(F.col("o_orderstatus") == "O", "1a")
+        .when(F.col("o_orderstatus") == "F", "34")
+        .otherwise("80")
+    )
+    return o.filter(
+        F.md5(F.col("o_orderkey").cast("string")).substr(1, 2) < rate
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
