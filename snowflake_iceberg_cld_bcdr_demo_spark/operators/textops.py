@@ -69,3 +69,41 @@ def language_id(docs: DataFrame) -> DataFrame:
 
 def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Top-k most-distinctive terms per document by a tf-idf-style score.
+
+    The idf factor is linearized (``n_docs / df`` instead of
+    ``ln(n_docs / df)``): the ranking is identical for a fixed corpus
+    (``x ↦ ln x`` is monotone) and the score stays an exact-integer
+    numerator over an exact-integer denominator combined by ONE double
+    division — bit-identical across engines per the numeric determinism
+    contract (``functions.numeric``), which ``ln`` would break (last-ulp
+    divergence between libm implementations).
+
+    Scale: tokens explode then immediately combine map-side into
+    (doc, term) counts — the shuffle carries distinct pairs, not token
+    occurrences. The document-frequency table aggregates off the already
+    reduced tf frame, and the 1-row corpus count broadcasts. The final
+    per-doc top-k is a window over the (doc, term) frame partitioned by
+    doc_id — bounded state per partition, no global sort."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '\\S+', 0)")).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )

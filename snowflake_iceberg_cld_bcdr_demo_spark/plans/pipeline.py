@@ -193,6 +193,34 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score, rank FROM (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               CAST(t.tf * n.n_docs AS DOUBLE) / d.df AS score,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY CAST(t.tf * n.n_docs AS DOUBLE) / d.df DESC, t.term
+               ) AS INTEGER) AS rank
+        FROM tf t JOIN df d ON t.term = d.term CROSS JOIN n
+    ) ranked WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per doc by linearized tf-idf (north-star
+    text analysis; deterministic integer-ratio score, ties broken by
+    term — see operators.textops.tfidf_top_terms for the scale notes)."""
+    return textops.tfidf_top_terms(table(spark, sf_dir, "documents"), top_k=3)
+
+
+@_spec(
     "doc_fingerprint",
     """
     SELECT doc_id,
