@@ -12,9 +12,18 @@ No Iceberg runtime jar ships in this environment (offline), so this module
 provides the same *semantics* over parquet + JSON manifests, pure PySpark:
 
 - a **table** is a directory of immutable snapshot data dirs plus a
-  ``_manifest.json`` listing snapshots (id, timestamp, operation, row
-  count, data dirs) — append = write a new dir + manifest entry, exactly
-  Iceberg's append-only metadata model;
+  versioned manifest listing snapshots (id, timestamp, operation, row
+  counts, schema, data dirs) — append = write a new dir + manifest
+  version, exactly Iceberg's append-only metadata model;
+- **commits are optimistic-concurrency safe**: each commit publishes
+  ``_manifest.v{N}.json`` via an exclusive hard-link (atomic create), so
+  two concurrent appenders serialize — the loser re-reads and retries
+  with the winner's snapshot included (Iceberg's metadata-file CAS);
+- **schema evolution**: each snapshot records its own column list; reads
+  merge schemas across data dirs when they differ, so appending a frame
+  with a new column works and old snapshots read back their own schema
+  (the CLD "automatic sync on refresh" observation,
+  `scripts/11_catalog_linked_database.sql:163-170`);
 - **reads** union the data dirs visible at a snapshot → time travel =
   ``load(..., snapshot_id=N)`` (Iceberg ``VERSION AS OF``);
 - **catalogs** are views over one shared warehouse: the namespace listing
@@ -28,20 +37,29 @@ Scale: data dirs are written by ``df.write.parquet`` with optional
 ``partitionBy`` (the reference partitions facts by ``date_key``,
 `scripts/03_load_iceberg_aws.py:87,106,127`), so partition pruning works
 through the normal Spark file-source path; the manifest holds only
-directory names (O(snapshots), never O(files)).
+directory names (O(snapshots), never O(files)).  Row counts come from
+``df.observe`` during the write itself — the commit path scans the data
+exactly once (no post-write re-read).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
+#: manifest versions retained alongside the current one (history window for
+#: concurrent readers; old versions are pruned after each commit)
+VERSION_HISTORY = 8
+#: optimistic-concurrency retry budget for one commit
+COMMIT_RETRIES = 20
 
 
 @dataclass(frozen=True)
@@ -49,8 +67,17 @@ class Snapshot:
     snapshot_id: int
     committed_at: float
     operation: str
-    row_count: int
+    row_count: int  # cumulative rows visible at this snapshot (Iceberg total-records)
     data_dirs: tuple[str, ...]
+    added_rows: int = 0  # rows written by this commit alone
+    columns: tuple[str, ...] = ()  # evolved column order at this snapshot
+    batch_id: int | None = None  # streaming micro-batch id, for idempotent sinks
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the optimistic-concurrency race more than
+    ``COMMIT_RETRIES`` times (sustained contention) or when two writers race
+    to *create* the same table."""
 
 
 class LakehouseCatalog:
@@ -59,6 +86,11 @@ class LakehouseCatalog:
     Namespaces are first-level dirs, tables second-level; every catalog
     instance pointed at the same warehouse sees the same tables (the
     CLD shared-storage model).
+
+    Concurrency contract: concurrent ``append`` commits are safe
+    (optimistic retry, like Iceberg); ``create_table(mode='overwrite')``
+    assumes no concurrent readers/writers of that table — it replaces the
+    whole table directory.
     """
 
     def __init__(self, spark: SparkSession, warehouse: str, name: str = "cld") -> None:
@@ -78,16 +110,48 @@ class LakehouseCatalog:
     def _manifest_path(self, namespace: str, table: str) -> str:
         return os.path.join(self._table_path(namespace, table), MANIFEST)
 
+    def _version_path(self, namespace: str, table: str, version: int) -> str:
+        return os.path.join(self._table_path(namespace, table), f"_manifest.v{version}.json")
+
+    def _latest_version(self, namespace: str, table: str) -> int:
+        """Highest committed manifest version, 0 if none."""
+        pattern = os.path.join(self._table_path(namespace, table), "_manifest.v*.json")
+        best = 0
+        for p in _glob.glob(pattern):
+            tail = os.path.basename(p)[len("_manifest.v") : -len(".json")]
+            if tail.isdigit():
+                best = max(best, int(tail))
+        return best
+
     def _read_manifest(self, namespace: str, table: str) -> dict:
-        with open(self._manifest_path(namespace, table)) as f:
+        """Current manifest: the highest version file wins; plain
+        ``_manifest.json`` is the back-compat/convenience copy."""
+        v = self._latest_version(namespace, table)
+        path = self._version_path(namespace, table, v) if v else self._manifest_path(namespace, table)
+        with open(path) as f:
             return json.load(f)
 
-    def _write_manifest(self, namespace: str, table: str, manifest: dict) -> None:
-        path = self._manifest_path(namespace, table)
-        tmp = path + ".tmp"
+    def _publish_manifest(self, namespace: str, table: str, manifest: dict, version: int) -> None:
+        """Atomically publish manifest ``version`` — fails with
+        FileExistsError if another writer already committed it (the CAS)."""
+        vpath = self._version_path(namespace, table, version)
+        tmp = vpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, path)  # atomic commit, Iceberg-metadata style
+        try:
+            os.link(tmp, vpath)  # atomic create-exclusive: the commit point
+        finally:
+            os.unlink(tmp)
+        # convenience copy + prune old versions (readers use version files)
+        tmp2 = self._manifest_path(namespace, table) + ".tmp"
+        with open(tmp2, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp2, self._manifest_path(namespace, table))
+        for old in range(max(1, version - VERSION_HISTORY * 4), version - VERSION_HISTORY):
+            try:
+                os.unlink(self._version_path(namespace, table, old))
+            except FileNotFoundError:
+                pass
 
     # -- namespace / table listing (S7, S9) ------------------------------
     def create_namespace(self, namespace: str) -> None:
@@ -113,6 +177,13 @@ class LakehouseCatalog:
     def table_exists(self, namespace: str, table: str) -> bool:
         return os.path.isfile(self._manifest_path(namespace, table))
 
+    def table_uuid(self, namespace: str, table: str) -> str:
+        """Stable identity of the current table incarnation; changes when
+        the table is re-created (``mode='overwrite'``), so incremental
+        readers can detect lineage resets (see
+        :func:`...streaming.events.incremental_snapshot_read`)."""
+        return self._read_manifest(namespace, table).get("table_uuid", "")
+
     # -- DDL / DML (S5, S6) ----------------------------------------------
     def create_table(
         self,
@@ -121,6 +192,7 @@ class LakehouseCatalog:
         df: DataFrame,
         partition_by: list[str] | None = None,
         mode: str = "error",
+        batch_id: int | None = None,
     ) -> Snapshot:
         """Create (or replace with ``mode='overwrite'``) a table from a
         DataFrame — the S5 `CREATE TABLE … USING iceberg PARTITIONED BY`
@@ -130,46 +202,139 @@ class LakehouseCatalog:
                 raise FileExistsError(f"{namespace}.{table} exists")
             if mode == "ignore":
                 return self.current_snapshot(namespace, table)
+            if mode == "overwrite":
+                # drop the whole previous incarnation: without this, data
+                # dirs from the replaced table's later snapshots would be
+                # orphaned on disk while the manifest resets
+                self.drop_table(namespace, table)
         self.create_namespace(namespace)
         os.makedirs(self._table_path(namespace, table), exist_ok=True)
         manifest = {
             "table": f"{namespace}.{table}",
+            "table_uuid": uuid.uuid4().hex,
             "partition_by": partition_by or [],
             "columns": list(df.columns),
+            "dir_columns": {},
             "snapshots": [],
         }
-        return self._commit(namespace, table, manifest, df, "create")
+        return self._commit(namespace, table, manifest, df, "create", batch_id=batch_id)
 
-    def append(self, namespace: str, table: str, df: DataFrame) -> Snapshot:
-        """Append a new snapshot — `05_append_campaigns.py:119-123`."""
+    def append(
+        self, namespace: str, table: str, df: DataFrame, batch_id: int | None = None
+    ) -> Snapshot:
+        """Append a new snapshot — `05_append_campaigns.py:119-123`.
+
+        ``batch_id`` makes the append idempotent for streaming sinks:
+        if a snapshot with ``batch_id >= current`` is already committed
+        (restart after crash-between-append-and-checkpoint), the append is
+        skipped and the current snapshot returned."""
         manifest = self._read_manifest(namespace, table)
-        return self._commit(namespace, table, manifest, df, "append")
+        if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+            return self.current_snapshot(namespace, table)
+        return self._commit(namespace, table, manifest, df, "append", batch_id=batch_id)
+
+    @staticmethod
+    def _batch_already_committed(manifest: dict, batch_id: int) -> bool:
+        committed = [
+            s["batch_id"] for s in manifest["snapshots"] if s.get("batch_id") is not None
+        ]
+        return bool(committed) and max(committed) >= batch_id
+
+    def _claim_data_dir(self, namespace: str, table: str, sid: int) -> str:
+        """Reserve a unique data dir name (atomic mkdir) so concurrent
+        writers never write into the same directory."""
+        base = f"data-{sid:05d}"
+        name = base
+        while True:
+            try:
+                os.makedirs(os.path.join(self._table_path(namespace, table), name))
+                return name
+            except FileExistsError:
+                name = f"{base}-{uuid.uuid4().hex[:8]}"
+
+    def current_snapshot(self, namespace: str, table: str) -> Snapshot:
+        snaps = self.snapshots(namespace, table)
+        if not snaps:
+            raise ValueError(f"{namespace}.{table} has no snapshots")
+        return snaps[-1]
 
     def _commit(
-        self, namespace: str, table: str, manifest: dict, df: DataFrame, op: str
+        self,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        df: DataFrame,
+        op: str,
+        batch_id: int | None = None,
     ) -> Snapshot:
-        sid = len(manifest["snapshots"]) + 1
-        data_dir = f"data-{sid:05d}"
+        # 1. write the data exactly once, outside the retry loop; the row
+        # count rides along on the write job itself (no second scan —
+        # `df.observe` attaches a metric to the existing action)
+        sid_guess = len(manifest["snapshots"]) + 1
+        data_dir = self._claim_data_dir(namespace, table, sid_guess)
         out = os.path.join(self._table_path(namespace, table), data_dir)
-        writer = df.write.mode("overwrite")
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        writer = observed.write.mode("overwrite")
         if manifest["partition_by"]:
             writer = writer.partitionBy(*manifest["partition_by"])
         writer.parquet(out)
-        rows = self.spark.read.parquet(out).count()
-        prev_dirs = (
-            manifest["snapshots"][-1]["data_dirs"] if op == "append" and manifest["snapshots"] else []
-        )
-        snap = {
-            "snapshot_id": sid,
-            "committed_at": time.time(),
-            "operation": op,
-            "row_count": rows,
-            "data_dirs": [*prev_dirs, data_dir] if op == "append" else [data_dir],
-        }
-        manifest["snapshots"].append(snap)
-        self._write_manifest(namespace, table, manifest)
-        return Snapshot(
-            sid, snap["committed_at"], op, rows, tuple(snap["data_dirs"])
+        added = int(obs.get["rows"])
+
+        # 2. commit the manifest with optimistic-concurrency retry: the
+        # exclusive version-file create is the CAS; losers re-read the
+        # winner's manifest and re-apply their snapshot on top
+        for _ in range(COMMIT_RETRIES):
+            sid = len(manifest["snapshots"]) + 1
+            if op == "append" and manifest["snapshots"]:
+                prev = manifest["snapshots"][-1]
+                prev_dirs = list(prev["data_dirs"])
+                prev_cols = list(prev.get("columns") or manifest.get("columns") or [])
+                prev_total = prev.get("row_count", 0)
+            else:
+                prev_dirs, prev_cols, prev_total = [], [], 0
+            evolved = prev_cols + [c for c in df.columns if c not in prev_cols]
+            if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+                # a concurrent/restarted writer already committed this batch
+                return self.current_snapshot(namespace, table)
+            snap = {
+                "snapshot_id": sid,
+                "committed_at": time.time(),
+                "operation": op,
+                "row_count": prev_total + added,
+                "added_rows": added,
+                "data_dirs": [*prev_dirs, data_dir] if op == "append" else [data_dir],
+                "columns": evolved,
+                "batch_id": batch_id,
+            }
+            candidate = dict(manifest)
+            candidate["snapshots"] = [*manifest["snapshots"], snap]
+            candidate["columns"] = evolved
+            candidate["dir_columns"] = {
+                **manifest.get("dir_columns", {}),
+                data_dir: list(df.columns),
+            }
+            try:
+                self._publish_manifest(namespace, table, candidate, version=sid)
+            except FileExistsError:
+                if op == "create":
+                    raise CommitConflictError(
+                        f"concurrent create of {namespace}.{table}"
+                    ) from None
+                manifest = self._read_manifest(namespace, table)
+                continue
+            return Snapshot(
+                sid,
+                snap["committed_at"],
+                op,
+                snap["row_count"],
+                tuple(snap["data_dirs"]),
+                added,
+                tuple(evolved),
+                batch_id,
+            )
+        raise CommitConflictError(
+            f"append to {namespace}.{table} lost {COMMIT_RETRIES} commit races"
         )
 
     def drop_table(self, namespace: str, table: str) -> None:
@@ -181,25 +346,45 @@ class LakehouseCatalog:
     def load(
         self, namespace: str, table: str, snapshot_id: int | None = None
     ) -> DataFrame:
-        """Read a table at the current (or a historical) snapshot."""
+        """Read a table at the current (or a historical) snapshot.
+
+        Schema evolution: when the snapshot's data dirs were written with
+        different column sets, the read merges schemas (missing columns
+        read as NULL for older files) and returns the snapshot's evolved
+        column order — Iceberg's read-time schema resolution."""
         manifest = self._read_manifest(namespace, table)
         snaps = manifest["snapshots"]
         if not snaps:
             raise ValueError(f"{namespace}.{table} has no snapshots")
-        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        if snapshot_id is None:
+            snap = snaps[-1]
+        else:
+            if not 1 <= snapshot_id <= len(snaps):
+                raise ValueError(
+                    f"{namespace}.{table}: snapshot_id {snapshot_id} out of range "
+                    f"(valid: 1..{len(snaps)})"
+                )
+            snap = snaps[snapshot_id - 1]
         paths = [
             os.path.join(self._table_path(namespace, table), d) for d in snap["data_dirs"]
         ]
+        dir_cols = manifest.get("dir_columns", {})
+        schemas = {tuple(dir_cols[d]) for d in snap["data_dirs"] if d in dir_cols}
         # One multi-path read (not a unionAll chain): Spark builds a single
         # file index, so partition pruning/pushdown span all snapshots.
-        df = self.spark.read.option("basePath", self._table_path(namespace, table)).parquet(
-            *paths
-        )
+        # mergeSchema only when dirs actually differ — it costs extra
+        # footer reads at planning time, so don't pay it on the common path.
+        reader = self.spark.read.option("basePath", self._table_path(namespace, table))
+        if len(schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
         # partitionBy moves partition columns to the end on read; restore
-        # the declared column order so readers see the created schema.
-        cols = manifest.get("columns")
-        if cols and set(cols) == set(df.columns):
-            df = df.select(*cols)
+        # the snapshot's declared column order.
+        cols = list(snap.get("columns") or manifest.get("columns") or [])
+        ordered = [c for c in cols if c in df.columns]
+        extras = [c for c in df.columns if c not in cols]
+        if ordered and list(df.columns) != ordered + extras:
+            df = df.select(*ordered, *extras)
         return df
 
     def snapshots(self, namespace: str, table: str) -> list[Snapshot]:
@@ -213,9 +398,36 @@ class LakehouseCatalog:
                 s["operation"],
                 s["row_count"],
                 tuple(s["data_dirs"]),
+                s.get("added_rows", s["row_count"]),
+                tuple(s.get("columns", ())),
+                s.get("batch_id"),
             )
             for s in manifest["snapshots"]
         ]
+
+    def schema_history(self, namespace: str, table: str) -> list[dict]:
+        """Per-snapshot schema-evolution log: which columns each commit
+        added or stopped writing — the observable form of the CLD's
+        "automatic sync on refresh" schema tracking
+        (`11_catalog_linked_database.sql:163-170`)."""
+        manifest = self._read_manifest(namespace, table)
+        dir_cols = manifest.get("dir_columns", {})
+        events = []
+        prev_written: set[str] = set()
+        for s in manifest["snapshots"]:
+            new_dirs = [d for d in s["data_dirs"] if d in dir_cols]
+            written = set(dir_cols[new_dirs[-1]]) if new_dirs else set()
+            events.append(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "operation": s["operation"],
+                    "columns": list(s.get("columns", ())),
+                    "added_columns": sorted(written - prev_written) if prev_written else [],
+                    "dropped_columns": sorted(prev_written - written) if prev_written else [],
+                }
+            )
+            prev_written = written
+        return events
 
     def partition_spec(self, namespace: str, table: str) -> list[str]:
         return list(self._read_manifest(namespace, table)["partition_by"])

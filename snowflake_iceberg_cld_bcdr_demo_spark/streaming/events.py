@@ -92,16 +92,22 @@ def write_stream_to_lakehouse(
 ):
     """Sink a stream into a lakehouse table via ``foreachBatch`` append —
     one snapshot per micro-batch, giving the same append-only snapshot
-    lineage batch writers produce.  Checkpointing makes restarts resume
-    from the last committed batch (exactly-once into the manifest)."""
+    lineage batch writers produce.
+
+    Exactly-once into the manifest: ``foreachBatch`` itself is
+    at-least-once (a crash after the append but before the checkpoint
+    commit replays the batch on restart), so the sink passes ``batch_id``
+    through to :meth:`LakehouseCatalog.append`, which records it in the
+    snapshot and skips any batch already committed — replays become
+    no-ops, the idempotent-sink contract Structured Streaming expects."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if not catalog.table_exists(namespace, table):
-            catalog.create_table(namespace, table, batch_df)
+            catalog.create_table(namespace, table, batch_df, batch_id=batch_id)
         else:
-            catalog.append(namespace, table, batch_df)
+            catalog.append(namespace, table, batch_df, batch_id=batch_id)
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -118,15 +124,29 @@ def incremental_snapshot_read(
     namespace: str,
     table: str,
     after_snapshot_id: int | None = None,
+    expected_table_uuid: str | None = None,
 ) -> tuple[DataFrame | None, int]:
     """Batch-incremental read of a lakehouse table: rows added AFTER a
     known snapshot (Iceberg incremental-scan analog).  Returns
     (DataFrame-or-None, latest_snapshot_id) — callers persist the cursor
     and hand it back next cycle, which is exactly how the reference's
     5-minute sync avoids reprocessing (`16:121-132` re-lists, we re-read
-    only new dirs)."""
+    only new dirs).
+
+    Lineage resets: if the table was re-created (``mode='overwrite'``)
+    snapshot ids restart at 1, so a stale cursor could silently skip the
+    new table's data.  Callers should persist ``catalog.table_uuid()``
+    alongside the cursor and pass it as ``expected_table_uuid``: on a
+    uuid mismatch — or a cursor beyond the current history — the reader
+    falls back to a full re-read instead of returning None."""
     snaps = catalog.snapshots(namespace, table)
     latest = snaps[-1].snapshot_id
+    if expected_table_uuid is not None and (
+        catalog.table_uuid(namespace, table) != expected_table_uuid
+    ):
+        after_snapshot_id = None  # table replaced: cursor belongs to the old lineage
+    if after_snapshot_id is not None and after_snapshot_id > latest:
+        after_snapshot_id = None  # cursor beyond history: lineage reset, full re-read
     if after_snapshot_id is None:
         return catalog.load(namespace, table), latest
     if after_snapshot_id >= latest:

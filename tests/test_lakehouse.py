@@ -127,3 +127,137 @@ def test_create_table_modes(spark, cat):
     assert cat.load("db", "t").count() == 8
     # overwrite resets lineage to a fresh create snapshot
     assert cat.snapshots("db", "t")[-1].operation == "create"
+
+
+# -- round 2: schema evolution, concurrency, commit efficiency ------------
+
+
+def test_schema_evolution_append_new_column(spark, cat):
+    """Appending a snapshot with an added column works: the merged read
+    returns the evolved schema (old rows NULL for the new column) and
+    time travel returns each snapshot's own schema — the CLD 'automatic
+    sync on refresh' observation (`11_catalog_linked_database.sql:163-170`)."""
+    cat.create_table("db", "t", _df(spark, 5))
+    evolved = _df(spark, 3, start=100).withColumn("score", F.col("id") * 2)
+    cat.append("db", "t", evolved)
+    cur = cat.load("db", "t")
+    assert cur.columns == ["id", "bucket", "date_key", "score"]
+    assert cur.count() == 8
+    assert cur.filter(F.col("score").isNull()).count() == 5
+    # time travel: snapshot 1 predates the column
+    old = cat.load("db", "t", snapshot_id=1)
+    assert old.columns == ["id", "bucket", "date_key"]
+    hist = cat.schema_history("db", "t")
+    assert hist[1]["added_columns"] == ["score"]
+
+
+def test_schema_evolution_append_dropped_column(spark, cat):
+    cat.create_table("db", "t", _df(spark, 4))
+    narrower = _df(spark, 3, start=50).drop("bucket")
+    cat.append("db", "t", narrower)
+    cur = cat.load("db", "t")
+    # evolved order keeps the original column; new rows read it as NULL
+    assert cur.columns == ["id", "bucket", "date_key"]
+    assert cur.filter(F.col("bucket").isNull()).count() == 3
+    assert cat.schema_history("db", "t")[1]["dropped_columns"] == ["bucket"]
+
+
+def test_load_snapshot_id_validation(spark, cat):
+    cat.create_table("db", "t", _df(spark, 3))
+    for bad in (0, -1, 5):
+        with pytest.raises(ValueError, match=r"db\.t.*valid: 1\.\.1"):
+            cat.load("db", "t", snapshot_id=bad)
+
+
+def test_overwrite_removes_orphaned_data_dirs(spark, cat):
+    cat.create_table("db", "t", _df(spark, 5))
+    cat.append("db", "t", _df(spark, 5, start=10))
+    cat.append("db", "t", _df(spark, 5, start=20))
+    cat.create_table("db", "t", _df(spark, 2), mode="overwrite")
+    tbl = os.path.join(cat.warehouse, "db", "t")
+    dirs = [d for d in os.listdir(tbl) if d.startswith("data-")]
+    # no orphans from the replaced incarnation
+    assert len(dirs) == 1
+    assert cat.load("db", "t").count() == 2
+    assert [s.snapshot_id for s in cat.snapshots("db", "t")] == [1]
+
+
+def test_overwrite_changes_table_uuid(spark, cat):
+    cat.create_table("db", "t", _df(spark, 2))
+    u1 = cat.table_uuid("db", "t")
+    cat.create_table("db", "t", _df(spark, 2), mode="overwrite")
+    assert cat.table_uuid("db", "t") != u1 and u1 != ""
+
+
+def test_commit_scans_input_exactly_once(spark, cat):
+    """The commit row count rides on the write job (`df.observe`) — the
+    old post-write `read.parquet(out).count()` re-scan is gone, halving
+    write-path I/O (VERDICT r1 scale-killer #1)."""
+    from pyspark.sql.types import LongType
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tick(v):
+        acc.add(1)
+        return v
+
+    tick = F.udf(_tick, LongType())
+    df = spark.range(25).select(tick(F.col("id")).alias("id"))
+    snap = cat.create_table("db", "scanned", df)
+    assert snap.row_count == 25 and snap.added_rows == 25
+    assert acc.value == 25  # one pass over the input, not two
+
+
+def test_row_count_is_cumulative_and_ids_unique(spark, cat):
+    """Snapshot.row_count is Iceberg's total-records (cumulative), so the
+    autoincrement base in jobs/logs.py stays unique across equal-sized
+    appends."""
+    cat.create_table("db", "t", _df(spark, 4))
+    cat.append("db", "t", _df(spark, 4, start=10))
+    cat.append("db", "t", _df(spark, 4, start=20))
+    snaps = cat.snapshots("db", "t")
+    assert [s.row_count for s in snaps] == [4, 8, 12]
+    assert [s.added_rows for s in snaps] == [4, 4, 4]
+
+
+def test_append_batch_id_idempotent(spark, cat):
+    cat.create_table("db", "t", _df(spark, 3))
+    s1 = cat.append("db", "t", _df(spark, 2, start=10), batch_id=7)
+    assert s1.batch_id == 7
+    # replay of the same micro-batch: no-op
+    s2 = cat.append("db", "t", _df(spark, 2, start=10), batch_id=7)
+    assert s2.snapshot_id == s1.snapshot_id
+    assert cat.load("db", "t").count() == 5
+    # a later batch appends normally
+    cat.append("db", "t", _df(spark, 2, start=20), batch_id=8)
+    assert cat.load("db", "t").count() == 7
+
+
+def test_concurrent_appends_both_commit(spark, cat):
+    """Two writers appending simultaneously serialize through the
+    manifest CAS (optimistic retry): both snapshots land, no rows lost —
+    the optimistic-concurrency behavior Iceberg provides
+    (`05_append_campaigns.py:119-123`)."""
+    import threading
+
+    cat.create_table("db", "t", _df(spark, 2))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def _writer(start):
+        try:
+            barrier.wait()
+            cat.append("db", "t", _df(spark, 10, start=start))
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=_writer, args=(s,)) for s in (100, 200)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    snaps = cat.snapshots("db", "t")
+    assert [s.snapshot_id for s in snaps] == [1, 2, 3]
+    assert snaps[-1].row_count == 22
+    assert cat.load("db", "t").count() == 22

@@ -124,3 +124,26 @@ def test_incremental_snapshot_read(spark, tmp_path):
     assert cur3 == 2
     assert df3.count() == 4
     assert df3.agg(F.min("event_id")).collect()[0][0] == 50
+
+
+def test_incremental_read_detects_lineage_reset(spark, tmp_path):
+    """A cursor from a replaced table must not silently skip data: with
+    the persisted table_uuid the reader falls back to a full re-read; a
+    cursor beyond current history also triggers the fallback."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import LakehouseCatalog
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("db", "t", spark.range(5).select(F.col("id")))
+    cat.append("db", "t", spark.range(5, 9).select(F.col("id")))
+    df, cur = S.incremental_snapshot_read(cat, "db", "t")
+    uid = cat.table_uuid("db", "t")
+    assert df.count() == 9 and cur == 2
+    # table replaced: snapshot ids reset to 1
+    cat.create_table("db", "t", spark.range(100, 103).select(F.col("id")), mode="overwrite")
+    df2, cur2 = S.incremental_snapshot_read(
+        cat, "db", "t", after_snapshot_id=cur, expected_table_uuid=uid
+    )
+    assert df2 is not None and df2.count() == 3 and cur2 == 1
+    # stale cursor beyond history, even without a uuid, falls back too
+    df3, cur3 = S.incremental_snapshot_read(cat, "db", "t", after_snapshot_id=99)
+    assert df3 is not None and df3.count() == 3 and cur3 == 1
