@@ -181,6 +181,19 @@ HEARTBEAT_LOG_SCHEMA = StructType(
     ]
 )
 
+GRANT_AUDIT_LOG_SCHEMA = StructType(
+    [
+        StructField("audit_id", LongType()),
+        StructField("audit_timestamp", TimestampType()),
+        _s("object_type"),
+        _s("object_name"),
+        _s("role_name"),
+        _s("privilege"),
+        _s("action"),
+        _s("status"),
+    ]
+)
+
 SCHEMA_METADATA_SCHEMA = StructType(
     [
         StructField("export_timestamp", TimestampType()),

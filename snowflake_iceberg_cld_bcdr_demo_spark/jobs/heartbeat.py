@@ -2,11 +2,12 @@
 ``SECONDARY_RESILIENT_HEARTBEAT()`` (F2, `31_sync_task_secondary.sql:104-525`).
 
 The reference's proc runs up to 10 checks every 5 minutes on the DR side:
-CLD link status (`31:144-171`), per-table count validation (`31:289-305`),
-PROD-view-vs-CLD-table coverage (set difference, `31:378-450`), and a
-DR-readiness rollup over the last 24h of heartbeats (`31:663-682`, A15).
-Grant-audit checks (`31:197-287`) are Snowflake RBAC — out of engine scope
-(SURVEY.md §1.1), recorded as a SKIPPED check so the log shape matches.
+CLD link status (`31:144-171`), grant ensure/audit (`31:197-287`, via the
+config-driven ACL registry in :mod:`.grants`), per-table count validation
+(`31:289-305`), PROD-view-vs-CLD-table coverage (set difference,
+`31:378-450`), resume of suspended tasks (`31:328-376`, via the scheduler),
+and a DR-readiness rollup over the last 24h of heartbeats (`31:663-682`,
+A15).
 """
 
 from __future__ import annotations
@@ -27,8 +28,16 @@ def secondary_heartbeat(
     namespace: str,
     prod: ViewRegistry,
     monitoring: LakehouseCatalog | None = None,
+    grant_registry=None,
+    expected_grants: list[dict] | None = None,
+    scheduler=None,
 ) -> dict:
-    """One heartbeat cycle; returns the check report dict."""
+    """One heartbeat cycle; returns the check report dict.
+
+    ``grant_registry``/``expected_grants`` enable the real grant audit
+    (a :class:`.grants.GrantRegistry` + declarative expected set);
+    ``scheduler`` enables the task-resume pass.  Without them the
+    corresponding checks record SKIPPED, keeping the log shape."""
     t0 = time.time()
     monitoring = monitoring or cld
     checks: list[dict] = []
@@ -81,14 +90,63 @@ def secondary_heartbeat(
         )
     )
 
-    # 4. grant audit — RBAC is out of engine scope; explicit skip record
-    checks.append(
-        dict(
-            check_type="GRANT_AUDIT",
-            status="SKIPPED",
-            details="RBAC grants are platform-level; not modeled (SURVEY §1.1)",
+    # 4. grant ensure + audit (`31:197-287`): re-assert the declarative
+    # grant set (the reference's idempotent re-GRANT loops), then diff
+    # expected vs actual so drift shows up as findings
+    if grant_registry is not None and expected_grants is not None:
+        from . import grants as G
+
+        try:
+            ensured = G.ensure_grants(spark, grant_registry, expected_grants, monitoring)
+            audit = G.audit_grants(spark, grant_registry, expected_grants, monitoring)
+            checks.append(
+                dict(
+                    check_type="GRANT_AUDIT",
+                    status=audit["status"],
+                    details=(
+                        f"granted={ensured['granted']} "
+                        f"already={ensured['already_present']} "
+                        f"missing={audit['missing']} unexpected={audit['unexpected']}"
+                    ),
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            checks.append(
+                dict(check_type="GRANT_AUDIT", status="FAILED", error_msg=str(exc)[:500])
+            )
+    else:
+        checks.append(
+            dict(
+                check_type="GRANT_AUDIT",
+                status="SKIPPED",
+                details="no grant registry configured",
+            )
         )
-    )
+
+    # 5. resume suspended tasks (`31:328-376`): failover-group replication
+    # lands tasks suspended on the secondary; the heartbeat resumes them
+    if scheduler is not None:
+        try:
+            resumed = scheduler.resume_all()
+            checks.append(
+                dict(
+                    check_type="TASK_RESUME",
+                    status="SUCCESS",
+                    details=f"resumed={resumed}" if resumed else "no suspended tasks",
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            checks.append(
+                dict(check_type="TASK_RESUME", status="FAILED", error_msg=str(exc)[:500])
+            )
+    else:
+        checks.append(
+            dict(
+                check_type="TASK_RESUME",
+                status="SKIPPED",
+                details="no scheduler attached",
+            )
+        )
 
     append_rows(
         spark,

@@ -29,14 +29,21 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
-def with_salt(df: DataFrame, salt_buckets: int, *, deterministic_by: str | None = None) -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    salt_buckets: int,
+    *,
+    deterministic_by: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
     """Add a salt column in [0, salt_buckets).  Deterministic (hash of a
-    column) when given; otherwise uniform random per row (fine for
-    aggregation salting where only spread matters)."""
+    column) when given; otherwise seeded-uniform per row — seeded so
+    salted runs are reproducible and plan-cache friendly (spread is all
+    that matters for skew, and a fixed seed spreads just as well)."""
     if deterministic_by is not None:
         salt = F.pmod(F.xxhash64(F.col(deterministic_by)), F.lit(salt_buckets)).cast("int")
     else:
-        salt = (F.rand() * salt_buckets).cast("int")
+        salt = (F.rand(seed) * salt_buckets).cast("int")
     return df.withColumn(SALT_COL, salt)
 
 

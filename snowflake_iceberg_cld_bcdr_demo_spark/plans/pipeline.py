@@ -381,7 +381,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
-    "embedding_near_dup_pairs",
+    "embedding_near_dup_exact_baseline",
     """
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
@@ -397,10 +397,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      CAST(b.embedding AS DOUBLE[])))) > 0.4
     """,
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, exact all-pairs baseline
-    (north-star dedup family; threshold 0.4 fits the testdata's cosine
-    distribution — max pairwise ≈ 0.51)."""
+def embedding_near_dup_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs O(n²) BASELINE —
+    the oracle twin of :func:`embedding_near_dup_lsh`, which is the
+    operator to reach for at scale (named ``*_exact_baseline`` so nobody
+    ships the quadratic path by accident; threshold 0.4 fits the
+    testdata's cosine distribution — max pairwise ≈ 0.51)."""
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 

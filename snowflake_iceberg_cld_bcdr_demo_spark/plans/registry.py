@@ -31,12 +31,22 @@ class QuerySpec:
 def _collect() -> dict[str, QuerySpec]:
     from . import pipeline, relational, tpch_ext
 
-    specs: dict[str, QuerySpec] = {}
-    for spec in [*relational.SPECS, *tpch_ext.SPECS, *pipeline.SPECS]:
-        if spec.name in specs:
+    ordered = [*relational.SPECS, *tpch_ext.SPECS, *pipeline.SPECS]
+    seen = set()
+    for spec in ordered:
+        if spec.name in seen:
             raise ValueError(f"duplicate query name {spec.name!r}")
-        specs[spec.name] = spec
-    return specs
+        seen.add(spec.name)
+    # Oracle-bearing specs first: the driver records a bounded prefix of
+    # queries() in CORRECTNESS_r{N}.json, so hash-checkable queries must
+    # not be crowded out by rows-only (approximate) ones.
+    return {
+        spec.name: spec
+        for spec in [
+            *(s for s in ordered if s.oracle is not None),
+            *(s for s in ordered if s.oracle is None),
+        ]
+    }
 
 
 QUERY_SPECS: dict[str, QuerySpec] = _collect()

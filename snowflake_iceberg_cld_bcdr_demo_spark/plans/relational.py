@@ -932,3 +932,81 @@ def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object(F.col("props"), "$.k").cast("int").alias("k_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Validation-suite port (`90_validation_queries.sql`)
+# --------------------------------------------------------------------------
+
+_VALIDATION_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@_spec(
+    "validation_report",
+    "SELECT 'TABLE' AS object_type, object_name, row_count,\n"
+    "       CASE WHEN row_count > 0 THEN 'OK' ELSE 'EMPTY' END AS status\n"
+    "FROM (\n"
+    + "\n    UNION ALL ".join(
+        f"SELECT '{t}' AS object_name, (SELECT COUNT(*) FROM {t}) AS row_count"
+        for t in _VALIDATION_TABLES
+    )
+    + "\n) inv",
+)
+def validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-existence + row-count inventory with OK/EMPTY verdicts —
+    the `90_validation_queries.sql:47-94,106-110,222-224` validation sweep
+    as one labeled UNION ALL (U1+U3+A12).  Each branch is a one-row
+    count aggregate, so the union is ten independent count jobs — no
+    cross-table shuffle at any scale."""
+    parts = []
+    for t in _VALIDATION_TABLES:
+        parts.append(
+            table(spark, sf_dir, t).agg(
+                F.lit("TABLE").alias("object_type"),
+                F.lit(t).alias("object_name"),
+                F.count(F.lit(1)).alias("row_count"),
+            )
+        )
+    inv = parts[0]
+    for p in parts[1:]:
+        inv = inv.unionAll(p)
+    return inv.withColumn(
+        "status", F.when(F.col("row_count") > 0, "OK").otherwise("EMPTY")
+    )
+
+
+@_spec(
+    "validation_summary",
+    """
+    SELECT 'Data Summary' AS category,
+           (SELECT COUNT(*) FROM customer) AS n_customer,
+           (SELECT COUNT(*) FROM orders)   AS n_orders,
+           (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+           (SELECT COUNT(*) FROM events)   AS n_events
+    """,
+)
+def validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The labeled one-row 4-scalar-subquery summary
+    (`90_validation_queries.sql:289-294` — A13 with the report category
+    column)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'Data Summary' AS category,
+               (SELECT COUNT(*) FROM customer) AS n_customer,
+               (SELECT COUNT(*) FROM orders)   AS n_orders,
+               (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+               (SELECT COUNT(*) FROM events)   AS n_events
+        """
+    )

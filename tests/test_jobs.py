@@ -199,3 +199,98 @@ def test_scheduler_semantics():
     sched.tick(now=3000.0)
     assert sched.tasks["bad"].failures == 1
     assert sched.tasks["bad"].last_error == "x"
+
+
+def test_grant_registry_hierarchy_wildcards_and_audit(spark, stack):
+    """Config-driven ACL layer (`00_prereqs_rbac.sql:22-44`,
+    `31:197-287`): hierarchy inheritance, future-grant wildcards,
+    idempotent ensure, and drift detection via set-difference audit."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import grants as G
+
+    reg = G.GrantRegistry(stack["wh"])
+    G.ensure_roles(reg)
+    expected = G.reference_expected_grants()
+    rep = G.ensure_grants(spark, reg, expected, stack["cat"])
+    assert rep["granted"] == len(expected)
+    # re-run is a no-op (the reference's re-GRANT loops are idempotent)
+    assert G.ensure_grants(spark, reg, expected, stack["cat"])["granted"] == 0
+
+    # hierarchy: ADMIN inherits ENGINEER inherits ANALYST
+    assert reg.has_privilege("iceberg_admin", "DATABASE", "cld", "USAGE")
+    # future-grant wildcard covers objects created later
+    assert reg.has_privilege("iceberg_analyst", "TABLE/VIEW", "cld.new_table", "SELECT")
+    # admin-only integration is invisible to analyst
+    assert not reg.has_privilege("iceberg_analyst", "INTEGRATION", "rest_glue_catalog_int", "USAGE")
+    assert reg.has_privilege("iceberg_admin", "INTEGRATION", "rest_glue_catalog_int", "USAGE")
+
+    # drift: a revoked grant is a real finding, logged like view drift
+    reg.revoke("DATABASE", "cld", "iceberg_analyst", "USAGE")
+    audit = G.audit_grants(spark, reg, expected, stack["cat"])
+    assert audit["status"] == "FAILED"
+    assert audit["missing"] == ["DATABASE cld iceberg_analyst USAGE"]
+    log = stack["cat"].load(MONITORING_NS, "grant_audit_log")
+    assert log.filter(
+        (F.col("action") == "MISSING") & (F.col("status") == "DETECTED")
+    ).count() == 1
+    assert log.select("audit_id").distinct().count() == log.count()
+
+
+def test_heartbeat_wires_grant_audit_and_task_resume(spark, stack):
+    """F2 completion: the heartbeat runs the real grant audit (repairing
+    and reporting) and resumes suspended tasks (`31:328-376`) instead of
+    recording SKIPPED."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import grants as G
+
+    prod = ViewRegistry(stack["wh"], "prod")
+    sync.sync_prod_database(spark, stack["cat"], stack["ns"], prod)
+    reg = G.GrantRegistry(stack["wh"], name="hb")
+    G.ensure_roles(reg)
+    sched = Scheduler()
+    sched.add("sync_task", lambda: None, 300)
+    sched.suspend("sync_task")
+
+    report = heartbeat.secondary_heartbeat(
+        spark,
+        stack["cat"],
+        stack["ns"],
+        prod,
+        grant_registry=reg,
+        expected_grants=G.reference_expected_grants(),
+        scheduler=sched,
+    )
+    assert report["status"] == "SUCCESS"
+    assert report["checks_run"] == 5
+    # the replicated-suspended task is running again (DR readiness)
+    assert sched.tasks["sync_task"].suspended is False
+    log = stack["cat"].load(MONITORING_NS, "secondary_heartbeat_log")
+    resume_rows = log.filter(F.col("check_type") == "TASK_RESUME").collect()
+    assert any("sync_task" in (r.details or "") for r in resume_rows)
+    assert log.filter(
+        (F.col("check_type") == "GRANT_AUDIT") & (F.col("status") == "SUCCESS")
+    ).count() >= 1
+
+
+def test_object_inventory_and_data_summary(spark, stack):
+    """`90_validation_queries.sql:47-94,222-224` object-existence sweep
+    and the `90:289-294` one-row scalar summary as named jobs."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import grants as G
+
+    acct = bcdr.make_account(spark, stack["wh"], "primary_a")
+    acct.ext.register("EXT_CAMPAIGNS", stack["ns"], "campaigns")
+    sync.sync_prod_database(spark, acct.catalog, stack["ns"], acct.prod)
+    reg = G.GrantRegistry(stack["wh"], name="inv")
+    G.ensure_roles(reg)
+
+    inv = bcdr.object_inventory(spark, acct, stack["ns"], grant_registry=reg)
+    rows = {(r.object_type, r.object_name): r.status for r in inv.collect()}
+    assert rows[("TABLE", f"{stack['ns']}.campaigns")] == "EXISTS"
+    assert rows[("EXTERNAL_TABLE", "EXT_CAMPAIGNS")] == "EXISTS"
+    assert rows[("VIEW", "prod.v_campaign_performance")] == "EXISTS"
+    assert rows[("ROLE", "iceberg_analyst")] == "EXISTS"
+    assert rows[("CATALOG_LINK", stack["ns"])] == "LINK_ACTIVE"
+
+    summary = bcdr.data_summary(spark, acct, stack["ns"]).collect()[0]
+    assert summary.category == "Data Summary"
+    assert summary.n_campaigns == 8
+    # metadata-only: counts come from snapshot manifests, and they match a scan
+    assert summary.n_impressions == acct.catalog.load(stack["ns"], "impressions").count()

@@ -261,3 +261,18 @@ def test_concurrent_appends_both_commit(spark, cat):
     assert [s.snapshot_id for s in snaps] == [1, 2, 3]
     assert snaps[-1].row_count == 22
     assert cat.load("db", "t").count() == 22
+
+
+def test_real_iceberg_catalog_branch(spark, tmp_path):
+    """Covers the real-Iceberg session branch the moment a runtime jar
+    lands in the environment (`session.py` wires `ext`/`cld` SparkCatalogs
+    when `_iceberg_jar_present()`); skipped while offline."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.session import _iceberg_jar_present
+
+    if not _iceberg_jar_present():
+        pytest.skip("no iceberg-spark-runtime jar in this environment")
+    # jar present: the catalogs must be registered and writable
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cld.smoke")
+    spark.range(3).writeTo("cld.smoke.t").createOrReplace()
+    assert spark.table("cld.smoke.t").count() == 3
+    assert spark.table("ext.smoke.t").count() == 3  # shared warehouse
