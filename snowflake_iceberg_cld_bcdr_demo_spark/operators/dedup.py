@@ -236,3 +236,73 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
         for i in range(bits)
     )
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id),
+    cluster_id = min doc_id reachable (singletons cluster with themselves).
+
+    This turns pairwise near-dup evidence into dedup *decisions*: one
+    canonical doc per cluster (the min id), everything else a removable
+    duplicate — the last stage of a MinHash/LSH dedup pipeline.
+
+    Scale: iterative min-label propagation, the standard distributed CC.
+    Each round is one join + groupBy on the edge list (shuffle ∝ |edges|);
+    rounds needed ∝ the longest path in a component, and near-dup
+    components are tiny dense clusters, so this converges in a handful of
+    rounds.  ``localCheckpoint`` truncates lineage every round so plans
+    don't grow with iterations; early-exits when no label changes.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .persist()
+    )
+    labels = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    labels.cluster_id, F.coalesce(F.col("nbr_min"), labels.cluster_id)
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply cluster decisions to the corpus: every doc tagged with its
+    cluster and an ``is_canonical`` flag (true for the cluster's min id).
+    Filtering ``is_canonical`` yields the deduplicated corpus."""
+    return docs.join(clusters, on=id_col).withColumn(
+        "is_canonical", (F.col(id_col) == F.col("cluster_id"))
+    )

@@ -56,7 +56,7 @@ def hyperplane_lsh_buckets(
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
         bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    bucket = sum(bits).cast("int")
+    bucket = (sum(bits) if bits else F.lit(0)).cast("int")  # 0 planes → 1 bucket
     return emb.select(F.col(id_col), F.col(vec_col), F.col("label"), bucket.alias("bucket"))
 
 
@@ -217,3 +217,80 @@ def label_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         F.max(norm(F.col(vec_col))).alias("max_norm"),
         F.max(F.size(F.col(vec_col))).alias("n_dims"),
     )
+
+
+def knn_join_exact(
+    emb: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """k nearest neighbors for EVERY vector (kNN self-join), exact O(n²)
+    BASELINE — the oracle twin of :func:`knn_join_lsh`, which is the
+    operator to use at corpus scale.  Per-vector ranking is a window
+    row_number (partition-local sort after one shuffle on vec_a)."""
+    from pyspark.sql.window import Window
+
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
+        "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), F.col("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_a", "vec_b", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def knn_join_lsh(
+    emb: DataFrame,
+    tables: list[list[list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for the kNN self-join: candidates only form inside a
+    hyperplane-LSH bucket, unioned across several independent hash tables
+    (OR-amplification — a true neighbor is missed only if it lands in a
+    different bucket in EVERY table, so recall compounds per table while
+    each table's pair count stays Σ|bucket|²).
+
+    ``tables`` is a list of plane sets; more tables → higher recall, more
+    candidate pairs (the recall/cost dial, asserted in tests).  Candidates
+    are deduplicated before scoring so each pair's cosine is computed
+    once."""
+    from pyspark.sql.window import Window
+
+    cands: DataFrame | None = None
+    for planes in tables:
+        bucketed = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
+        a = bucketed.select(F.col(id_col).alias("vec_a"), "bucket")
+        b = bucketed.select(F.col(id_col).alias("vec_b"), "bucket")
+        t = (
+            a.join(b, ["bucket"])
+            .filter(F.col("vec_a") != F.col("vec_b"))
+            .select("vec_a", "vec_b")
+        )
+        cands = t if cands is None else cands.unionAll(t)
+    cands = (cands if cands is not None else _all_pairs(emb, id_col)).distinct()
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), F.col("vec_b"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("vec_a", "vec_b", "cosine_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _all_pairs(emb: DataFrame, id_col: str) -> DataFrame:
+    a = emb.select(F.col(id_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("vec_b"))
+    return a.join(b, F.col("vec_a") != F.col("vec_b"))

@@ -107,3 +107,41 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         .filter(F.col("rank") <= top_k)
         .select("doc_id", "term", "tf", "df", "score", "rank")
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 10_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.2,
+    max_digit_ratio: float = 0.2,
+) -> DataFrame:
+    """Rule-based document filter (the Gopher-style pre-training gate):
+    per-rule booleans + an overall ``keep`` flag, so pipelines can both
+    filter and audit *why* documents were dropped.
+
+    All rules are built-in expressions (counts, ratios) — one narrow
+    codegen stage over the corpus scan, no UDFs.  Mean token length is
+    non-whitespace chars / tokens (identical arithmetic in the SQL
+    oracle)."""
+    n_tokens = token_count(F.col("text"))
+    chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    mean_tok_len = chars_no_ws / F.when(n_tokens == 0, None).otherwise(n_tokens)
+    punct_ratio = char_class_count(F.col("text"), PUNCT_CLASS) / F.expr("nullif(length(text), 0)")
+    digit_ratio = char_class_count(F.col("text"), DIGIT_CLASS) / F.expr("nullif(length(text), 0)")
+    ok_len = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_tok = (mean_tok_len >= min_mean_token_len) & (mean_tok_len <= max_mean_token_len)
+    ok_punct = F.coalesce(punct_ratio <= max_punct_ratio, F.lit(False))
+    ok_digit = F.coalesce(digit_ratio <= max_digit_ratio, F.lit(False))
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        ok_len.alias("ok_token_count"),
+        F.coalesce(ok_tok, F.lit(False)).alias("ok_token_len"),
+        ok_punct.alias("ok_punct"),
+        ok_digit.alias("ok_digit"),
+        (ok_len & F.coalesce(ok_tok, F.lit(False)) & ok_punct & ok_digit).alias("keep"),
+    )

@@ -449,3 +449,158 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding profile (count, min/max L2 norm, dims —
     order-independent folds only, per the numeric determinism contract)."""
     return similarity.label_norm_stats(table(spark, sf_dir, "embeddings"))
+
+
+# ----------------------------------------------------------------------
+# Dedup decisions: near-dup connected components → canonical docs
+# ----------------------------------------------------------------------
+
+_DUP_EDGE_CTES = f"""
+    {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    scored AS (
+        SELECT p.doc_a, p.doc_b, ({_AGREE}) / 16.0 AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON p.doc_a = sa.doc_id
+        JOIN sig sb ON p.doc_b = sb.doc_id
+    ),
+    dup_edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM scored WHERE est_jaccard >= 0.5
+        UNION
+        SELECT doc_b, doc_a FROM scored WHERE est_jaccard >= 0.5
+    ),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.comp FROM reach r JOIN dup_edges e ON e.a = r.id
+    ),
+    clusters AS (
+        SELECT id AS doc_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
+    )
+"""
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = table(spark, sf_dir, "documents")
+    sim = dedup.minhash_similarity(docs, k=8, num_hashes=16, bands=4)
+    return docs, sim.filter(F.col("est_jaccard") >= 0.5)
+
+
+@_spec(
+    "neardup_clusters",
+    f"WITH RECURSIVE {_DUP_EDGE_CTES} SELECT doc_id, cluster_id FROM clusters",
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup decision stage: MinHash+LSH pairs (est_jaccard ≥
+    0.5) → connected components via iterative min-label propagation →
+    (doc_id, cluster_id) for the whole corpus.  The DuckDB oracle computes
+    the same components with a recursive CTE — the distributed iterative
+    algorithm is hash-verified against a sequential reference."""
+    docs, pairs = _dup_pairs(spark, sf_dir)
+    return dedup.neardup_clusters(docs, pairs)
+
+
+@_spec(
+    "dedup_decisions",
+    f"""
+    WITH RECURSIVE {_DUP_EDGE_CTES}
+    SELECT COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_removed
+    FROM clusters
+    """,
+)
+def dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level outcome of near-dup dedup: docs in, canonical docs
+    kept (one per cluster), duplicates removed."""
+    docs, pairs = _dup_pairs(spark, sf_dir)
+    clusters = dedup.neardup_clusters(docs, pairs)
+    tagged = dedup.dedup_corpus(docs, clusters)
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_canonical").cast("long")).alias("n_kept"),
+        F.sum((~F.col("is_canonical")).cast("long")).alias("n_removed"),
+    )
+
+
+# ----------------------------------------------------------------------
+# kNN self-join (similarity search for every vector)
+# ----------------------------------------------------------------------
+
+_COS_AB = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[]))))"""
+
+
+@_spec(
+    "knn_join_exact_baseline",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_COS_AB} AS cosine_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_a, vec_b, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+                                       ORDER BY cosine_sim DESC, vec_b) AS INTEGER) AS rk
+        FROM pairs
+    )
+    SELECT vec_a, vec_b, cosine_sim, rk FROM ranked WHERE rk <= 3
+    """,
+)
+def knn_join_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors for every vector, exact O(n²) BASELINE (oracle twin
+    of `knn_join_lsh` — use the LSH variant at scale)."""
+    return similarity.knn_join_exact(table(spark, sf_dir, "embeddings"), k=3)
+
+
+@_spec("knn_join_lsh", None)
+def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed kNN self-join (sub-quadratic scale path; approximate —
+    recall vs the exact baseline asserted in tests, no SQL oracle)."""
+    return similarity.knn_join_lsh(
+        table(spark, sf_dir, "embeddings"),
+        tables=[_PLANES[0:2], _PLANES[2:4], _PLANES[4:6]],
+        k=3,
+    )
+
+
+@_spec(
+    "quality_filter",
+    """
+    WITH m AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+               length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws,
+               (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS punct_ratio,
+               (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   / CAST(nullif(length(text), 0) AS DOUBLE) AS digit_ratio
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               ROUND(chars_no_ws / CAST(nullif(n_tokens, 0) AS DOUBLE), 4) AS mean_token_len,
+               chars_no_ws / CAST(nullif(n_tokens, 0) AS DOUBLE) AS mtl_raw,
+               punct_ratio, digit_ratio
+        FROM m
+    )
+    SELECT doc_id, n_tokens, mean_token_len,
+           (n_tokens >= 5 AND n_tokens <= 10000) AS ok_token_count,
+           COALESCE(mtl_raw >= 2.0 AND mtl_raw <= 12.0, FALSE) AS ok_token_len,
+           COALESCE(punct_ratio <= 0.2, FALSE) AS ok_punct,
+           COALESCE(digit_ratio <= 0.2, FALSE) AS ok_digit,
+           ((n_tokens >= 5 AND n_tokens <= 10000)
+            AND COALESCE(mtl_raw >= 2.0 AND mtl_raw <= 12.0, FALSE)
+            AND COALESCE(punct_ratio <= 0.2, FALSE)
+            AND COALESCE(digit_ratio <= 0.2, FALSE)) AS keep
+    FROM r
+    """,
+)
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gate: per-rule booleans + keep flag so pipelines
+    filter AND audit why docs were dropped (token-count bounds, mean token
+    length, punctuation/digit ratios)."""
+    return textops.quality_filter(table(spark, sf_dir, "documents"))

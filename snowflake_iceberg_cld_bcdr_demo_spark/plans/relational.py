@@ -1010,3 +1010,84 @@ def validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT COUNT(*) FROM events)   AS n_events
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (as-of, interval) — beyond the reference surface
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "asof_click_to_view",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT MAX(v.ts) FROM events v
+            WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts)
+               AS view_ts
+    FROM events c WHERE c.event_type = 'click'
+    """,
+)
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click aligned to the user's most recent
+    view at-or-before it (trade↔quote alignment shape).  Union+window —
+    one shuffle on user_id, no range self-join; the oracle is the
+    correlated-subquery definition of as-of."""
+    from ..operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(clicks, views, on=["user_id"], right_cols=["ts"], prefix="view_")
+
+
+@_spec(
+    "interval_error_context",
+    """
+    SELECT e.event_id, e.user_id, e.ts, CAST(COUNT(r.event_id) AS BIGINT) AS n_context
+    FROM events e
+    LEFT JOIN events r
+      ON r.user_id = e.user_id
+     AND r.ts >= e.ts - INTERVAL 5 MINUTE AND r.ts < e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: events in the 5 minutes before each error,
+    same user — the context-window shape.  Bucketed equi-join rewrite
+    (bucket = interval length), so no nested-loop inequality join at any
+    scale; zero-context errors kept via a left join to the counts."""
+    from ..operators.asof import interval_join
+
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 5 MINUTES")).alias("ctx_start"),
+        F.col("ts").alias("ctx_end"),
+    )
+    others = ev.select(
+        F.col("user_id"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_event_id")
+    )
+    matched = interval_join(
+        errors,
+        others,
+        on=["user_id"],
+        left_start="ctx_start",
+        left_end="ctx_end",
+        right_ts="r_ts",
+        bucket_seconds=300,
+        include_start=True,
+        include_end=False,
+    )
+    counts = matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_context"))
+    return (
+        errors.join(counts, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.coalesce(F.col("n_context"), F.lit(0)).cast("long").alias("n_context"),
+        )
+    )

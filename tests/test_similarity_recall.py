@@ -52,3 +52,31 @@ def test_registered_ann_variants_run(spark):
         rows = df.collect()
         assert len(rows) <= 10
         assert all(-1.0 <= r.cosine_sim <= 1.0 for r in rows)
+
+
+def test_knn_join_lsh_recall(spark):
+    """Bucketed kNN must recover a solid fraction of the exact top-k edges
+    (few planes → big buckets → high recall; the dial is documented)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import similarity
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans.pipeline import _PLANES
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.knn_join_exact(emb, k=3).collect()
+    }
+    approx = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.knn_join_lsh(
+            emb, tables=[_PLANES[0:2], _PLANES[2:4], _PLANES[4:6]], k=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # full-probe degenerate case: 0 planes = 1 bucket = exact result
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.knn_join_lsh(emb, tables=[[]], k=3).collect()
+    }
+    assert full == exact
