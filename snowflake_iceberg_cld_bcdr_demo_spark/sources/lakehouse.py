@@ -60,6 +60,32 @@ MANIFEST = "_manifest.json"
 VERSION_HISTORY = 8
 #: optimistic-concurrency retry budget for one commit
 COMMIT_RETRIES = 20
+#: string min/max bounds longer than this are truncated Iceberg-style
+#: (lower = prefix, upper = prefix with last char incremented)
+STATS_MAX_STRING = 64
+
+#: column type prefixes that get min/max bounds in the manifest
+_STATS_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def _truncated_bounds(lo: str, hi: str, limit: int = STATS_MAX_STRING):
+    """Iceberg-style string-bound truncation (SortOrder/Metrics semantics):
+    a truncated *lower* bound is sound as-is (prefix <= original); a
+    truncated *upper* bound must be bumped above every string sharing the
+    prefix — increment the last codepoint, dropping trailing U+10FFFF.
+    Returns None when no sound upper bound exists (all-max prefix)."""
+    lo_t = lo[:limit]
+    if len(hi) <= limit:
+        return lo_t, hi
+    prefix = hi[:limit]
+    chars = list(prefix)
+    while chars:
+        cp = ord(chars[-1])
+        if cp < 0x10FFFF:
+            chars[-1] = chr(cp + 1)
+            return lo_t, "".join(chars)
+        chars.pop()
+    return None
 
 
 @dataclass(frozen=True)
@@ -123,13 +149,20 @@ class LakehouseCatalog:
                 best = max(best, int(tail))
         return best
 
-    def _read_manifest(self, namespace: str, table: str) -> dict:
-        """Current manifest: the highest version file wins; plain
-        ``_manifest.json`` is the back-compat/convenience copy."""
+    def _read_manifest_versioned(self, namespace: str, table: str) -> tuple[dict, int]:
+        """(manifest, version-it-was-read-at).  The highest version file
+        wins; plain ``_manifest.json`` is the back-compat/convenience copy
+        (version 0).  Committers MUST publish at read-version + 1: version
+        numbers advance strictly one at a time, so a commit built on a
+        stale read always collides with the interleaving commit's version
+        file and retries — the CAS invariant."""
         v = self._latest_version(namespace, table)
         path = self._version_path(namespace, table, v) if v else self._manifest_path(namespace, table)
         with open(path) as f:
-            return json.load(f)
+            return json.load(f), v
+
+    def _read_manifest(self, namespace: str, table: str) -> dict:
+        return self._read_manifest_versioned(namespace, table)[0]
 
     def _publish_manifest(self, namespace: str, table: str, manifest: dict, version: int) -> None:
         """Atomically publish manifest ``version`` — fails with
@@ -233,6 +266,134 @@ class LakehouseCatalog:
             return self.current_snapshot(namespace, table)
         return self._commit(namespace, table, manifest, df, "append", batch_id=batch_id)
 
+    # -- maintenance (Iceberg MERGE / rewrite_data_files / expire_snapshots
+    # analogs) ------------------------------------------------------------
+    def merge_upsert(
+        self, namespace: str, table: str, source: DataFrame, key_cols: list[str]
+    ) -> Snapshot:
+        """``MERGE INTO`` with copy-on-write semantics: source rows replace
+        current rows sharing their key, unmatched source rows insert,
+        everything else carries over.  One anti-join + union + full
+        rewrite into a fresh ``replace`` snapshot — history (and time
+        travel to the pre-merge state) is preserved.
+
+        Scale: copy-on-write rewrites the table, which is exactly what
+        Iceberg CoW MERGE does; the anti-join shuffles on the merge key.
+        For partitioned tables Spark's dynamic partition pruning limits
+        the rewrite read to partitions the source touches only when the
+        caller pre-filters — document-level engines should merge per
+        partition batch."""
+        current = self.load(namespace, table)
+        keys = source.select(*key_cols).distinct()
+        remaining = current.join(keys, key_cols, "left_anti")
+        merged = remaining.unionByName(source, allowMissingColumns=True)
+        manifest = self._read_manifest(namespace, table)
+        return self._commit(namespace, table, manifest, merged, "replace")
+
+    def compact(
+        self, namespace: str, table: str, target_file_partitions: int | None = None
+    ) -> Snapshot:
+        """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
+        the current snapshot's accumulated data dirs into one ``replace``
+        snapshot.  Logical content unchanged; readers of the new head scan
+        one dir instead of one per historical append."""
+        df = self.load(namespace, table)
+        if target_file_partitions is not None:
+            df = df.repartition(target_file_partitions)
+        manifest = self._read_manifest(namespace, table)
+        return self._commit(namespace, table, manifest, df, "replace")
+
+    def expire_snapshots(self, namespace: str, table: str, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots``: mark all but the newest
+        ``keep_last`` snapshots expired and delete data dirs no retained
+        snapshot references.  Snapshot ids stay stable (history is marked,
+        not renumbered); time travel to an expired id raises clearly."""
+        import shutil
+
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            snaps = manifest["snapshots"]
+            retained = snaps[-keep_last:] if keep_last > 0 else []
+            live = {d for s in retained for d in s["data_dirs"]}
+            expired_ids = [
+                s["snapshot_id"] for s in snaps[:-keep_last or len(snaps)] if not s.get("expired")
+            ]
+            dead_dirs = sorted(
+                {d for s in snaps for d in s["data_dirs"]} - live
+            )
+            candidate = dict(manifest)
+            candidate["snapshots"] = [
+                {**s, "expired": True} if s["snapshot_id"] in expired_ids or s.get("expired") else s
+                for s in snaps
+            ]
+            candidate["dir_columns"] = {
+                d: c for d, c in manifest.get("dir_columns", {}).items() if d in live
+            }
+            candidate["dir_stats"] = {
+                d: s for d, s in manifest.get("dir_stats", {}).items() if d in live
+            }
+            try:
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
+            except FileExistsError:
+                continue  # concurrent commit: re-read and retry
+            for d in dead_dirs:
+                shutil.rmtree(
+                    os.path.join(self._table_path(namespace, table), d), ignore_errors=True
+                )
+            return {"expired_snapshots": expired_ids, "deleted_dirs": dead_dirs}
+        raise CommitConflictError(f"expire_snapshots on {namespace}.{table} kept losing races")
+
+    # -- per-dir column bounds (Iceberg manifest file stats analog) -------
+    @staticmethod
+    def _stats_exprs(df: DataFrame) -> tuple[list, dict[str, str]]:
+        """(observe-metric exprs, col→kind) for every stats-worthy column.
+        Bounds ride the write job's Observation — zero extra scans.
+        Temporal types are normalized to epoch integers so the manifest
+        stays JSON-native and comparisons are total-ordered."""
+        exprs, kinds = [], {}
+        for name, dtype in df.dtypes:
+            c = F.col(name)
+            if dtype.startswith(_STATS_NUMERIC):
+                kind = "num"
+                lo, hi = F.min(c), F.max(c)
+                if dtype.startswith("decimal"):
+                    lo, hi = lo.cast("double"), hi.cast("double")
+            elif dtype == "string":
+                kind, lo, hi = "str", F.min(c), F.max(c)
+            elif dtype == "timestamp" or dtype == "timestamp_ntz":
+                kind = "num"
+                lo, hi = F.unix_micros(F.min(c)), F.unix_micros(F.max(c))
+            elif dtype == "date":
+                kind = "num"
+                lo, hi = F.unix_date(F.min(c)), F.unix_date(F.max(c))
+            else:
+                continue  # arrays/maps/structs/binary/boolean: no bounds
+            kinds[name] = kind
+            exprs += [lo.alias(f"lo__{name}"), hi.alias(f"hi__{name}")]
+        return exprs, kinds
+
+    @staticmethod
+    def _stats_from_metrics(metrics: dict, kinds: dict[str, str], dtypes: dict[str, str]) -> dict:
+        """manifest ``dir_stats`` entry: col → [lower, upper] (conservative;
+        decimals widened one ULP outward to absorb the double cast)."""
+        import math
+
+        stats = {}
+        for name, kind in kinds.items():
+            lo, hi = metrics.get(f"lo__{name}"), metrics.get(f"hi__{name}")
+            if lo is None or hi is None:
+                continue  # all-null column in this dir: no bounds
+            if kind == "str":
+                bounds = _truncated_bounds(str(lo), str(hi))
+                if bounds is None:
+                    continue
+                lo, hi = bounds
+            elif dtypes.get(name, "").startswith("decimal"):
+                lo = math.nextafter(float(lo), -math.inf)
+                hi = math.nextafter(float(hi), math.inf)
+            stats[name] = [lo, hi]
+        return stats
+
     @staticmethod
     def _batch_already_committed(manifest: dict, batch_id: int) -> bool:
         committed = [
@@ -274,17 +435,28 @@ class LakehouseCatalog:
         data_dir = self._claim_data_dir(namespace, table, sid_guess)
         out = os.path.join(self._table_path(namespace, table), data_dir)
         obs = Observation()
-        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        stat_exprs, stat_kinds = self._stats_exprs(df)
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"), *stat_exprs)
         writer = observed.write.mode("overwrite")
         if manifest["partition_by"]:
             writer = writer.partitionBy(*manifest["partition_by"])
         writer.parquet(out)
-        added = int(obs.get["rows"])
+        metrics = obs.get
+        added = int(metrics["rows"])
+        dir_stats = (
+            self._stats_from_metrics(metrics, stat_kinds, dict(df.dtypes)) if added else {}
+        )
 
         # 2. commit the manifest with optimistic-concurrency retry: the
         # exclusive version-file create is the CAS; losers re-read the
-        # winner's manifest and re-apply their snapshot on top
+        # winner's manifest and re-apply their snapshot on top.  Content
+        # and base version are read TOGETHER each attempt — a fresher
+        # version paired with staler content could otherwise publish
+        # successfully and drop the interleaving commit's snapshot.
+        base_version = self._latest_version(namespace, table)
         for _ in range(COMMIT_RETRIES):
+            if op != "create":
+                manifest, base_version = self._read_manifest_versioned(namespace, table)
             sid = len(manifest["snapshots"]) + 1
             if op == "append" and manifest["snapshots"]:
                 prev = manifest["snapshots"][-1]
@@ -314,15 +486,21 @@ class LakehouseCatalog:
                 **manifest.get("dir_columns", {}),
                 data_dir: list(df.columns),
             }
+            candidate["dir_stats"] = {
+                **manifest.get("dir_stats", {}),
+                data_dir: dir_stats,
+            }
             try:
-                self._publish_manifest(namespace, table, candidate, version=sid)
+                # publish at base+1: versions advance independently of
+                # snapshot ids (expire_snapshots bumps versions without
+                # adding snapshots), and a stale base always collides
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
             except FileExistsError:
                 if op == "create":
                     raise CommitConflictError(
                         f"concurrent create of {namespace}.{table}"
                     ) from None
-                manifest = self._read_manifest(namespace, table)
-                continue
+                continue  # loop re-reads manifest + base version together
             return Snapshot(
                 sid,
                 snap["committed_at"],
@@ -342,34 +520,131 @@ class LakehouseCatalog:
 
         shutil.rmtree(self._table_path(namespace, table), ignore_errors=True)
 
-    # -- reads (S8/S9 scans, time travel) --------------------------------
+    # -- reads (S8/S9 scans, time travel, stats-pruned scans) -------------
+    @staticmethod
+    def _norm_filter_value(v):
+        """Normalize a filter literal to the manifest-bound domain
+        (temporal → epoch integers, matching :meth:`_stats_exprs`)."""
+        import calendar
+        import datetime as _dt
+        import decimal
+
+        if isinstance(v, _dt.datetime):
+            return calendar.timegm(v.utctimetuple()) * 1_000_000 + v.microsecond
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return v
+
+    @classmethod
+    def _dir_survives(cls, stats: dict, col: str, op: str, value) -> bool:
+        """False only when the dir's [lower, upper] bounds PROVE no row can
+        satisfy ``col op value`` — missing stats always survive (sound)."""
+        if col not in stats:
+            return True
+        lo, hi = stats[col]
+        vals = [cls._norm_filter_value(x) for x in value] if op == "in" else [
+            cls._norm_filter_value(value)
+        ]
+        str_bounds = isinstance(lo, str)
+        if any(isinstance(v, str) != str_bounds for v in vals):
+            return True  # type mismatch with the recorded bounds: keep
+        v = vals[0]
+        if op in ("=", "==") or op == "in":
+            return any(lo <= x <= hi for x in vals)
+        if op == ">=":
+            return hi >= v
+        if op == ">":
+            return hi > v
+        if op == "<=":
+            return lo <= v
+        if op == "<":
+            return lo < v
+        raise ValueError(f"unsupported filter op {op!r}")
+
+    def prune_preview(
+        self,
+        namespace: str,
+        table: str,
+        filters: list[tuple],
+        snapshot_id: int | None = None,
+    ) -> dict:
+        """Which data dirs a filtered scan would read vs skip — the
+        EXPLAIN-side of manifest pruning, for tests and ops visibility."""
+        manifest = self._read_manifest(namespace, table)
+        snap = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
+        dir_stats = manifest.get("dir_stats", {})
+        kept, skipped = [], []
+        for d in snap["data_dirs"]:
+            ok = all(
+                self._dir_survives(dir_stats.get(d, {}), col, op, val)
+                for col, op, val in filters
+            )
+            (kept if ok else skipped).append(d)
+        return {"kept": kept, "skipped": skipped}
+
+    def _resolve_snapshot(
+        self, manifest: dict, namespace: str, table: str, snapshot_id: int | None
+    ) -> dict:
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError(f"{namespace}.{table} has no snapshots")
+        if snapshot_id is None:
+            return snaps[-1]
+        if not 1 <= snapshot_id <= len(snaps):
+            raise ValueError(
+                f"{namespace}.{table}: snapshot_id {snapshot_id} out of range "
+                f"(valid: 1..{len(snaps)})"
+            )
+        snap = snaps[snapshot_id - 1]
+        if snap.get("expired"):
+            raise ValueError(
+                f"{namespace}.{table}: snapshot {snapshot_id} has been expired "
+                "(its data files were removed by expire_snapshots)"
+            )
+        return snap
+
     def load(
-        self, namespace: str, table: str, snapshot_id: int | None = None
+        self,
+        namespace: str,
+        table: str,
+        snapshot_id: int | None = None,
+        filters: list[tuple] | None = None,
     ) -> DataFrame:
         """Read a table at the current (or a historical) snapshot.
 
         Schema evolution: when the snapshot's data dirs were written with
         different column sets, the read merges schemas (missing columns
         read as NULL for older files) and returns the snapshot's evolved
-        column order — Iceberg's read-time schema resolution."""
+        column order — Iceberg's read-time schema resolution.
+
+        ``filters`` — optional ``[(col, op, value), ...]`` with op in
+        ``= == < <= > >= in`` — enables **manifest-level data skipping**:
+        data dirs whose recorded column bounds prove the conjunction can't
+        match are dropped from the read path entirely (Iceberg's
+        manifest-entry pruning), before Spark lists a single file; the
+        same predicates are then applied as normal ``filter`` calls, so
+        results never depend on stats and Spark still pushes them to the
+        parquet row-group level (the second pruning tier)."""
         manifest = self._read_manifest(namespace, table)
-        snaps = manifest["snapshots"]
-        if not snaps:
-            raise ValueError(f"{namespace}.{table} has no snapshots")
-        if snapshot_id is None:
-            snap = snaps[-1]
-        else:
-            if not 1 <= snapshot_id <= len(snaps):
-                raise ValueError(
-                    f"{namespace}.{table}: snapshot_id {snapshot_id} out of range "
-                    f"(valid: 1..{len(snaps)})"
+        snap = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
+        read_dirs = list(snap["data_dirs"])
+        if filters:
+            read_dirs = self.prune_preview(namespace, table, filters, snapshot_id)["kept"]
+            if not read_dirs:
+                # every dir pruned: empty frame with the snapshot's schema
+                cols = list(snap.get("columns") or manifest.get("columns") or [])
+                any_dir = os.path.join(
+                    self._table_path(namespace, table), snap["data_dirs"][0]
                 )
-            snap = snaps[snapshot_id - 1]
+                empty = self.spark.read.parquet(any_dir).limit(0)
+                return empty.select(*[c for c in cols if c in empty.columns])
         paths = [
-            os.path.join(self._table_path(namespace, table), d) for d in snap["data_dirs"]
+            os.path.join(self._table_path(namespace, table), d) for d in read_dirs
         ]
         dir_cols = manifest.get("dir_columns", {})
-        schemas = {tuple(dir_cols[d]) for d in snap["data_dirs"] if d in dir_cols}
+        schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
         # One multi-path read (not a unionAll chain): Spark builds a single
         # file index, so partition pruning/pushdown span all snapshots.
         # mergeSchema only when dirs actually differ — it costs extra
@@ -385,6 +660,14 @@ class LakehouseCatalog:
         extras = [c for c in df.columns if c not in cols]
         if ordered and list(df.columns) != ordered + extras:
             df = df.select(*ordered, *extras)
+        for col, op, val in filters or []:
+            c = F.col(col)
+            df = df.filter(
+                c.isin(list(val))
+                if op == "in"
+                else {"=": c == val, "==": c == val, "<": c < val, "<=": c <= val,
+                      ">": c > val, ">=": c >= val}[op]
+            )
         return df
 
     def snapshots(self, namespace: str, table: str) -> list[Snapshot]:

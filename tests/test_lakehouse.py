@@ -276,3 +276,108 @@ def test_real_iceberg_catalog_branch(spark, tmp_path):
     spark.range(3).writeTo("cld.smoke.t").createOrReplace()
     assert spark.table("cld.smoke.t").count() == 3
     assert spark.table("ext.smoke.t").count() == 3  # shared warehouse
+
+
+# -- maintenance: merge / compact / expire --------------------------------
+
+
+def test_merge_upsert(spark, cat):
+    """Copy-on-write MERGE: matched keys update, new keys insert, history
+    keeps the pre-merge state reachable."""
+    cat.create_table("db", "t", _df(spark, 5))  # ids 0..4
+    src = _df(spark, 4, start=3)  # ids 3..6: 3,4 update; 5,6 insert
+    updated = src.withColumn("bucket", F.lit("merged"))
+    snap = cat.merge_upsert("db", "t", updated, key_cols=["id"])
+    assert snap.operation == "replace"
+    cur = cat.load("db", "t")
+    assert cur.count() == 7
+    assert cur.filter(F.col("bucket") == "merged").count() == 4
+    assert cur.filter((F.col("id") == 2) & (F.col("bucket") != "merged")).count() == 1
+    # pre-merge state still time-travelable
+    assert cat.load("db", "t", snapshot_id=1).filter(F.col("bucket") == "merged").count() == 0
+
+
+def test_compact_and_expire(spark, cat):
+    """Compaction folds accumulated append dirs into one; expiration
+    deletes dirs only dead snapshots reference and keeps ids stable."""
+    cat.create_table("db", "t", _df(spark, 3))
+    for s in (10, 20, 30):
+        cat.append("db", "t", _df(spark, 3, start=s))
+    assert len(cat.current_snapshot("db", "t").data_dirs) == 4
+    snap = cat.compact("db", "t", target_file_partitions=1)
+    assert snap.operation == "replace" and len(snap.data_dirs) == 1
+    assert cat.load("db", "t").count() == 12
+    rep = cat.expire_snapshots("db", "t", keep_last=1)
+    assert rep["expired_snapshots"] == [1, 2, 3, 4]
+    assert len(rep["deleted_dirs"]) == 4
+    # live data untouched; expired time travel raises clearly
+    assert cat.load("db", "t").count() == 12
+    with pytest.raises(ValueError, match="expired"):
+        cat.load("db", "t", snapshot_id=2)
+    tbl = os.path.join(cat.warehouse, "db", "t")
+    assert len([d for d in os.listdir(tbl) if d.startswith("data-")]) == 1
+
+
+# -- manifest-level data skipping (per-dir column bounds) -----------------
+
+
+def test_data_skipping_prunes_dirs(spark, cat):
+    """Appends with disjoint id ranges → a filtered load reads only the
+    dirs whose bounds can match, and results are identical to an
+    unpruned filter."""
+    cat.create_table("db", "t", _df(spark, 10))          # ids 0..9
+    cat.append("db", "t", _df(spark, 10, start=100))     # ids 100..109
+    cat.append("db", "t", _df(spark, 10, start=200))     # ids 200..209
+    rep = cat.prune_preview("db", "t", [("id", ">=", 200)])
+    assert len(rep["kept"]) == 1 and len(rep["skipped"]) == 2
+    got = cat.load("db", "t", filters=[("id", ">=", 200)])
+    want = cat.load("db", "t").filter(F.col("id") >= 200)
+    assert sorted(r.id for r in got.collect()) == sorted(r.id for r in want.collect())
+    # equality + IN prune too
+    assert len(cat.prune_preview("db", "t", [("id", "=", 105)])["kept"]) == 1
+    assert len(cat.prune_preview("db", "t", [("id", "in", [5, 205])])["kept"]) == 2
+    # conjunction with no satisfiable dir → empty frame, schema intact
+    empty = cat.load("db", "t", filters=[("id", ">", 150), ("id", "<", 190)])
+    assert empty.count() == 0
+    assert empty.columns == cat.load("db", "t").columns
+
+
+def test_data_skipping_string_bounds_and_safety(spark, cat):
+    """String bounds prune; dirs lacking stats for a column are always
+    kept (missing stats can only cost performance, never rows)."""
+    a = spark.createDataFrame([("alpha", 1), ("beta", 2)], "name string, v int")
+    b = spark.createDataFrame([("yankee", 3), ("zulu", 4)], "name string, v int")
+    cat.create_table("db", "s", a)
+    cat.append("db", "s", b)
+    rep = cat.prune_preview("db", "s", [("name", ">=", "x")])
+    assert len(rep["kept"]) == 1 and len(rep["skipped"]) == 1
+    assert cat.load("db", "s", filters=[("name", ">=", "x")]).count() == 2
+    # long-string bounds are truncated Iceberg-style but stay sound
+    long_rows = spark.createDataFrame([("m" * 200,), ("n" * 200,)], "name string")
+    cat.create_table("db", "long", long_rows)
+    man = cat._read_manifest("db", "long")
+    (bounds,) = [s["name"] for s in man["dir_stats"].values()]
+    assert len(bounds[0]) <= 64 and len(bounds[1]) <= 64
+    assert cat.load("db", "long", filters=[("name", ">=", "m")]).count() == 2
+    assert cat.prune_preview("db", "long", [("name", ">", "o")])["kept"] == []
+    # filter on a column with no recorded stats (array) keeps every dir
+    arr = spark.createDataFrame([([1, 2], 1)], "xs array<int>, v int")
+    cat.create_table("db", "arr", arr)
+    assert cat.prune_preview("db", "arr", [("v", ">=", 0), ("xs", "=", None)])[
+        "skipped"
+    ] == []
+
+
+def test_data_skipping_survives_maintenance(spark, cat):
+    """Bounds are recomputed for rewritten dirs (compact/merge) and
+    dropped with expired dirs, so pruning stays correct through the
+    table's whole maintenance lifecycle."""
+    cat.create_table("db", "t", _df(spark, 10))
+    cat.append("db", "t", _df(spark, 10, start=100))
+    cat.compact("db", "t", target_file_partitions=1)
+    rep = cat.prune_preview("db", "t", [("id", ">=", 1000)])
+    assert rep["kept"] == [] and len(rep["skipped"]) == 1
+    assert cat.load("db", "t", filters=[("id", "<=", 5)]).count() == 6
+    cat.expire_snapshots("db", "t", keep_last=1)
+    live = {d for s in [cat.current_snapshot("db", "t")] for d in s.data_dirs}
+    assert set(cat._read_manifest("db", "t")["dir_stats"]) == live
