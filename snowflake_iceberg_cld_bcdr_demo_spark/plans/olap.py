@@ -1,0 +1,412 @@
+"""OLAP shapes beyond the reference surface: full window-function
+coverage, CUBE / GROUPING SETS, pivot/unpivot, moving aggregates, and
+approximate-vs-exact sketch pairs.
+
+The reference workload has no true window functions, cubes, or pivots
+(SURVEY.md §2.5 — its "windows" are ORDER BY + LIMIT); these are the
+analytics surfaces any user of a warehouse engine expects next, so the
+engine ships them as first-class oracle-checked queries.
+
+Determinism follows the :mod:`..functions.numeric` contract: running /
+windowed sums stay in DECIMAL (order-independent), averages are one final
+double division, and every window ORDER BY ends in a unique key so frames
+are total-ordered in both engines.
+
+Scale notes (100 TB posture):
+- Every window query shuffles once on its partition key; frames are
+  evaluated per-partition after a local sort — no driver involvement.
+- ``cube``/``rollup`` expand to grouping-set duplicates *after* a
+  map-side partial agg in Spark (Expand over partial aggregates), so the
+  shuffle carries pre-combined rows.
+- Pivot with an explicit value list is a single conditional-agg pass; no
+  second job to discover pivot values (never omit the list at scale).
+- Approximate sketches (HLL ``approx_count_distinct``, t-digest
+  ``approx_percentile``) are the 100-TB levers: mergeable, map-side
+  partial, fixed memory. Each ships next to its exact oracle-checked
+  twin; tests bound the approximation error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import register_views, table
+from .registry import QuerySpec
+
+SPECS: list[QuerySpec] = []
+
+
+def _spec(name: str, oracle: str | None, doc: str = "") -> Callable:
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")))
+        return fn
+
+    return wrap
+
+
+# --------------------------------------------------------------------------
+# Window-function showcase
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "window_showcase",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+                AS DOUBLE) AS run_spend,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order timeline: sequence number, lag/lead neighbors,
+    first value, running decimal spend, quartile bucket — the navigation +
+    frame + distribution window families in one plan.  One shuffle on
+    o_custkey; every function shares the same window definition so Spark
+    evaluates them in a single Window operator pass."""
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(wo).alias("seq"),
+        F.lag("o_totalprice").over(wo).alias("prev_price"),
+        F.lead("o_totalprice").over(wo).alias("next_price"),
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(wf), 2)
+        .cast("double")
+        .alias("run_spend"),
+        F.ntile(4).over(wo).alias("quartile"),
+    )
+
+
+@_spec(
+    "moving_avg_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(ROUND(rev, 2) AS DOUBLE) AS revenue, n_orders,
+           CAST(SUM(rev) OVER w AS DOUBLE)
+               / CAST(SUM(n_orders) OVER w AS DOUBLE) AS ma7_per_order,
+           CAST(ROUND(SUM(rev) OVER w, 2) AS DOUBLE) AS rev_7d
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue with a 7-day moving window (trailing sum + per-order
+    moving average).  Two-level plan: map-side-combined daily aggregate
+    (tiny result), then an unpartitioned ordered window over ~days rows —
+    the global window is safe only because the daily rollup is small; at
+    100 TB the heavy lifting stays in the first groupBy."""
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        "n_orders",
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.sum("n_orders").over(w).cast("double")
+        ).alias("ma7_per_order"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("rev_7d"),
+    )
+
+
+@_spec(
+    "price_delta_rank",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           o_totalprice - LAG(o_totalprice) OVER
+               (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+               AS price_delta,
+           CAST(RANK() OVER
+               (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+               AS INTEGER) AS price_rank
+    FROM orders
+    """,
+)
+def price_delta_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two *different* windows in one projection (delta vs chronological
+    neighbor, rank by price) — exercises Spark planning multiple Window
+    operators back-to-back on the same partition key (one shuffle, two
+    local sorts).  Subtraction of raw doubles is bit-exact: both engines
+    subtract the identical stored values."""
+    chron = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    by_price = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(chron)).alias("price_delta"),
+        F.rank().over(by_price).alias("price_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE / ROLLUP / GROUPING SETS
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (status, priority) with the grouping-id bitmask
+    distinguishing subtotal levels.  Spark plans cube as Expand *after*
+    partial aggregation, so the shuffle carries combined rows — the
+    correct 100-TB shape for multi-level subtotals."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue")
+    )
+
+
+@_spec(
+    "grouping_sets_geo_revenue",
+    """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def grouping_sets_geo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (nation detail, region subtotal, grand
+    total) over the dim-joined customer table — the report-rollup shape.
+    Declared in Spark SQL so Catalyst plans the same Expand-over-partials
+    as cube; dims broadcast."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status-count matrix per priority via ``pivot`` with an EXPLICIT
+    value list — without it Spark runs an extra distinct-values job over
+    the fact table before it can even plan (never do that at 100 TB).
+    Missing combinations fill 0 to match the conditional-agg oracle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@_spec(
+    "unpivot_part_measures",
+    """
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+    """,
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt of part measures via ``unpivot`` — a single
+    narrow Generate (no join, no shuffle); the oracle is the UNION ALL
+    definition of unpivot."""
+    return table(spark, sf_dir, "part").unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).withColumn("value", F.col("value").cast("double"))
+
+
+# --------------------------------------------------------------------------
+# Sketch pairs: exact oracle twin + approximate scale path
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "distinct_users_by_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type distinct users — the oracle twin of
+    :func:`distinct_users_by_type_approx` (HLL), which is the operator to
+    reach for at 100 TB (mergeable fixed-size sketch vs an Expand
+    shuffle of every distinct pair)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_spec("distinct_users_by_type_approx", None)
+def distinct_users_by_type_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per type (`approx_count_distinct`,
+    rsd=2%): map-side mergeable sketches, fixed memory per group, no
+    distinct expansion — the 100-TB path.  Error vs the exact twin is
+    bounded in tests (no SQL oracle: sketch internals differ across
+    engines by design)."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@_spec(
+    "event_value_deciles",
+    """
+    SELECT event_type,
+           percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS p10,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete value percentiles per event type — oracle twin of
+    :func:`event_value_deciles_approx`.  PERCENTILE_DISC returns actual
+    data values, so cross-engine results are bit-identical with no
+    decimal wrapping."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS p10,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+        """
+    )
+
+
+@_spec("event_value_deciles_approx", None)
+def event_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch via
+    ``approx_percentile``, accuracy 10000): mergeable, bounded memory,
+    single pass — the scale path for percentile-of-everything.  Rank
+    error vs the exact twin is bounded in tests."""
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.1, 0.5, 0.99], 10000).alias("quantiles"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("quantiles")[0].alias("p10"),
+            F.col("quantiles")[1].alias("p50"),
+            F.col("quantiles")[2].alias("p99"),
+            "n",
+        )
+    )
+
+
+@_spec(
+    "heavy_hitter_users",
+    """
+    WITH total AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total) AS share
+    FROM events
+    GROUP BY user_id
+    HAVING COUNT(*) > (SELECT n FROM total) / 2000.0
+    """,
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-threshold heavy hitters (users above 1/2000 of all
+    traffic) — the skew-detection / abuse-detection shape.  One grouped
+    count plus a broadcast scalar total; the HAVING filter runs post-agg
+    on the already-tiny grouped side.  At 100 TB this is exactly the
+    query you run before deciding to salt a key."""
+    ev = table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_events") > F.col("n") / 2000.0)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("share"),
+        )
+    )

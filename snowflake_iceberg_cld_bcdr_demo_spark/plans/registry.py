@@ -29,9 +29,9 @@ class QuerySpec:
 
 
 def _collect() -> dict[str, QuerySpec]:
-    from . import pipeline, relational, tpch_ext
+    from . import olap, pipeline, relational, tpch_ext
 
-    ordered = [*relational.SPECS, *tpch_ext.SPECS, *pipeline.SPECS]
+    ordered = [*relational.SPECS, *tpch_ext.SPECS, *olap.SPECS, *pipeline.SPECS]
     seen = set()
     for spec in ordered:
         if spec.name in seen:

@@ -1,0 +1,73 @@
+"""OLAP additions: approximate-sketch error bounds vs their exact
+oracle-checked twins (the exact/approx pairing contract in plans/olap.py).
+Exact-query correctness itself is covered by the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import olap
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL (rsd=2%) per-type distinct counts land within 5% of exact."""
+    exact = {
+        r.event_type: r.n_users
+        for r in olap.distinct_users_by_type(spark, SF).collect()
+    }
+    approx = {
+        r.event_type: r.n_users_approx
+        for r in olap.distinct_users_by_type_approx(spark, SF).collect()
+    }
+    assert set(exact) == set(approx)
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_approx_percentile_rank_error(spark):
+    """GK sketch (accuracy 10000): the approx p50's true rank stays
+    within ±2% of the 0.50 target for every event type."""
+    approx = {r.event_type: r.p50 for r in olap.event_value_deciles_approx(spark, SF).collect()}
+    ev = table(spark, SF, "events")
+    ranks = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"le_{t}")
+                for t, v in approx.items()
+            ],
+        )
+        .collect()
+    )
+    for row in ranks:
+        frac = row[f"le_{row.event_type}"] / row.n
+        assert 0.48 <= frac <= 0.52, (row.event_type, frac)
+
+
+def test_cube_plans_expand_after_partial_agg(spark):
+    """The cube plan must Expand over partial aggregates (not expand raw
+    rows): Expand appears with HashAggregate below AND above it."""
+    plan = olap.cube_order_stats(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pivot_explicit_values_single_job(spark):
+    """Pivot with an explicit value list plans without a distinct-values
+    subquery: exactly one aggregate pass over the fact scan."""
+    df = olap.pivot_priority_status(spark, SF)
+    rows = df.collect()
+    assert {r.o_orderpriority for r in rows} == {
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    }
+    total = sum(r.F + r.O + r.P for r in rows)
+    assert total == table(spark, SF, "orders").count()
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
