@@ -1,0 +1,216 @@
+"""Corpus-preparation operators for training-data pipelines:
+eval-set decontamination, fixed-window token chunking, PII redaction,
+and sequence packing.
+
+Everything except greedy packing is built-in-function-only (one narrow
+codegen stage per step, shuffles only on aggregation keys), so the same
+arithmetic can be replayed by the DuckDB oracle.  Greedy packing is an
+inherently sequential scan, so it runs as an Arrow-batched
+``applyInPandas`` per shard — bounded state, no driver loop.
+
+Reference parity note: the reference pipeline stops at ad-analytics SQL
+(`/root/reference/scripts/20_analytics_queries.sql`); these operators are
+the north-star extensions a pre-training data pipeline needs on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word ``n``-grams per document (lowercased, whitespace
+    tokens).  1-based ``element_at`` indexing so the SQL oracle's 1-based
+    list indexing is the same expression.
+
+    Scale: explode → distinct shuffles (doc_id, gram) pairs once; at
+    100 TB gram strings could be hashed (xxhash64) before the shuffle to
+    shrink the payload — kept as strings here so overlaps are auditable.
+    """
+    parts = [F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
+    gram = F.concat_ws(" ", *parts)
+    return (
+        docs.select(
+            id_col,
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0).alias("_toks"),
+        )
+        .filter(F.size("_toks") >= n)
+        .select(id_col, F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))).alias("i"), "_toks")
+        .select(id_col, gram.alias("gram"))
+        .distinct()
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = 3,
+    eval_mod: int = 10,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """N-gram-overlap decontamination of a training corpus against a
+    held-out eval split (here: ``doc_id % eval_mod == 0`` — the standard
+    benchmark-contamination check, e.g. GPT-3 appendix C).
+
+    Per training document: distinct n-grams, how many also occur anywhere
+    in the eval split, the overlap ratio, and a ``contaminated`` flag.
+
+    Scale: the eval n-gram vocabulary is tiny relative to the corpus
+    (eval sets are fixed-size), so it broadcasts — the training side is
+    never shuffled by gram, only aggregated by doc_id.  Documents with
+    fewer than ``n`` tokens have no n-grams and are excluded (their
+    contamination is undefined).
+    """
+    grams = word_ngrams(docs, n=n)
+    eval_vocab = grams.filter(F.col("doc_id") % eval_mod == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % eval_mod != 0)
+    joined = train.join(
+        F.broadcast(eval_vocab.withColumn("_hit", F.lit(1))), "gram", "left"
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_grams")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_hit").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            ratio.alias("overlap_ratio"),
+            (ratio >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 40,
+    stride: int = 30,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-window token chunking with overlap (``chunk_tokens`` window,
+    ``stride`` step) — the context-window slicing step of a fine-tuning /
+    RAG ingestion pipeline.
+
+    Pure generate + narrow map: tokens array → one ``explode`` of the
+    chunk-start sequence → ``slice``/``array_join``.  No shuffle at all;
+    the output partitioning is the input's, so a downstream write
+    parallelizes exactly like the scan.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
+    n = F.size("_toks")
+    # floor((n-1)/stride) — double division is exact for these magnitudes.
+    last_chunk = F.floor((n - 1) / F.lit(float(stride))).cast("int")
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    piece = F.slice(F.col("_toks"), start, chunk_tokens)
+    return (
+        docs.select(id_col, toks.alias("_toks"))
+        .filter(n > 0)
+        .select(id_col, "_toks", F.explode(F.sequence(F.lit(0), last_chunk)).alias("chunk_id"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.size(piece).alias("n_chunk_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
+
+
+#: Ordered redaction rules (applied in sequence; order matters because the
+#: long-number rule would otherwise eat digits inside an email local part).
+#: Regex constructs restricted to the Java/RE2 common subset.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("long_number", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction (emails, long digit runs) with per-rule match
+    counts for auditability.  One narrow codegen stage; counts are taken
+    against the pre-redaction text, rules applied in declaration order."""
+    cols = [F.col(id_col)]
+    redacted = F.col(text_col)
+    for rule, pat, repl in PII_RULES:
+        cols.append(F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{rule}"))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    cols.append(F.length(redacted).alias("clean_len"))
+    cols.append(redacted.alias("clean_text"))
+    return docs.select(*cols)
+
+
+def pack_contiguous(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous-stream sequence packing: documents are laid out in
+    ``id`` order as one token stream and assigned to the training sequence
+    (bin) where their first token lands — the GPT-style pack-then-slice
+    layout.  Documents may straddle a boundary; ``offset_in_bin`` +
+    ``n_tokens`` tells the consumer where.
+
+    One global window sort — at 100 TB this becomes a range-partitioned
+    sort on (id), which Spark executes as sample + range exchange; the
+    running sum itself is a single window pass.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(cum_before / F.lit(float(budget_tokens))).cast("bigint").alias("bin_id"),
+            (cum_before % budget_tokens).cast("bigint").alias("offset_in_bin"),
+        )
+    )
+
+
+def pack_greedy(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    num_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy first-fit sequence packing WITHOUT splitting documents:
+    within each shard, documents are scanned in id order and appended to
+    the current bin unless they would overflow ``budget_tokens``, in which
+    case a new bin starts.  Documents longer than the budget get a bin of
+    their own.
+
+    The scan is inherently sequential, so it runs as Arrow-batched
+    ``applyInPandas`` per shard (``doc_id % num_shards``): shards pack
+    independently and in parallel, state per task is one running counter —
+    the standard scale-out for packing (bins never span shards).  Bin ids
+    are ``(shard, bin_in_shard)`` encoded as ``shard * 2^32 + seq``.
+    """
+    import pandas as pd
+
+    shard = (F.col(id_col) % num_shards).cast("int")
+    n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
+    base = docs.select(F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill = [], 0
+        cur = 0
+        for nt in pdf["n_tokens"]:
+            if fill > 0 and fill + nt > budget_tokens:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += nt
+        pdf["bin_seq"] = bins
+        pdf["bin_id"] = pdf["shard"].astype("int64") * (1 << 32) + pdf["bin_seq"]
+        return pdf[["doc_id", "n_tokens", "bin_id"]]
+
+    return base.groupBy("shard").applyInPandas(pack, "doc_id long, n_tokens int, bin_id long")

@@ -294,3 +294,37 @@ def _all_pairs(emb: DataFrame, id_col: str) -> DataFrame:
     a = emb.select(F.col(id_col).alias("vec_a"))
     b = emb.select(F.col(id_col).alias("vec_b"))
     return a.join(b, F.col("vec_a") != F.col("vec_b"))
+
+
+def quantize_error_stats(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction-quality
+    metrics — the storage/IO-reduction step of an embedding store (4x
+    smaller vectors before the ANN index is built).
+
+    Symmetric quantization: ``scale = 127 / max|x|``, ``q_i = floor(x_i *
+    scale + 0.5)`` (half-up, identical in the SQL oracle where banker's-
+    vs half-up ``round`` would diverge).  Quality is reported without
+    materializing the reconstruction: ``mse = (x.x - 2 x.r + r.r) / dim``
+    and the cosine between original and reconstruction, all via the same
+    deterministic left-fold dot products the ANN operators use.
+
+    One narrow codegen stage over the scan — no shuffle, no UDFs; at
+    100 TB this runs at parquet-read speed.
+    """
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    max_abs = F.array_max(F.transform(xd, F.abs))
+    scale = F.lit(127.0) / max_abs
+    recon = F.transform(xd, lambda v: F.floor(v * scale + 0.5).cast("double") / scale)
+    dim = F.size(xd)
+    xx = dot(xd, xd)
+    rr = dot(recon, recon)
+    xr = dot(xd, recon)
+    return emb.filter(max_abs > 0).select(
+        id_col,
+        max_abs.alias("max_abs"),
+        scale.alias("scale"),
+        ((xx - 2 * xr + rr) / dim).alias("mse"),
+        (xr / (F.sqrt(xx) * F.sqrt(rr))).alias("cos_recon"),
+    )

@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, textops
+from ..operators import corpus, dedup, similarity, textops
 from ..sources.testdata import table
 from .registry import QuerySpec
 
@@ -604,3 +604,154 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter AND audit why docs were dropped (token-count bounds, mean token
     length, punctuation/digit ratios)."""
     return textops.quality_filter(table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------------------
+# Corpus preparation: decontamination, chunking, PII redaction, packing
+# ----------------------------------------------------------------------
+
+
+@_spec(
+    "decontaminate_eval_overlap",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    tri AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS gram
+        FROM toks WHERE len(t) >= 3
+    ),
+    ev AS (SELECT DISTINCT gram FROM tri WHERE doc_id % 10 = 0),
+    tr AS (SELECT doc_id, gram FROM tri WHERE doc_id % 10 != 0)
+    SELECT tr.doc_id,
+           count(*) AS n_grams,
+           count(ev.gram) AS n_overlap,
+           CAST(count(ev.gram) AS DOUBLE) / count(*) AS overlap_ratio,
+           (CAST(count(ev.gram) AS DOUBLE) / count(*)) >= 0.2 AS contaminated
+    FROM tr LEFT JOIN ev USING (gram)
+    GROUP BY tr.doc_id
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (GPT-3 appendix-C style): word-trigram
+    overlap of each training doc against the eval split's trigram
+    vocabulary (doc_id % 10 == 0).  Eval vocabulary broadcasts — the
+    corpus side aggregates only by doc_id."""
+    return corpus.decontaminate(table(spark, sf_dir, "documents"), n=3, eval_mod=10, threshold=0.2)
+
+
+@_spec(
+    "chunk_documents",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+    ),
+    c AS (
+        SELECT doc_id, t,
+               unnest(range(0, CAST(floor((len(t) - 1) / 30.0) AS BIGINT) + 1)) AS chunk_id
+        FROM toks WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(least(chunk_id * 30 + 40, len(t)) - chunk_id * 30 AS INTEGER) AS n_chunk_tokens,
+           array_to_string(t[CAST(chunk_id * 30 + 1 AS BIGINT):CAST(least(chunk_id * 30 + 40, len(t)) AS BIGINT)], ' ') AS chunk_text
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window token chunking (40-token window, 30-token stride) for
+    fine-tuning / RAG ingestion.  Pure generate + narrow map — zero
+    shuffles; output partitioning inherits the scan's."""
+    return corpus.chunk_documents(table(spark, sf_dir, "documents"), chunk_tokens=40, stride=30)
+
+
+@_spec(
+    "pii_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS INTEGER) AS n_long_number,
+           CAST(length(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g')) AS INTEGER) AS clean_len,
+           regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS clean_text
+    FROM documents
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction (emails, 6+-digit runs) with per-rule match
+    counts — one narrow codegen stage, Java/RE2-common regex subset."""
+    return corpus.pii_scrub(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "pack_contiguous",
+    """
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cb / 512.0) AS BIGINT) AS bin_id,
+           CAST(cb % 512 AS BIGINT) AS offset_in_bin
+    FROM s
+    """,
+)
+def pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous-stream sequence packing (pack-then-slice pre-training
+    layout): running token sum in doc_id order → 512-token bin + offset.
+    Single range-partitioned window pass at scale."""
+    return corpus.pack_contiguous(table(spark, sf_dir, "documents"), budget_tokens=512)
+
+
+@_spec("pack_greedy", None)
+def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit packing without splitting docs — sequential scan
+    per shard via Arrow applyInPandas (16 shards pack independently);
+    invariants (no overflow except oversized singletons, all docs kept)
+    asserted in tests/test_corpus.py."""
+    return corpus.pack_greedy(table(spark, sf_dir, "documents"), budget_tokens=512, num_shards=16)
+
+
+@_spec(
+    "embedding_quantize_error",
+    """
+    WITH x AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, e -> abs(e))) AS max_abs
+        FROM x
+    ),
+    r AS (
+        SELECT vec_id, v, max_abs, 127.0 / max_abs AS scale,
+               list_transform(v, e -> floor(e * (127.0 / max_abs) + 0.5)
+                                      / (127.0 / max_abs)) AS rec
+        FROM q WHERE max_abs > 0
+    )
+    SELECT vec_id, max_abs, scale,
+           (list_dot_product(v, v) - 2 * list_dot_product(v, rec)
+            + list_dot_product(rec, rec)) / len(v) AS mse,
+           list_dot_product(v, rec)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(rec, rec))) AS cos_recon
+    FROM r
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality per vector (max_abs / scale / mse /
+    cosine-to-reconstruction) — the 4x storage-reduction step before ANN
+    indexing, computed as three deterministic dot products, no shuffle."""
+    return similarity.quantize_error_stats(table(spark, sf_dir, "embeddings"))

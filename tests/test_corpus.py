@@ -1,0 +1,127 @@
+"""Corpus-preparation operator invariants (decontamination, chunking,
+PII scrub, packing, quantization).  Value-level parity with the SQL
+oracle is covered by test_oracle_parity / the driver gate; these tests
+assert the semantic invariants the oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus, similarity
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+from .conftest import SF_SMALL
+
+BUDGET = 512
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_SMALL, "documents")
+
+
+def test_chunks_reconstruct_document(spark, docs):
+    """Non-overlapped chunking (stride == chunk) partitions the token
+    stream exactly: concatenating chunks in order restores the tokenized
+    text, and every chunk except the last is full-size."""
+    chunks = corpus.chunk_documents(docs, chunk_tokens=32, stride=32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text")))
+                        .getField("chunk_text")).alias("rebuilt"),
+            F.max("n_chunk_tokens").alias("max_len"),
+            F.sum("n_chunk_tokens").alias("total"),
+        )
+    )
+    orig = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("norm"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0)).alias("n_tokens"),
+    )
+    j = rebuilt.join(orig, "doc_id").cache()
+    assert j.filter(F.col("rebuilt") != F.col("norm")).count() == 0
+    assert j.filter(F.col("total") != F.col("n_tokens")).count() == 0
+    assert j.filter(F.col("max_len") > 32).count() == 0
+
+
+def test_overlapping_chunks_cover_with_stride(docs):
+    """With stride < chunk, consecutive chunk starts differ by exactly the
+    stride and the final chunk reaches the end of the document."""
+    chunks = corpus.chunk_documents(docs, chunk_tokens=40, stride=30)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"), F.max("chunk_id").alias("last_id")
+    )
+    # chunk ids are dense 0..n-1
+    assert per_doc.filter(F.col("n_chunks") != F.col("last_id") + 1).count() == 0
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+    expect = docs.select("doc_id", (F.floor((n_tok - 1) / 30.0) + 1).alias("want"))
+    assert per_doc.join(expect, "doc_id").filter(F.col("n_chunks") != F.col("want")).count() == 0
+
+
+def test_pack_greedy_invariants(docs):
+    packed = corpus.pack_greedy(docs, budget_tokens=BUDGET, num_shards=8).cache()
+    # every document is assigned exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    fills = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count(F.lit(1)).alias("n_docs")
+    )
+    # a bin only exceeds the budget when it holds a single oversized doc
+    assert fills.filter((F.col("fill") > BUDGET) & (F.col("n_docs") > 1)).count() == 0
+    # greedy never leaves two consecutive bins both under half... weaker but
+    # useful: average fill is a sane fraction of budget (no degenerate
+    # one-doc-per-bin packing for normal-sized docs)
+    stats = fills.agg(F.avg("fill").alias("avg_fill")).collect()[0]
+    assert stats.avg_fill > BUDGET * 0.5
+
+
+def test_pack_greedy_is_deterministic(docs):
+    a = sorted(map(tuple, corpus.pack_greedy(docs, num_shards=8).collect()))
+    b = sorted(map(tuple, corpus.pack_greedy(docs, num_shards=8).collect()))
+    assert a == b
+
+
+def test_pack_contiguous_offsets_consistent(docs):
+    packed = corpus.pack_contiguous(docs, budget_tokens=BUDGET).cache()
+    rows = sorted(map(tuple, packed.collect()))
+    cum = 0
+    for _doc_id, n_tokens, bin_id, offset in rows:
+        assert bin_id == cum // BUDGET
+        assert offset == cum % BUDGET
+        cum += n_tokens
+
+
+def test_decontaminate_excludes_eval_and_flags_dupes(spark, docs):
+    """A training doc that IS an eval doc's text (planted duplicate) must
+    be flagged contaminated; eval docs never appear in the output."""
+    ev = docs.filter(F.col("doc_id") % 10 == 0).limit(1).collect()[0]
+    planted = spark.createDataFrame(
+        [(999_999, ev.text, ev.lang, ev.source, ev.n_chars)], docs.schema
+    )
+    out = corpus.decontaminate(docs.union(planted), eval_mod=10).cache()
+    assert out.filter(F.col("doc_id") % 10 == 0).count() == 0
+    flagged = out.filter(F.col("doc_id") == 999_999).collect()
+    assert len(flagged) == 1 and flagged[0].contaminated
+    assert flagged[0].n_overlap == flagged[0].n_grams
+
+
+def test_pii_scrub_redacts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.com or call 5551234567 ext 12345")],
+        "doc_id long, text string",
+    )
+    row = corpus.pii_scrub(df).collect()[0]
+    assert row.n_email == 1 and row.n_long_number == 1
+    assert "<EMAIL>" in row.clean_text and "<NUM>" in row.clean_text
+    assert "example.com" not in row.clean_text and "5551234567" not in row.clean_text
+    assert "12345" in row.clean_text  # short numbers survive
+
+
+def test_quantize_reconstruction_quality(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    stats = similarity.quantize_error_stats(emb)
+    bad = stats.filter((F.col("cos_recon") < 0.999) | (F.col("mse") > 1e-3)).count()
+    assert bad == 0
+    assert stats.count() == emb.count()  # no zero vectors in testdata
