@@ -162,3 +162,52 @@ def incremental_snapshot_read(
         *[os.path.join(base, d) for d in new_dirs]
     )
     return df, latest
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "2 hours",
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a bounded event-time range
+    (the funnel join — impressions→clicks — in streaming form).
+
+    Both sides carry a watermark and the join condition bounds
+    ``right_ts`` to ``[left_ts, left_ts + max_delay]``, so the state store
+    holds only rows inside the watermark+delay horizon — O(window), not
+    O(stream).  Outer variants emit unmatched rows once the watermark
+    passes; Spark requires the time bound for exactly this state-eviction
+    reason, same as a cluster deployment.
+
+    Column collision is avoided by prefixing the right side (``r_``).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    rw = rw.select([F.col(c).alias(f"r_{c}") for c in rw.columns])
+    cond = (
+        (F.col(key) == F.col(f"r_{key}"))
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts))
+        & (F.col(f"r_{right_ts}") <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, how)
+
+
+def stream_dedup_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Dedup on business keys alone even when duplicate deliveries carry
+    DIFFERENT event timestamps (retry with a fresh ts): unlike
+    ``dropDuplicates([*keys, ts])``, ``dropDuplicatesWithinWatermark``
+    keeps the first arrival per key and drops any later arrival that lands
+    within the watermark horizon — the at-least-once-source cleaner for
+    sources that re-stamp on retry.  State is evicted at the watermark, so
+    memory stays bounded at scale."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)

@@ -147,3 +147,62 @@ def test_incremental_read_detects_lineage_reset(spark, tmp_path):
     # stale cursor beyond history, even without a uuid, falls back too
     df3, cur3 = S.incremental_snapshot_read(cat, "db", "t", after_snapshot_id=99)
     assert df3 is not None and df3.count() == 3 and cur3 == 1
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Impressions→clicks funnel join across two file streams: only pairs
+    with the same key and click within [impression, impression+1h] match."""
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    imps = [(1, base, "view", 1.0), (2, base, "view", 1.0)]
+    clks = [
+        (1, base + dt.timedelta(minutes=30), "click", 1.0),  # in range
+        (2, base + dt.timedelta(hours=3), "click", 1.0),  # too late
+        (3, base + dt.timedelta(minutes=5), "click", 1.0),  # no impression
+    ]
+    spark.createDataFrame(imps, SCHEMA).write.parquet(imp_src)
+    spark.createDataFrame(clks, SCHEMA).write.parquet(clk_src)
+
+    joined = S.stream_stream_join(
+        S.read_file_stream(spark, imp_src, SCHEMA),
+        S.read_file_stream(spark, clk_src, SCHEMA),
+        key="event_id",
+        watermark="4 hours",
+        max_delay="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id, r_ts FROM funnel").collect()
+    assert [(r.event_id, r.r_ts) for r in rows] == [(1, base + dt.timedelta(minutes=30))]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Retries that re-stamp the timestamp still dedup on the business key
+    (dropDuplicatesWithinWatermark), where ts-inclusive dedup would not."""
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base, "view", 1.0),
+        (1, base + dt.timedelta(minutes=5), "view", 1.0),  # retry, fresh ts
+        (2, base + dt.timedelta(minutes=1), "view", 1.0),
+    ]
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+    deduped = S.stream_dedup_within_watermark(
+        S.read_file_stream(spark, src, SCHEMA), ["event_id"], watermark="1 hour"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_wm").collect())
+    assert got == [1, 2]
