@@ -24,21 +24,25 @@ def word_ngrams(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str
     tokens).  1-based ``element_at`` indexing so the SQL oracle's 1-based
     list indexing is the same expression.
 
-    Scale: explode → distinct shuffles (doc_id, gram) pairs once; at
-    100 TB gram strings could be hashed (xxhash64) before the shuffle to
-    shrink the payload — kept as strings here so overlaps are auditable.
+    Scale: per-document dedup happens ROW-LOCALLY (``array_distinct``
+    before the explode), so producing (doc_id, gram) pairs is a pure
+    narrow stage — no ``distinct`` shuffle.  A downstream aggregation by
+    doc_id is then the corpus's only wide stage.  At 100 TB gram strings
+    could additionally be hashed (xxhash64) before any join to shrink the
+    payload — kept as strings here so overlaps are auditable.
     """
-    parts = [F.element_at(F.col("_toks"), F.col("i") + j) for j in range(n)]
-    gram = F.concat_ws(" ", *parts)
+    toks = F.col("_toks")
+    grams_arr = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    ))
     return (
         docs.select(
             id_col,
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0).alias("_toks"),
         )
         .filter(F.size("_toks") >= n)
-        .select(id_col, F.explode(F.sequence(F.lit(1), F.size("_toks") - (n - 1))).alias("i"), "_toks")
-        .select(id_col, gram.alias("gram"))
-        .distinct()
+        .select(id_col, F.explode(grams_arr).alias("gram"))
     )
 
 
@@ -154,17 +158,62 @@ def pack_contiguous(
     layout.  Documents may straddle a boundary; ``offset_in_bin`` +
     ``n_tokens`` tells the consumer where.
 
-    One global window sort — at 100 TB this becomes a range-partitioned
-    sort on (id), which Spark executes as sample + range exchange; the
-    running sum itself is a single window pass.
+    A global running sum is NOT computed with a global window (a
+    ``Window.orderBy`` with no partition key collapses to a
+    SinglePartition exchange — the one shape that cannot scale).  Instead
+    it is the classic distributed prefix sum:
+
+    1. range-partition + sort by id (parallel sample + range exchange),
+    2. partition-local cumulative sums via Arrow ``mapInPandas`` — no
+       shuffle, vectorized, carries only (id, n_tokens),
+    3. per-partition totals (map-side-combined, ~one row per partition)
+       get their own prefix offsets on a driver-sized frame and broadcast
+       back — the fact side is never shuffled again.
+
+    The local frame is persisted so both plan branches (totals + final
+    join) see the SAME partition assignment — re-sampling the range
+    exchange per branch could otherwise skew offsets.
     """
+    import pandas as pd
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
-    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return (
+    base = (
         docs.select(F.col(id_col), n_tokens.alias("n_tokens"))
+        .repartitionByRange(id_col)
+        .sortWithinPartitions(id_col)
+    )
+
+    def local_cumsum(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in batches:
+            before = pdf["n_tokens"].cumsum().shift(fill_value=0) + seen
+            seen = int(before.iloc[-1] + pdf["n_tokens"].iloc[-1]) if len(pdf) else seen
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_tokens": pdf["n_tokens"],
+                    "pid": pid,
+                    "local_before": before.astype("int64"),
+                }
+            )
+
+    local = base.mapInPandas(
+        local_cumsum, f"{id_col} long, n_tokens int, pid int, local_before long"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
+    pw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.select(
+        "pid", F.coalesce(F.sum("ptotal").over(pw), F.lit(0)).alias("poffset")
+    )
+    cum_before = F.col("poffset") + F.col("local_before")
+    return (
+        local.join(F.broadcast(prefix), "pid")
         .select(
             id_col,
             "n_tokens",
