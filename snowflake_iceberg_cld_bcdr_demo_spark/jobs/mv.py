@@ -97,3 +97,138 @@ def read_or_build(
     ):
         refresh_mv(spark, cat, namespace, view)
     return cat.load(MV_NS, view)
+
+
+# -- incremental refresh ----------------------------------------------
+
+#: date_key-carrying fact sources per MV.  ``campaigns`` is a dimension:
+#: a campaign change fans out to every date that campaign served, so any
+#: campaigns delta forces a full refresh instead of a partition patch.
+_FACT_SOURCES: dict[str, list[str]] = {
+    "v_impressions_daily": ["impressions"],
+    "v_clicks_daily": ["clicks"],
+    "v_conversions_daily": ["conversions"],
+    "v_campaign_performance": ["impressions", "clicks", "conversions"],
+    # v_campaigns_summary is dim-rooted → always full.
+}
+
+
+def _cursor_path(cat: LakehouseCatalog, view: str) -> str:
+    import os
+
+    return os.path.join(cat.warehouse, MV_NS, f"_{view}.cursors.json")
+
+
+def _read_cursors(cat: LakehouseCatalog, view: str) -> dict | None:
+    import json
+    import os
+
+    p = _cursor_path(cat, view)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_cursors(cat: LakehouseCatalog, namespace: str, view: str) -> None:
+    """Record, per base table, the snapshot id + table uuid the MV now
+    reflects (atomic rename, like the manifest)."""
+    import json
+    import os
+
+    cursors = {
+        tbl: {
+            "snapshot_id": cat.snapshots(namespace, tbl)[-1].snapshot_id,
+            "table_uuid": cat.table_uuid(namespace, tbl),
+        }
+        for tbl in V.BASE_TABLES
+        if cat.table_exists(namespace, tbl)
+    }
+    p = _cursor_path(cat, view)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cursors, f)
+    os.replace(tmp, p)
+
+
+def refresh_incremental(
+    spark: SparkSession,
+    cat: LakehouseCatalog,
+    namespace: str,
+    view: str,
+    source_prefix: str = "cld",
+) -> dict:
+    """Refresh an MV by recomputing ONLY the ``date_key`` partitions its
+    fact-source deltas touched (exact for every aggregate — AVG and
+    COUNT DISTINCT included — because changed partitions are recomputed
+    from scratch, not merged).
+
+    Decision ladder per refresh:
+    - no previous cursor / dim (campaigns) delta / source lineage reset →
+      full refresh (safe fallback),
+    - fact deltas only → changed dates = union of ``date_key`` values in
+      the deltas (driver-sized: dates, not rows); the view SQL re-runs
+      with ``date_key IN (changed)`` — partition-pruned at the fact scan —
+      and `replace_partitions` swaps the results in,
+    - no deltas at all → no-op.
+
+    At 100 TB this is the difference between re-aggregating the full fact
+    history every cycle and touching yesterday's partitions: compute is
+    proportional to new data, like Snowflake's own MV maintenance."""
+    from ..streaming.events import incremental_snapshot_read
+    from .sync import register_catalog_tables
+
+    t0 = time.time()
+    facts = _FACT_SOURCES.get(view)
+    cursors = _read_cursors(cat, view)
+    if facts is None or cursors is None or not cat.table_exists(MV_NS, view):
+        out = refresh_mv(spark, cat, namespace, view)
+        _write_cursors(cat, namespace, view)
+        return {**out, "mode": "full", "changed_partitions": None}
+
+    # Dim drift or lineage reset → full.
+    for tbl in V.BASE_TABLES:
+        cur = cursors.get(tbl)
+        if cur is None or cat.table_uuid(namespace, tbl) != cur["table_uuid"]:
+            out = refresh_mv(spark, cat, namespace, view)
+            _write_cursors(cat, namespace, view)
+            return {**out, "mode": "full", "changed_partitions": None}
+    if facts and "campaigns" not in facts:
+        camp_delta, _ = incremental_snapshot_read(
+            cat, namespace, "campaigns", cursors["campaigns"]["snapshot_id"]
+        )
+        if camp_delta is not None:
+            out = refresh_mv(spark, cat, namespace, view)
+            _write_cursors(cat, namespace, view)
+            return {**out, "mode": "full", "changed_partitions": None}
+
+    changed: set[str] = set()
+    for tbl in facts:
+        delta, _latest = incremental_snapshot_read(
+            cat, namespace, tbl, cursors[tbl]["snapshot_id"]
+        )
+        if delta is not None:
+            changed.update(r.date_key for r in delta.select("date_key").distinct().collect())
+    if not changed:
+        return {
+            "mv": view,
+            "mode": "noop",
+            "rows": cat.snapshots(MV_NS, view)[-1].row_count,
+            "changed_partitions": 0,
+            "execution_time_ms": int((time.time() - t0) * 1000),
+        }
+
+    from pyspark.sql import functions as F
+
+    sources = register_catalog_tables(spark, cat, namespace, source_prefix)
+    patch = spark.sql(V.render(view, sources)).filter(F.col("date_key").isin(sorted(changed)))
+    cat.replace_partitions(MV_NS, view, patch, "date_key", sorted(changed))
+    _write_cursors(cat, namespace, view)
+    return {
+        "mv": view,
+        "mode": "incremental",
+        "rows": cat.snapshots(MV_NS, view)[-1].row_count,
+        "changed_partitions": len(changed),
+        "execution_time_ms": int((time.time() - t0) * 1000),
+    }

@@ -290,6 +290,27 @@ class LakehouseCatalog:
         manifest = self._read_manifest(namespace, table)
         return self._commit(namespace, table, manifest, merged, "replace")
 
+    def replace_partitions(
+        self, namespace: str, table: str, df: DataFrame, partition_col: str, values: list
+    ) -> Snapshot:
+        """Partition-scoped copy-on-write (Iceberg dynamic partition
+        overwrite): current rows whose ``partition_col`` is in ``values``
+        are replaced by ``df``; every other partition carries over into a
+        fresh ``replace`` snapshot (time travel preserved).
+
+        The incremental-MV refresh primitive: callers recompute only the
+        partitions their source deltas touched and swap them in.  Scale:
+        the carried-over side is a pruned scan (``partition_col NOT IN``)
+        of an aggregate-sized table; the expensive fact aggregation was
+        already limited to the changed partitions by the caller."""
+        from pyspark.sql import functions as F
+
+        current = self.load(namespace, table)
+        kept = current.filter(~F.col(partition_col).isin(values))
+        merged = kept.unionByName(df, allowMissingColumns=False)
+        manifest = self._read_manifest(namespace, table)
+        return self._commit(namespace, table, manifest, merged, "replace")
+
     def compact(
         self, namespace: str, table: str, target_file_partitions: int | None = None
     ) -> Snapshot:
@@ -645,14 +666,31 @@ class LakehouseCatalog:
         ]
         dir_cols = manifest.get("dir_columns", {})
         schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
-        # One multi-path read (not a unionAll chain): Spark builds a single
-        # file index, so partition pruning/pushdown span all snapshots.
-        # mergeSchema only when dirs actually differ — it costs extra
-        # footer reads at planning time, so don't pay it on the common path.
-        reader = self.spark.read.option("basePath", self._table_path(namespace, table))
-        if len(schemas) > 1:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
+        if manifest["partition_by"] and len(paths) > 1:
+            # Hive-partitioned dirs can't share one basePath across
+            # multiple snapshot roots (Spark's partition discovery rejects
+            # the non-partition data-dir level: CONFLICTING_DIRECTORY_
+            # STRUCTURES).  Read each snapshot dir rooted at itself and
+            # union; filter/column pushdown applies per branch and
+            # partition pruning still reaches each scan.
+            from functools import reduce
+
+            parts = [
+                self.spark.read.option("basePath", p).parquet(p) for p in paths
+            ]
+            df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=len(schemas) > 1),
+                parts,
+            )
+        else:
+            # One multi-path read (not a unionAll chain): Spark builds a
+            # single file index, so pruning/pushdown span all snapshots.
+            # mergeSchema only when dirs actually differ — it costs extra
+            # footer reads at planning time; don't pay it on the common path.
+            reader = self.spark.read.option("basePath", self._table_path(namespace, table))
+            if len(schemas) > 1:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*paths)
         # partitionBy moves partition columns to the end on read; restore
         # the snapshot's declared column order.
         cols = list(snap.get("columns") or manifest.get("columns") or [])

@@ -156,12 +156,19 @@ def incremental_snapshot_read(
     if not new_dirs:
         return None, latest
     import os
+    from functools import reduce
 
     base = catalog._table_path(namespace, table)
-    df = catalog.spark.read.option("basePath", base).parquet(
-        *[os.path.join(base, d) for d in new_dirs]
-    )
-    return df, latest
+    # One read per data dir, each rooted at that dir: hive-partitioned
+    # dirs (date_key=...) keep their partition column without the
+    # data-dir level confusing partition discovery across snapshots.
+    parts = [
+        catalog.spark.read.option("basePath", os.path.join(base, d)).parquet(
+            os.path.join(base, d)
+        )
+        for d in new_dirs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts), latest
 
 
 def stream_stream_join(

@@ -381,3 +381,23 @@ def test_data_skipping_survives_maintenance(spark, cat):
     cat.expire_snapshots("db", "t", keep_last=1)
     live = {d for s in [cat.current_snapshot("db", "t")] for d in s.data_dirs}
     assert set(cat._read_manifest("db", "t")["dir_stats"]) == live
+
+
+def test_partitioned_append_reads_and_prunes_across_snapshots(spark, cat):
+    """Appending to a hive-partitioned table must stay readable (multiple
+    snapshot roots can't share one basePath — per-dir reads union) and
+    keep partition pruning at each scan."""
+    import contextlib
+    import io
+
+    cat.create_table("db", "pa", _df(spark, 30), partition_by=["date_key"])
+    cat.append("db", "pa", _df(spark, 9, start=100))
+    df = cat.load("db", "pa")
+    assert df.count() == 39
+    assert set(df.columns) == {"id", "bucket", "date_key"}
+    filtered = df.filter(F.col("date_key") == "2024-01-01")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain(extended=False)
+    assert "PartitionFilters" in buf.getvalue()
+    assert filtered.count() == 10 + 3

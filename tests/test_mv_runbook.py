@@ -94,3 +94,38 @@ def test_runbook_reference_schedule(spark, stack):
     assert sched.tasks["schema_drift_check"].last_result["status"] == "NO_DRIFT"
     results = bcdr.validate_consistency(spark, primary, secondary, "advertising")
     assert all(r["verdict"] == "MATCH" for r in results)
+
+
+def test_incremental_refresh_patches_changed_dates(spark, stack):
+    cat = stack["cat"]
+    view = "v_impressions_daily"
+    out = mv.refresh_incremental(spark, cat, "advertising", view)
+    assert out["mode"] == "full"  # first call seeds cursors
+
+    out = mv.refresh_incremental(spark, cat, "advertising", view)
+    assert out["mode"] == "noop" and out["changed_partitions"] == 0
+
+    # append new impressions for exactly one date → one patched partition
+    extra = generate_all(
+        spark, GeneratorConfig(num_campaigns=2, impressions_per_campaign=40, seed=11)
+    )["impressions"]
+    one_date = extra.select("date_key").distinct().limit(1).collect()[0].date_key
+    cat.append("advertising", "impressions", extra.filter(F.col("date_key") == one_date))
+    out = mv.refresh_incremental(spark, cat, "advertising", view)
+    assert out["mode"] == "incremental"
+    assert out["changed_partitions"] == 1
+
+    # patched MV equals a from-scratch rebuild over current sources
+    import snowflake_iceberg_cld_bcdr_demo_spark.adtech.views as V2
+
+    cur = {t: cat.load("advertising", t) for t in V2.BASE_TABLES}
+    live = V2.build(spark, view, cur)
+    got = cat.load(mv.MV_NS, view)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, live.collect()))
+
+    # a dimension (campaigns) delta forces the safe full fallback
+    cat.append("advertising", "campaigns", cat.load("advertising", "campaigns").limit(1))
+    out = mv.refresh_incremental(spark, cat, "advertising", view)
+    assert out["mode"] == "full"
+    # and the replace history is time-travelable (incremental patch = snapshot)
+    assert len([s for s in cat.snapshots(mv.MV_NS, view)]) >= 1
