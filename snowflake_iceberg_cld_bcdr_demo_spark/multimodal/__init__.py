@@ -14,6 +14,7 @@ from .media import (
     byte_features,
     decode_images,
     frame_sample_plan,
+    pack_shards,
     resize_images,
     synthesize_assets,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "byte_features",
     "decode_images",
     "frame_sample_plan",
+    "pack_shards",
     "resize_images",
     "synthesize_assets",
 ]

@@ -303,3 +303,46 @@ def frame_sample_plan(df: DataFrame, every_s: float = 10.0) -> DataFrame:
             (F.col("frame_no").cast("double") * every_s).alias("timestamp_s"),
         )
     )
+
+
+def pack_shards(
+    df: DataFrame,
+    target_shard_bytes: int = 1 << 20,
+    num_writers: int = 16,
+    id_col: str = "asset_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Assign assets to size-bounded output shards (the WebDataset/tar
+    sharding step of a multimodal export): within each writer partition,
+    assets are scanned in id order and appended to the current shard
+    until it would exceed ``target_shard_bytes``; oversized assets get a
+    shard of their own.
+
+    Only (id, nbytes) enters the Python worker — the binary payload never
+    leaves the JVM; a downstream writer joins the assignment back and
+    writes shard files with ``partitionBy("shard_id")``.  Writers pack
+    independently (shard ids are ``writer * 2^32 + seq``), so the scan
+    parallelizes across the cluster exactly like greedy sequence packing
+    (`operators/corpus.py::pack_greedy` — same first-fit contract)."""
+    writer = (F.crc32(F.col(id_col).cast("string")) % num_writers).cast("int")
+    base = df.select(
+        F.col(id_col),
+        writer.alias("writer"),
+        F.length(F.col(content_col)).alias("nbytes"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        shards, fill, cur = [], 0, 0
+        for nb in pdf["nbytes"]:
+            if fill > 0 and fill + nb > target_shard_bytes:
+                cur += 1
+                fill = 0
+            shards.append(cur)
+            fill += nb
+        pdf["shard_id"] = pdf["writer"].astype("int64") * (1 << 32) + pd.Series(shards)
+        return pdf[[id_col, "nbytes", "shard_id"]]
+
+    return base.groupBy("writer").applyInPandas(
+        pack, f"{id_col} string, nbytes long, shard_id long"
+    )

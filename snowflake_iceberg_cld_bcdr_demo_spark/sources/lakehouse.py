@@ -47,6 +47,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -86,6 +87,73 @@ def _truncated_bounds(lo: str, hi: str, limit: int = STATS_MAX_STRING):
             return lo_t, "".join(chars)
         chars.pop()
     return None
+
+
+#: Iceberg partition transforms supported in a partition spec entry.
+#: ``parse_partition_spec`` turns ``["months(ship_date)", "bucket(8, id)",
+#: "region"]`` into field descriptors; identity entries pass through.
+_TRANSFORM_RE = re.compile(
+    r"^\s*(years|months|days|hours|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+
+def parse_partition_spec(spec: list[str]) -> list[dict]:
+    """Parse partition-spec entries into field descriptors:
+    ``{"transform", "col", "param", "field"}`` where ``field`` is the
+    physical partition column (the source column itself for identity,
+    a derived ``_p_…`` column for transforms — Iceberg hidden
+    partitioning: queries never mention the derived field)."""
+    out = []
+    for entry in spec or []:
+        m = _TRANSFORM_RE.match(entry)
+        if not m:
+            out.append({"transform": "identity", "col": entry, "param": None, "field": entry})
+            continue
+        t, param, col = m.group(1), m.group(2), m.group(3)
+        if t in ("bucket", "truncate") and param is None:
+            raise ValueError(f"{t}() requires a width/count parameter: {entry!r}")
+        out.append(
+            {
+                "transform": t,
+                "col": col,
+                "param": int(param) if param else None,
+                "field": f"_p_{t}_{col}",
+            }
+        )
+    return out
+
+
+def transform_expr(transform: str, param: int | None, source, integral: bool = False):
+    """The derived-partition-value expression for one transform, applied
+    to any column/literal expression (Iceberg transform semantics:
+    temporal transforms count units since 1970; bucket hashes; truncate
+    floors).  Used identically at write time (derive the partition
+    column) and at read time (fold a filter literal through the
+    transform for partition pruning).  ``integral`` selects integer
+    truncate (floor to a multiple of W) over string truncate (W-char
+    prefix)."""
+    d = F.to_date(source)
+    if transform == "years":
+        return F.year(d) - 1970
+    if transform == "months":
+        return (F.year(d) - 1970) * 12 + F.month(d) - 1
+    if transform == "days":
+        return F.datediff(d, F.lit("1970-01-01"))
+    if transform == "hours":
+        return F.floor(F.unix_timestamp(F.to_timestamp(source)) / 3600).cast("int")
+    if transform == "bucket":
+        return F.pmod(F.xxhash64(source), F.lit(param)).cast("int")
+    if transform == "truncate":
+        if integral:
+            return source - F.pmod(source, F.lit(param))
+        return F.substring(source, 1, param)
+    raise ValueError(f"unknown transform {transform!r}")
+
+
+#: transforms where the derived value is monotone in the source value →
+#: range predicates fold through (with <,> relaxed to <=,>=); bucket is
+#: hash-based, so only equality/IN prune.
+_MONOTONE_TRANSFORMS = {"years", "months", "days", "hours", "truncate"}
 
 
 @dataclass(frozen=True)
@@ -458,9 +526,27 @@ class LakehouseCatalog:
         obs = Observation()
         stat_exprs, stat_kinds = self._stats_exprs(df)
         observed = df.observe(obs, F.count(F.lit(1)).alias("rows"), *stat_exprs)
+        # Hidden partitioning: derive transform partition columns (months/
+        # days/bucket/truncate specs) on the fly; identity specs partition
+        # on the source column directly.  Derived `_p_…` columns live only
+        # in the physical layout — load() strips them.
+        pcols = []
+        dtypes = dict(df.dtypes)
+        for fld in parse_partition_spec(manifest["partition_by"]):
+            if fld["transform"] == "identity":
+                pcols.append(fld["field"])
+            else:
+                integral = dtypes.get(fld["col"], "").startswith(_STATS_NUMERIC)
+                observed = observed.withColumn(
+                    fld["field"],
+                    transform_expr(
+                        fld["transform"], fld["param"], F.col(fld["col"]), integral
+                    ),
+                )
+                pcols.append(fld["field"])
         writer = observed.write.mode("overwrite")
-        if manifest["partition_by"]:
-            writer = writer.partitionBy(*manifest["partition_by"])
+        if pcols:
+            writer = writer.partitionBy(*pcols)
         writer.parquet(out)
         metrics = obs.get
         added = int(metrics["rows"])
@@ -691,12 +777,50 @@ class LakehouseCatalog:
             if len(schemas) > 1:
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*paths)
+        # Transform-aware partition pruning (hidden partitioning): fold
+        # each filter literal through the spec's transform so the derived
+        # `_p_…` partition column gets a constant predicate — Spark turns
+        # it into a PartitionFilter and skips whole partition dirs.  Range
+        # ops fold only through monotone transforms (< and > relax to the
+        # coarse <= / >=); bucket is hash-based, so only = / IN prune.
+        spec_fields = parse_partition_spec(manifest["partition_by"])
+        derived = {f["col"]: f for f in spec_fields if f["transform"] != "identity"}
+        for col, op, val in filters or []:
+            fld = derived.get(col)
+            if fld is None or fld["field"] not in df.columns:
+                continue
+
+            # cast the literal to the source column's exact type first:
+            # bucket's xxhash64 is type-sensitive (int 7 and bigint 7
+            # hash differently), and integer truncate needs integral math
+            src_type = dict(df.dtypes)[col]
+
+            def tv(v, _fld=fld, _t=src_type):
+                lit = F.lit(v).cast(_t)
+                return transform_expr(
+                    _fld["transform"], _fld["param"], lit, _t.startswith(_STATS_NUMERIC)
+                )
+
+            field = F.col(fld["field"])
+            mono = fld["transform"] in _MONOTONE_TRANSFORMS
+            if op in ("=", "=="):
+                df = df.filter(field == tv(val))
+            elif op == "in":
+                from functools import reduce as _reduce
+
+                df = df.filter(_reduce(lambda a, b: a | b, [field == tv(v) for v in val]))
+            elif mono and op in ("<", "<="):
+                df = df.filter(field <= tv(val))
+            elif mono and op in (">", ">="):
+                df = df.filter(field >= tv(val))
         # partitionBy moves partition columns to the end on read; restore
-        # the snapshot's declared column order.
+        # the snapshot's declared column order and strip derived partition
+        # fields (hidden partitioning: they never reach the user).
+        derived_names = {f["field"] for f in derived.values()}
         cols = list(snap.get("columns") or manifest.get("columns") or [])
         ordered = [c for c in cols if c in df.columns]
-        extras = [c for c in df.columns if c not in cols]
-        if ordered and list(df.columns) != ordered + extras:
+        extras = [c for c in df.columns if c not in cols and c not in derived_names]
+        if list(df.columns) != ordered + extras:
             df = df.select(*ordered, *extras)
         for col, op, val in filters or []:
             c = F.col(col)

@@ -401,3 +401,66 @@ def test_partitioned_append_reads_and_prunes_across_snapshots(spark, cat):
         filtered.explain(extended=False)
     assert "PartitionFilters" in buf.getvalue()
     assert filtered.count() == 10 + 3
+
+
+def _explain(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(extended=False)
+    return buf.getvalue()
+
+
+def test_hidden_partition_transforms(spark, cat):
+    """Iceberg-style transform specs: months()/bucket() derive physical
+    partition columns the user never sees; filters on the SOURCE column
+    fold through the transform into PartitionFilters."""
+    df = spark.range(40).select(
+        F.col("id"),
+        F.concat(
+            F.lit("2024-0"), (F.col("id") % 4 + 1).cast("string"), F.lit("-15")
+        ).alias("event_date"),
+        (F.col("id") % 7).alias("val"),
+    )
+    cat.create_table(
+        "db", "ht", df, partition_by=["months(event_date)", "bucket(4, id)"]
+    )
+    snap_dir = os.path.join(cat.warehouse, "db", "ht", "data-00001")
+    assert any(d.startswith("_p_months_event_date=") for d in os.listdir(snap_dir))
+
+    out = cat.load("db", "ht")
+    assert set(out.columns) == {"id", "event_date", "val"}  # derived cols hidden
+    assert out.count() == 40
+
+    # month-range filter folds to a PartitionFilter on the derived column
+    filtered = cat.load("db", "ht", filters=[("event_date", ">=", "2024-03-01")])
+    plan = _explain(filtered)
+    assert "_p_months_event_date" in plan and "PartitionFilters" in plan
+    expect = df.filter(F.col("event_date") >= "2024-03-01")
+    assert sorted(map(tuple, filtered.collect())) == sorted(map(tuple, expect.collect()))
+
+    # bucket equality prunes to one bucket dir
+    one = cat.load("db", "ht", filters=[("id", "=", 7)])
+    assert "_p_bucket_id" in _explain(one)
+    assert [r.id for r in one.collect()] == [7]
+
+    # appends derive the same layout; reads stay correct across snapshots
+    extra = spark.range(100, 110).select(
+        F.col("id"), F.lit("2024-02-02").alias("event_date"), F.lit(0).alias("val")
+    )
+    cat.append("db", "ht", extra)
+    feb = cat.load("db", "ht", filters=[("event_date", ">=", "2024-02-01"), ("event_date", "<", "2024-03-01")])
+    assert feb.count() == 10 + 10  # 10 original %4==1 rows + 10 appended
+
+
+def test_truncate_transform_int_and_string(spark, cat):
+    df = spark.range(20).select(
+        F.col("id"), F.concat(F.lit("SKU-"), F.col("id").cast("string")).alias("sku")
+    )
+    cat.create_table("db", "tt", df, partition_by=["truncate(5, id)", "truncate(4, sku)"])
+    out = cat.load("db", "tt", filters=[("id", ">=", 10)])
+    assert out.count() == 10
+    assert "_p_truncate_id" in _explain(out)
+    assert set(cat.load("db", "tt").columns) == {"id", "sku"}

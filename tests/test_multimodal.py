@@ -109,3 +109,23 @@ def test_metadata_filter_prunes_before_python(assets):
     plan = buf.getvalue()
     assert "MapInPandas" in plan
     assert "media_type" in plan  # filter present in the scan stage
+
+
+def test_pack_shards_bounds_and_coverage(spark):
+    assets = M.synthesize_assets(spark, 60, seed=3)
+    target = 4096
+    packed = M.pack_shards(assets, target_shard_bytes=target, num_writers=4).cache()
+    # every asset assigned exactly once
+    assert packed.count() == 60
+    assert packed.select("asset_id").distinct().count() == 60
+    fills = packed.groupBy("shard_id").agg(
+        F.sum("nbytes").alias("fill"), F.count(F.lit(1)).alias("n")
+    )
+    # a shard only exceeds the target if it holds one oversized asset
+    assert fills.filter((F.col("fill") > target) & (F.col("n") > 1)).count() == 0
+    # nbytes matches the true payload size (JVM-side length, no bytes in Python)
+    truth = assets.select("asset_id", F.length("content").alias("want"))
+    assert (
+        packed.join(truth, "asset_id").filter(F.col("nbytes") != F.col("want")).count()
+        == 0
+    )
