@@ -455,3 +455,215 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.md5(F.col("o_orderkey").cast("string")).substr(1, 2) < rate
     ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# Round-2 additions: classic TPC-H shapes the testdata supports
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               l.l_extendedprice, l.l_discount
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between a nation PAIR in both
+    directions (disjunctive pair predicate over two nation joins), by
+    ship year.
+
+    Scale: both nation joins broadcast (25 rows); the pair predicate is
+    applied post-join as a residual — at 100 TB the orders⋈lineitem join
+    shuffles on orderkey once, and everything else stays broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dec_sum(dec("l_extendedprice") * one_minus(dec("l_discount"))).alias("revenue"))
+    )
+
+
+@_spec(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by lost (returned) revenue in a
+    quarter.  Scale: date filter pushes to the orders scan, returnflag to
+    the lineitem scan; TakeOrderedAndProject caps the result at 20 rows
+    executor-side — no global sort materializes."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dec_sum(dec("l_extendedprice") * one_minus(dec("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_spec(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                         ELSE 0 END) AS DOUBLE) * 100
+               / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type revenue share in a month (conditional
+    decimal sums, ONE double division at the end — numeric contract).
+    Scale: part broadcasts; the month filter pushes to the lineitem scan,
+    so the join input is one month of the fact."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * one_minus(dec("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((promo * 100 / F.sum(rev).cast("double")).alias("promo_revenue_pct"))
+    )
+
+
+@_spec(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp bridged via lineitem): distinct supplier
+    count per (brand, size) with NOT/IN exclusions.  Scale: the part-side
+    predicates prune before the broadcast join; exact COUNT(DISTINCT)
+    dedups map-side on (brand, size, suppkey) before the final shuffle."""
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@_spec(
+    "gap_fill_daily_orders",
+    """
+    WITH spine AS (
+        SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS order_date
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-02-01'
+        GROUP BY 1
+    )
+    SELECT s.order_date,
+           COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN daily d USING (order_date)
+    """,
+)
+def gap_fill_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: a generated calendar LEFT-joined to the
+    daily rollup, zero-filling silent days (the time-series hygiene step
+    dashboards need — missing days must read 0, not vanish).
+
+    Scale: the spine is generated (31 rows — broadcast by construction);
+    the fact aggregates down to per-day rows before the join, so the join
+    cost is O(days), independent of fact size."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-02-01")
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("order_date")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum(dec("o_totalprice")).alias("revenue"),
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit("1995-01-01").cast("date"), F.lit("1995-01-31").cast("date"))
+        ).alias("order_date")
+    )
+    return spine.join(daily, "order_date", "left").select(
+        "order_date",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )
