@@ -263,3 +263,49 @@ def pack_greedy(
         return pdf[["doc_id", "n_tokens", "bin_id"]]
 
     return base.groupBy("shard").applyInPandas(pack, "doc_id long, n_tokens int, bin_id long")
+
+
+def corpus_flags(docs: DataFrame, near_dup_pairs: DataFrame) -> DataFrame:
+    """Per-document keep/drop flags for the three independent dedup/quality
+    gates of a pre-training corpus pipeline:
+
+    - ``q_keep`` — passes the rule-based quality filter,
+    - ``e_keep`` — canonical (min doc_id) for its exact-text fingerprint,
+    - ``c_keep`` — canonical (min doc_id) of its near-dup cluster.
+
+    Gates are computed independently over the full corpus and intersected,
+    so the decision for any document is order-free and reproducible —
+    shard-parallel with no cross-stage sequencing."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint, token_count
+    from . import dedup, textops
+
+    q = textops.quality_filter(docs).select("doc_id", F.col("keep").alias("q_keep"))
+    e = docs.select("doc_id", fingerprint(F.col("text")).alias("_fp")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp"))).alias("e_keep"),
+    )
+    clusters = dedup.neardup_clusters(docs, near_dup_pairs)
+    c = clusters.select(
+        "doc_id", (F.col("doc_id") == F.col("cluster_id")).alias("c_keep")
+    )
+    tok = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return q.join(e, "doc_id").join(c, "doc_id").join(tok, "doc_id")
+
+
+def prepare_corpus(
+    docs: DataFrame, near_dup_pairs: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end corpus preparation: quality gate ∩ exact dedup ∩
+    near-dup dedup, then PII scrubbing of the survivors.  Returns
+    ``(clean_docs, flags)`` — clean_docs carries ``clean_text`` plus the
+    redaction audit counts; flags is the full per-document decision table
+    (for the one-row report, aggregate it).
+
+    Scrubbing runs LAST so the regex projection only touches survivors
+    (dedup fingerprints hash the original text on both engines)."""
+    flags = corpus_flags(docs, near_dup_pairs)
+    kept = flags.filter(F.col("q_keep") & F.col("e_keep") & F.col("c_keep"))
+    survivors = docs.join(kept.select("doc_id"), "doc_id")
+    return pii_scrub(survivors), flags

@@ -755,3 +755,78 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine-to-reconstruction) — the 4x storage-reduction step before ANN
     indexing, computed as three deterministic dot products, no shuffle."""
     return similarity.quantize_error_stats(table(spark, sf_dir, "embeddings"))
+
+
+@_spec(
+    "corpus_pipeline_report",
+    f"""
+    WITH RECURSIVE {_DUP_EDGE_CTES},
+    q AS (
+        SELECT doc_id,
+               ((n_tokens >= 5 AND n_tokens <= 10000)
+                AND COALESCE(mtl_raw >= 2.0 AND mtl_raw <= 12.0, FALSE)
+                AND COALESCE(punct_ratio <= 0.2, FALSE)
+                AND COALESCE(digit_ratio <= 0.2, FALSE)) AS q_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       / CAST(NULLIF(length(regexp_extract_all(text, '\\S+')), 0) AS DOUBLE)
+                       AS mtl_raw,
+                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / CAST(NULLIF(length(text), 0) AS DOUBLE) AS punct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / CAST(NULLIF(length(text), 0) AS DOUBLE) AS digit_ratio
+            FROM documents
+        ) m
+    ),
+    fpp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS e_keep
+        FROM fpp
+    ),
+    cflag AS (SELECT doc_id, doc_id = cluster_id AS c_keep FROM clusters),
+    tok AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    flags AS (
+        SELECT d.doc_id, q.q_keep, e.e_keep, cflag.c_keep, tok.n_tokens
+        FROM documents d
+        JOIN q USING (doc_id) JOIN e USING (doc_id)
+        JOIN cflag USING (doc_id) JOIN tok USING (doc_id)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+           CAST(SUM(CASE WHEN NOT e_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(CASE WHEN NOT c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           CAST(SUM(CASE WHEN q_keep AND e_keep AND c_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN q_keep AND e_keep AND c_keep THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS tokens_kept
+    FROM flags
+    """,
+)
+def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the full corpus-preparation pipeline: input size,
+    documents dropped by each independent gate (quality rules, exact-text
+    fingerprint, near-dup cluster), survivors, and surviving token count.
+    The gates compute independently over the corpus and intersect, so the
+    decision set is order-free (operators/corpus.py::corpus_flags)."""
+    docs, pairs = _dup_pairs(spark, sf_dir)
+    flags = corpus.corpus_flags(docs, pairs)
+    kept = F.col("q_keep") & F.col("e_keep") & F.col("c_keep")
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("q_keep")).cast("long")).alias("n_quality_fail"),
+        F.sum((~F.col("e_keep")).cast("long")).alias("n_exact_dups"),
+        F.sum((~F.col("c_keep")).cast("long")).alias("n_near_dups"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0).cast("long")).alias("tokens_kept"),
+    )

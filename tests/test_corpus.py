@@ -125,3 +125,28 @@ def test_quantize_reconstruction_quality(spark):
     bad = stats.filter((F.col("cos_recon") < 0.999) | (F.col("mse") > 1e-3)).count()
     assert bad == 0
     assert stats.count() == emb.count()  # no zero vectors in testdata
+
+
+def test_prepare_corpus_end_to_end(spark, docs):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    pairs = dedup.minhash_similarity(docs, k=8, num_hashes=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clean, flags = corpus.prepare_corpus(docs, pairs)
+    clean = clean.cache()
+    flags = flags.cache()
+    n_kept = flags.filter(F.col("q_keep") & F.col("e_keep") & F.col("c_keep")).count()
+    assert clean.count() == n_kept > 0
+    assert {"clean_text", "n_email", "n_long_number"} <= set(clean.columns)
+    # survivors have no duplicate normalized texts left
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.text import fingerprint
+
+    survivors = docs.join(clean.select("doc_id"), "doc_id")
+    fp_counts = (
+        survivors.select(fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .count()
+        .filter(F.col("count") > 1)
+    )
+    assert fp_counts.count() == 0
