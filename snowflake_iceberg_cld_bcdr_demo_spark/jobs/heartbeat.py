@@ -57,8 +57,26 @@ def secondary_heartbeat(
     tables = cld.list_tables(namespace)
     counts = {}
     try:
-        for tbl in tables:
-            counts[tbl] = cld.load(namespace, tbl).count()
+        # ONE union-of-counts job instead of a sequential per-table driver
+        # loop: Spark runs the per-table aggregate branches concurrently,
+        # so a namespace with hundreds of tables validates in parallel
+        # (the reference loops table-by-table, `31:289-305` — same
+        # numbers, better schedule).
+        if tables:
+            from functools import reduce
+
+            import pyspark.sql.functions as F
+
+            branches = [
+                cld.load(namespace, t)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(t).alias("t"), "n")
+                for t in tables
+            ]
+            counts = {
+                r.t: r.n
+                for r in reduce(lambda a, b: a.unionAll(b), branches).collect()
+            }
         empty = [t for t, n in counts.items() if n == 0]
         checks.append(
             dict(

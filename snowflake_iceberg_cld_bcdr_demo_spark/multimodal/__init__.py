@@ -11,6 +11,7 @@ partitioning, feature extraction on raw bytes — is real and tested.
 
 from .media import (
     MEDIA_SCHEMA,
+    audio_segment_plan,
     byte_features,
     decode_images,
     frame_sample_plan,
@@ -21,6 +22,7 @@ from .media import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "audio_segment_plan",
     "byte_features",
     "decode_images",
     "frame_sample_plan",

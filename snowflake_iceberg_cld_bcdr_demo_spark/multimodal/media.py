@@ -346,3 +346,40 @@ def pack_shards(
     return base.groupBy("writer").applyInPandas(
         pack, f"{id_col} string, nbytes long, shard_id long"
     )
+
+
+def audio_segment_plan(
+    df: DataFrame, segment_s: float = 30.0, overlap_s: float = 5.0
+) -> DataFrame:
+    """Segmentation plan for audio assets: one row per (start, end)
+    window to transcribe/embed, computed from metadata alone — pure
+    Catalyst, no decode, mirroring :func:`frame_sample_plan`.  Windows
+    advance by ``segment_s - overlap_s`` (ASR-style overlap so no speech
+    is lost at boundaries); the final window is clamped to the clip end.
+    The actual resample/transcode would be a mapInPandas over
+    (asset_id, start_s, end_s) with the codec import-gated like
+    :func:`decode_images`."""
+    if overlap_s >= segment_s:
+        raise ValueError("overlap_s must be smaller than segment_s")
+    stride = segment_s - overlap_s
+    audio = df.filter(
+        (F.col("media_type") == "audio") & F.col("metadata.duration_s").isNotNull()
+    )
+    last_seg = F.floor(
+        F.greatest(F.col("metadata.duration_s") - overlap_s, F.lit(0.0)) / stride
+    ).cast("int")
+    start = F.col("segment_no").cast("double") * stride
+    return (
+        audio.select(
+            "asset_id",
+            F.col("metadata.duration_s").alias("_dur"),
+            F.explode(F.sequence(F.lit(0), last_seg)).alias("segment_no"),
+        )
+        .filter(start < F.col("_dur"))
+        .select(
+            "asset_id",
+            "segment_no",
+            start.alias("start_s"),
+            F.least(start + segment_s, F.col("_dur")).alias("end_s"),
+        )
+    )

@@ -622,6 +622,94 @@ class LakehouseCatalog:
             f"append to {namespace}.{table} lost {COMMIT_RETRIES} commit races"
         )
 
+    def rollback_to_snapshot(self, namespace: str, table: str, snapshot_id: int) -> Snapshot:
+        """Iceberg ``rollback_to_snapshot``: make an earlier snapshot the
+        current table state by committing a NEW head snapshot that
+        references the old snapshot's data dirs — metadata-only (no data
+        is read or written), history is preserved, and the rollback is
+        itself time-travelable."""
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            target = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
+            sid = len(manifest["snapshots"]) + 1
+            snap = {
+                "snapshot_id": sid,
+                "committed_at": time.time(),
+                "operation": "rollback",
+                "row_count": target["row_count"],
+                "added_rows": 0,
+                "data_dirs": list(target["data_dirs"]),
+                "columns": list(target.get("columns") or manifest.get("columns") or []),
+                "batch_id": None,
+            }
+            candidate = dict(manifest)
+            candidate["snapshots"] = [*manifest["snapshots"], snap]
+            candidate["columns"] = snap["columns"]
+            try:
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
+            except FileExistsError:
+                continue
+            return Snapshot(
+                sid, snap["committed_at"], "rollback", snap["row_count"],
+                tuple(snap["data_dirs"]), 0, tuple(snap["columns"]), None,
+            )
+        raise CommitConflictError(
+            f"rollback of {namespace}.{table} lost {COMMIT_RETRIES} commit races"
+        )
+
+    def metadata_table(self, namespace: str, table: str, kind: str = "snapshots") -> DataFrame:
+        """Iceberg metadata tables as DataFrames (``table$snapshots`` /
+        ``$files`` / ``$history`` / ``$partitions`` analogs) — queryable
+        operational metadata without touching data files.  Driver-sized by
+        construction: the manifest is O(snapshots), never O(files)."""
+        manifest = self._read_manifest(namespace, table)
+        snaps = manifest["snapshots"]
+        if kind == "snapshots":
+            rows = [
+                (
+                    s["snapshot_id"],
+                    float(s["committed_at"]),
+                    s["operation"],
+                    s["row_count"],
+                    s.get("added_rows", s["row_count"]),
+                    len(s["data_dirs"]),
+                    s.get("batch_id"),
+                    bool(s.get("expired", False)),
+                )
+                for s in snaps
+            ]
+            schema = (
+                "snapshot_id int, committed_at double, operation string, "
+                "total_rows bigint, added_rows bigint, n_data_dirs int, "
+                "batch_id long, expired boolean"
+            )
+        elif kind == "files":
+            stats = manifest.get("dir_stats", {})
+            rows = [
+                (d, list(cols), json.dumps(stats.get(d, {}), sort_keys=True))
+                for d, cols in sorted(manifest.get("dir_columns", {}).items())
+            ]
+            schema = "data_dir string, columns array<string>, column_bounds string"
+        elif kind == "history":
+            current = snaps[-1]["snapshot_id"] if snaps else None
+            rows = [
+                (float(s["committed_at"]), s["snapshot_id"], s["snapshot_id"] == current)
+                for s in snaps
+            ]
+            schema = "made_current_at double, snapshot_id int, is_current boolean"
+        elif kind == "partitions":
+            rows = [
+                (f["field"], f["transform"], f["col"], f["param"])
+                for f in parse_partition_spec(manifest["partition_by"])
+            ]
+            schema = "field string, transform string, source_column string, param int"
+        else:
+            raise ValueError(
+                f"unknown metadata table {kind!r} "
+                "(expected snapshots|files|history|partitions)"
+            )
+        return self.spark.createDataFrame(rows, schema)
+
     def drop_table(self, namespace: str, table: str) -> None:
         import shutil
 
@@ -692,11 +780,32 @@ class LakehouseCatalog:
         return {"kept": kept, "skipped": skipped}
 
     def _resolve_snapshot(
-        self, manifest: dict, namespace: str, table: str, snapshot_id: int | None
+        self,
+        manifest: dict,
+        namespace: str,
+        table: str,
+        snapshot_id: int | None,
+        as_of_timestamp: float | None = None,
     ) -> dict:
         snaps = manifest["snapshots"]
         if not snaps:
             raise ValueError(f"{namespace}.{table} has no snapshots")
+        if as_of_timestamp is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
+            eligible = [s for s in snaps if s["committed_at"] <= as_of_timestamp]
+            if not eligible:
+                raise ValueError(
+                    f"{namespace}.{table}: no snapshot committed at or before "
+                    f"{as_of_timestamp} (earliest: {snaps[0]['committed_at']})"
+                )
+            snap = eligible[-1]
+            if snap.get("expired"):
+                raise ValueError(
+                    f"{namespace}.{table}: snapshot {snap['snapshot_id']} at that "
+                    "timestamp has been expired"
+                )
+            return snap
         if snapshot_id is None:
             return snaps[-1]
         if not 1 <= snapshot_id <= len(snaps):
@@ -718,6 +827,7 @@ class LakehouseCatalog:
         table: str,
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
+        as_of_timestamp: float | None = None,
     ) -> DataFrame:
         """Read a table at the current (or a historical) snapshot.
 
@@ -735,7 +845,10 @@ class LakehouseCatalog:
         results never depend on stats and Spark still pushes them to the
         parquet row-group level (the second pruning tier)."""
         manifest = self._read_manifest(namespace, table)
-        snap = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
+        snap = self._resolve_snapshot(
+            manifest, namespace, table, snapshot_id, as_of_timestamp
+        )
+        snapshot_id = snap["snapshot_id"]
         read_dirs = list(snap["data_dirs"])
         if filters:
             read_dirs = self.prune_preview(namespace, table, filters, snapshot_id)["kept"]

@@ -464,3 +464,50 @@ def test_truncate_transform_int_and_string(spark, cat):
     assert out.count() == 10
     assert "_p_truncate_id" in _explain(out)
     assert set(cat.load("db", "tt").columns) == {"id", "sku"}
+
+
+def test_time_travel_by_timestamp_and_rollback(spark, cat):
+    import time as _time
+
+    cat.create_table("db", "tv", _df(spark, 5))
+    t_after_create = _time.time()
+    _time.sleep(0.05)
+    cat.append("db", "tv", _df(spark, 3, start=100))
+
+    # TIMESTAMP AS OF resolves to the snapshot current at that instant
+    old = cat.load("db", "tv", as_of_timestamp=t_after_create)
+    assert old.count() == 5
+    assert cat.load("db", "tv").count() == 8
+    with pytest.raises(ValueError, match="no snapshot committed"):
+        cat.load("db", "tv", as_of_timestamp=1.0)
+    with pytest.raises(ValueError, match="not both"):
+        cat.load("db", "tv", snapshot_id=1, as_of_timestamp=t_after_create)
+
+    # rollback: new head references snapshot 1's data, metadata-only
+    snap = cat.rollback_to_snapshot("db", "tv", 1)
+    assert snap.operation == "rollback" and snap.snapshot_id == 3
+    assert cat.load("db", "tv").count() == 5
+    # pre-rollback state still reachable (history preserved)
+    assert cat.load("db", "tv", snapshot_id=2).count() == 8
+
+
+def test_metadata_tables(spark, cat):
+    cat.create_table("db", "meta", _df(spark, 6), partition_by=["months(date_key)"])
+    cat.append("db", "meta", _df(spark, 2, start=50))
+
+    snaps = cat.metadata_table("db", "meta", "snapshots")
+    assert [r.operation for r in snaps.collect()] == ["create", "append"]
+    assert [r.total_rows for r in snaps.collect()] == [6, 8]
+
+    files = cat.metadata_table("db", "meta", "files")
+    assert files.count() == 2  # one dir per snapshot
+    assert all("date_key" in r.columns for r in files.collect())
+
+    hist = cat.metadata_table("db", "meta", "history").collect()
+    assert [h.is_current for h in hist] == [False, True]
+
+    parts = cat.metadata_table("db", "meta", "partitions").collect()
+    assert parts[0].transform == "months" and parts[0].source_column == "date_key"
+
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        cat.metadata_table("db", "meta", "nope")

@@ -129,3 +129,28 @@ def test_pack_shards_bounds_and_coverage(spark):
         packed.join(truth, "asset_id").filter(F.col("nbytes") != F.col("want")).count()
         == 0
     )
+
+
+def test_audio_segment_plan_covers_duration(assets):
+    segs = M.audio_segment_plan(assets, segment_s=30.0, overlap_s=5.0).cache()
+    rows = segs.collect()
+    assert rows, "testdata contains audio assets"
+    durs = {
+        r.asset_id: r.metadata.duration_s
+        for r in assets.filter(F.col("media_type") == "audio").collect()
+    }
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    for aid, ss in by_asset.items():
+        ss.sort(key=lambda r: r.segment_no)
+        assert ss[0].start_s == 0.0
+        assert abs(ss[-1].end_s - durs[aid]) < 1e-9  # last window reaches the end
+        for a, b in zip(ss, ss[1:]):
+            assert b.start_s - a.start_s == 25.0  # stride = segment - overlap
+            assert a.end_s > b.start_s or a.end_s == durs[aid]  # overlap maintained
+        for r in ss:
+            assert r.end_s - r.start_s <= 30.0 + 1e-9
+
+    with pytest.raises(ValueError):
+        M.audio_segment_plan(assets, segment_s=5.0, overlap_s=5.0)
