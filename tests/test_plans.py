@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: the scale properties PLANS.md
+documents, asserted so a refactor can't silently reintroduce a shuffle,
+lose a broadcast, or collapse to a single partition.  Complements the
+value-level oracle gate (which can't see plan quality)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.bucketing import exchange_count
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERY_SPECS[name].build(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["chunk_documents", "pii_scrub", "embedding_quantize_error", "token_count",
+     "text_quality", "lang_id", "doc_fingerprint"],
+)
+def test_narrow_ops_have_zero_exchanges(spark, name):
+    """The zero-shuffle contract: these run at parquet-scan speed at any
+    scale — one narrow stage, no Exchange of any kind."""
+    df = QUERY_SPECS[name].build(spark, SF_SMALL)
+    assert exchange_count(df) == 0
+    assert "BroadcastExchange" not in _plan(spark, name)
+
+
+@pytest.mark.parametrize(
+    ("name", "max_exchanges"),
+    [
+        ("q1_pricing_summary", 1),   # partial agg → single shuffle
+        ("dedup_exact_groups", 1),   # one shuffle on md5(text)
+        ("decontaminate_eval_overlap", 2),  # corpus agg + tiny eval-vocab distinct
+        ("gap_fill_daily_orders", 1),  # daily rollup only; spine broadcasts
+    ],
+)
+def test_shuffle_budgets(spark, name, max_exchanges):
+    df = QUERY_SPECS[name].build(spark, SF_SMALL)
+    assert exchange_count(df) <= max_exchanges
+
+
+@pytest.mark.parametrize("name", ["q3_top_orders", "q5_region_revenue", "q7_volume_shipping"])
+def test_dim_joins_broadcast(spark, name):
+    """Dimension joins must be broadcast at test scale — a missing
+    broadcast here would mean a fact-sized shuffle at every scale."""
+    assert "BroadcastExchange" in _plan(spark, name)
+
+
+def test_pack_contiguous_never_single_partitions_the_fact(spark):
+    """The distributed prefix sum's contract: the fact side moves through
+    a range exchange (parallel), never a SinglePartition exchange — the
+    only SinglePartition allowed is the per-partition-totals window
+    (~shuffle-partition-count rows)."""
+    spark.catalog.clearCache()  # other tests persist this frame; plan must
+    # be judged on the uncached shape
+    plan = _plan(spark, "pack_contiguous")
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    # the per-partition-totals window is the only single-partition stage
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_ann_cosine_topk_uses_take_ordered(spark):
+    """Exact ANN baseline must not globally sort the corpus: top-k is a
+    per-partition reduction (TakeOrderedAndProject)."""
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert exchange_count(QUERY_SPECS["ann_cosine_topk"].build(spark, SF_SMALL)) == 0
