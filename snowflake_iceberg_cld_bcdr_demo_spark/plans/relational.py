@@ -1091,3 +1091,99 @@ def interval_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_context"), F.lit(0)).cast("long").alias("n_context"),
         )
     )
+
+
+@_spec(
+    "funnel_conversion",
+    """
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS step_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_click_after_view,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase_after_click
+    FROM f
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase): per-user FIRST
+    timestamp of each step via MIN(CASE) pivots, then ordered-step
+    counts.  The sequential-pattern shape product analytics needs beyond
+    the reference's per-type rollups.
+
+    Scale: one shuffle on user_id with map-side combined MIN partials
+    (state: 3 timestamps per user), then a scalar aggregate — shuffle
+    volume is O(users), never O(events).  NULL comparison semantics
+    (missing step → not counted) are identical in both engines."""
+    ev = table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    f = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    click_after = reached_view & (F.col("t_click") > F.col("t_view"))
+    purchase_after = click_after & (F.col("t_purchase") > F.col("t_click"))
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("step_view"),
+        F.sum(click_after.cast("long")).alias("step_click_after_view"),
+        F.sum(purchase_after.cast("long")).alias("step_purchase_after_click"),
+    )
+
+
+@_spec(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+        FROM events
+    )
+    SELECT f.cohort_week,
+           CAST((epoch(a.act_week) - epoch(f.cohort_week)) / 604800 AS INTEGER)
+               AS weeks_since,
+           COUNT(*) AS n_active
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted
+    in every later week they were active — the (cohort, weeks-since)
+    retention matrix.
+
+    Scale: first-seen is one O(users) aggregation; the distinct
+    (user, week) activity grid is one more shuffle whose volume is
+    bounded by users × weeks, not events; the final join co-partitions on
+    user_id.  Week arithmetic is done on epoch seconds of week-truncated
+    timestamps (exactly divisible by 604800), so the integer division is
+    exact in both engines."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    weeks_since = (
+        (F.col("act_week").cast("long") - F.col("cohort_week").cast("long")) / 604800
+    ).cast("int")
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_week", weeks_since.alias("weeks_since"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
