@@ -309,3 +309,49 @@ def prepare_corpus(
     kept = flags.filter(F.col("q_keep") & F.col("e_keep") & F.col("c_keep"))
     survivors = docs.join(kept.select("doc_id"), "doc_id")
     return pii_scrub(survivors), flags
+
+
+def mixture_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic data-mixture sampling: keep a target fraction of each
+    source (the mixture-weighting step of corpus assembly — e.g. upweight
+    curated sources, downsample web crawl).
+
+    Documents are ranked within their group by ``md5(id)`` — a stable
+    pseudo-random order reproducible in any engine — and the top
+    ``ceil(fraction × group_size)`` survive.  Exact per-group quotas
+    (unlike Bernoulli ``sample()``, which only hits the fraction in
+    expectation) and fully deterministic re-runs.
+
+    Scale: one window shuffle on the group key.  Group counts ride the
+    same window (``count over partition``), so there is no separate
+    counting pass.  Skewed groups (a giant web source) are bounded by the
+    window sort within each partition; for pathological single-source
+    corpora, pre-salt the group key and merge quotas downstream.
+    """
+    from pyspark.sql import Window
+
+    frac = F.coalesce(
+        *[
+            F.when(F.col(group_col) == k, F.lit(float(v)))
+            for k, v in sorted(fractions.items())
+        ],
+        F.lit(float(default_fraction)),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    wc = Window.partitionBy(group_col)
+    ranked = docs.select(
+        id_col,
+        group_col,
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n_group"),
+    )
+    quota = F.ceil(F.col("n_group") * frac).cast("bigint")
+    return ranked.filter(F.col("rk") <= quota).select(
+        id_col, group_col, F.col("rk").cast("int").alias("rk"), "n_group"
+    )

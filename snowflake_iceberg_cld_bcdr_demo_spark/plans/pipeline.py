@@ -830,3 +830,34 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("long")).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0).cast("long")).alias("tokens_kept"),
     )
+
+
+@_spec(
+    "mixture_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_group
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS INTEGER) AS rk, n_group
+    FROM ranked
+    WHERE rk <= CAST(ceil(n_group * (CASE source
+                                     WHEN 'src0' THEN 1.0
+                                     WHEN 'src1' THEN 0.5
+                                     WHEN 'src2' THEN 0.2
+                                     ELSE 0.1 END)) AS BIGINT)
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: exact deterministic per-source quotas
+    (keep all of src0, half of src1, 20% of src2, 10% of the rest) via
+    md5-ranked windows — reproducible sampling with exact group sizes,
+    one window shuffle on the group key."""
+    return corpus.mixture_sample(
+        table(spark, sf_dir, "documents"),
+        {"src0": 1.0, "src1": 0.5, "src2": 0.2},
+        default_fraction=0.1,
+    )

@@ -150,3 +150,16 @@ def test_prepare_corpus_end_to_end(spark, docs):
         .filter(F.col("count") > 1)
     )
     assert fp_counts.count() == 0
+
+
+def test_mixture_sample_exact_quotas_and_determinism(docs):
+    out = corpus.mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.0
+    ).cache()
+    by_src = {r.source: r.n for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["src0"] == sizes["src0"]  # keep-all source
+    assert by_src["src1"] == -(-sizes["src1"] // 2)  # exact ceil quota
+    assert set(by_src) == {"src0", "src1"}  # default 0.0 drops the rest
+    again = corpus.mixture_sample(docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.0)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
