@@ -145,3 +145,62 @@ def quality_filter(
         ok_digit.alias("ok_digit"),
         (ok_len & F.coalesce(ok_tok, F.lit(False)) & ok_punct & ok_digit).alias("keep"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters):
+
+    - ``distinct_token_frac`` — distinct tokens / tokens (row-local),
+    - ``top_token_frac`` — share of the single most frequent token,
+    - ``top_bigram_frac`` — share of the most frequent in-doc bigram.
+
+    Highly repetitive machine-generated text scores low distinct fraction
+    / high top-gram share and gets filtered before training.
+
+    Scale: the distinct fraction is computed row-locally (array ops, no
+    shuffle).  The top-gram shares explode to (doc, gram) pairs that
+    combine map-side into counts — the shuffle carries distinct grams per
+    doc, and the per-doc MAX rides the same aggregation key, so each
+    signal costs one bounded shuffle on doc_id."""
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    base = docs.select("doc_id", toks.alias("_toks")).filter(F.size("_toks") > 0)
+    row_local = base.select(
+        "doc_id",
+        F.size("_toks").alias("n_tokens"),
+        (F.size(F.array_distinct("_toks")).cast("double") / F.size("_toks")).alias(
+            "distinct_token_frac"
+        ),
+    )
+
+    def top_gram_frac(gram_col, out_name: str) -> DataFrame:
+        counts = (
+            base.select("doc_id", F.explode(gram_col).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.groupBy("doc_id").agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(out_name)
+        )
+
+    bigrams = F.when(
+        F.size("_toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array())
+    top_tok = top_gram_frac(F.col("_toks"), "top_token_frac")
+    top_bi = top_gram_frac(bigrams, "top_bigram_frac")
+    return (
+        row_local.join(top_tok, "doc_id")
+        .join(top_bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_token_frac",
+            "top_token_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        )
+    )

@@ -861,3 +861,47 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 1.0, "src1": 0.5, "src2": 0.2},
         default_fraction=0.1,
     )
+
+
+@_spec(
+    "repetition_stats",
+    """
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    nz AS (SELECT * FROM base WHERE len(t) > 0),
+    row_local AS (
+        SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+               CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_token_frac
+        FROM nz
+    ),
+    tokc AS (
+        SELECT doc_id, g, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(t) AS g FROM nz) u GROUP BY doc_id, g
+    ),
+    tokf AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+        FROM tokc GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+        FROM nz WHERE len(t) >= 2
+    ),
+    bigc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY doc_id, g),
+    bigf AS (
+        SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac
+        FROM bigc GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.n_tokens, r.distinct_token_frac, tokf.top_token_frac,
+           COALESCE(bigf.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM row_local r
+    JOIN tokf USING (doc_id)
+    LEFT JOIN bigf USING (doc_id)
+    """,
+)
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token
+    fraction (row-local), top-token share, top-bigram share — the
+    repetitive-text gate of a pre-training quality pipeline."""
+    return textops.repetition_stats(table(spark, sf_dir, "documents"))

@@ -163,3 +163,21 @@ def test_mixture_sample_exact_quotas_and_determinism(docs):
     assert set(by_src) == {"src0", "src1"}  # default 0.0 drops the rest
     again = corpus.mixture_sample(docs, {"src0": 1.0, "src1": 0.5}, default_fraction=0.0)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_repetition_stats_flags_repetitive_text(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "a completely varied sentence with distinct words only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textops.repetition_stats(df).collect()}
+    assert rows[1].distinct_token_frac == 1 / 6
+    assert rows[1].top_token_frac == 1.0
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[2].distinct_token_frac == 1.0
+    assert rows[2].top_token_frac == 1 / 8
