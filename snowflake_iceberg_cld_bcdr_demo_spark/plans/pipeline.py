@@ -905,3 +905,58 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction (row-local), top-token share, top-bigram share — the
     repetitive-text gate of a pre-training quality pipeline."""
     return textops.repetition_stats(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_crosscheck",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    cos AS (
+        SELECT p.doc_a, p.doc_b,
+               list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                CAST(eb.embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(ea.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[]))))
+                   AS cosine_sim
+        FROM pairs p
+        JOIN embeddings ea ON p.doc_a = ea.vec_id
+        JOIN embeddings eb ON p.doc_b = eb.vec_id
+    )
+    SELECT doc_a, doc_b, cosine_sim, cosine_sim >= 0.9 AS semantic_agrees
+    FROM cos
+    """,
+)
+def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-vs-semantic dedup cross-check: for every MinHash/LSH
+    candidate pair, the embedding cosine between the two documents
+    (vec_id aligns with doc_id in the testdata) and whether the semantic
+    signal corroborates the lexical one — the audit view for tuning
+    near-dup thresholds.
+
+    Scale: candidate pairs are LSH-bounded (sub-quadratic); the two
+    embedding joins shuffle only the pair list against the embedding
+    table, and the cosine is the same deterministic JVM fold the ANN
+    operators use."""
+    from ..functions.vectors import cosine
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.char_shingles(docs, k=8), num_hashes=16),
+        bands=4,
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_eb"))
+    sim = cosine(F.col("_ea"), F.col("_eb"))
+    return (
+        pairs.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            sim.alias("cosine_sim"),
+            (sim >= 0.9).alias("semantic_agrees"),
+        )
+    )
