@@ -181,3 +181,28 @@ def test_repetition_stats_flags_repetitive_text(spark):
     assert rows[1].top_bigram_frac == 1.0
     assert rows[2].distinct_token_frac == 1.0
     assert rows[2].top_token_frac == 1 / 8
+
+
+def test_corpus_to_lakehouse_roundtrip(spark, docs, tmp_path):
+    """Integration: prepared corpus lands in a lakehouse table under a
+    hidden bucket partition spec; doc_id lookups prune to one bucket."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import LakehouseCatalog
+
+    pairs = dedup.minhash_similarity(docs, k=8, num_hashes=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clean, _flags = corpus.prepare_corpus(docs, pairs)
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("corpus", "clean_docs", clean, partition_by=["bucket(8, doc_id)"])
+
+    out = cat.load("corpus", "clean_docs")
+    assert out.count() == clean.count()
+    assert "_p_bucket_doc_id" not in out.columns  # hidden partitioning
+
+    some_id = out.select("doc_id").limit(1).collect()[0].doc_id
+    one = cat.load("corpus", "clean_docs", filters=[("doc_id", "=", some_id)])
+    assert one.count() == 1
+    # the filter folded through the bucket transform into a PartitionFilter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "_p_bucket_doc_id" in plan
