@@ -622,6 +622,38 @@ class LakehouseCatalog:
             f"append to {namespace}.{table} lost {COMMIT_RETRIES} commit races"
         )
 
+    def remove_orphan_files(
+        self, namespace: str, table: str, older_than_s: float = 3600.0
+    ) -> dict:
+        """Iceberg ``remove_orphan_files``: delete data dirs on disk that
+        no snapshot (live or expired) references — the residue of writers
+        that wrote their data dir but then lost every commit retry
+        (:meth:`_commit` writes data BEFORE the manifest CAS, exactly like
+        Iceberg, so a crashed/raced writer can strand a dir).
+
+        ``older_than_s`` is the safety grace period (default 1 h): dirs
+        younger than it are kept because an in-flight writer may be about
+        to commit them.  Returns the deleted and kept-young dir lists."""
+        import shutil
+
+        manifest = self._read_manifest(namespace, table)
+        referenced = {d for s in manifest["snapshots"] for d in s["data_dirs"]}
+        base = self._table_path(namespace, table)
+        now = time.time()
+        deleted, kept_young = [], []
+        for entry in sorted(os.listdir(base)):
+            path = os.path.join(base, entry)
+            if not os.path.isdir(path) or not entry.startswith("data-"):
+                continue
+            if entry in referenced:
+                continue
+            if now - os.path.getmtime(path) < older_than_s:
+                kept_young.append(entry)
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            deleted.append(entry)
+        return {"deleted": deleted, "kept_young": kept_young}
+
     def rollback_to_snapshot(self, namespace: str, table: str, snapshot_id: int) -> Snapshot:
         """Iceberg ``rollback_to_snapshot``: make an earlier snapshot the
         current table state by committing a NEW head snapshot that

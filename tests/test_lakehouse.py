@@ -511,3 +511,27 @@ def test_metadata_tables(spark, cat):
 
     with pytest.raises(ValueError, match="unknown metadata table"):
         cat.metadata_table("db", "meta", "nope")
+
+
+def test_remove_orphan_files(spark, cat):
+    """A data dir written by a writer that never committed (lost CAS
+    race / crash) is deleted once past the grace period; referenced dirs
+    and fresh uncommitted dirs survive."""
+    cat.create_table("db", "orph", _df(spark, 5))
+    cat.append("db", "orph", _df(spark, 3, start=50))
+    base = os.path.join(cat.warehouse, "db", "orph")
+
+    # simulate a stranded writer: claimed dir, wrote data, never committed
+    stale = os.path.join(base, "data-00099")
+    os.makedirs(stale)
+    old = 10_000.0
+    os.utime(stale, (os.path.getmtime(stale) - old, os.path.getmtime(stale) - old))
+    fresh = os.path.join(base, "data-00098")
+    os.makedirs(fresh)
+
+    out = cat.remove_orphan_files("db", "orph", older_than_s=3600.0)
+    assert out["deleted"] == ["data-00099"]
+    assert out["kept_young"] == ["data-00098"]
+    assert not os.path.exists(stale) and os.path.exists(fresh)
+    # table contents untouched
+    assert cat.load("db", "orph").count() == 8
