@@ -70,9 +70,16 @@ def build_reference_schedule(
     sched.add("schema_drift_check", _drift_check, DRIFT_CHECK_INTERVAL_S)
 
     if with_mv_refresh:
+        # Incremental per MV: on a 5-minute cadence only the date_key
+        # partitions touched since the last cycle recompute (full rebuild
+        # happens automatically on first run / dim drift / lineage reset —
+        # see mv.refresh_incremental's decision ladder).
         sched.add(
             "mv_refresh",
-            lambda: mv.refresh_all(spark, primary.catalog, namespace),
+            lambda: [
+                mv.refresh_incremental(spark, primary.catalog, namespace, v)
+                for v in mv.V.AGGREGATE_VIEWS
+            ],
             SYNC_INTERVAL_S,
         )
     return sched

@@ -129,3 +129,18 @@ def test_incremental_refresh_patches_changed_dates(spark, stack):
     assert out["mode"] == "full"
     # and the replace history is time-travelable (incremental patch = snapshot)
     assert len([s for s in cat.snapshots(mv.MV_NS, view)]) >= 1
+
+
+def test_runbook_incremental_mv_refresh_task(spark, stack):
+    wh = stack["wh"]
+    primary = bcdr.make_account(spark, wh, "p2", role="primary")
+    secondary = bcdr.make_account(spark, wh, "s2", role="replica")
+    sched = runbook.build_reference_schedule(
+        spark, primary, secondary, "advertising", with_mv_refresh=True
+    )
+    assert "mv_refresh" in sched.tasks
+    sched.tick(now=0.0)
+    assert sched.tasks["mv_refresh"].last_error is None
+    # first cycle seeds cursors (full); an immediate second cycle is a noop
+    out = mv.refresh_incremental(spark, primary.catalog, "advertising", "v_clicks_daily")
+    assert out["mode"] == "noop"
