@@ -1187,3 +1187,97 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", weeks_since.alias("weeks_since"))
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@_spec(
+    "customer_order_gaps",
+    """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS gap_days
+        FROM orders
+    )
+    SELECT o_custkey,
+           COUNT(gap_days) AS n_gaps,
+           CAST(SUM(gap_days) AS DOUBLE) / COUNT(gap_days) AS avg_gap_days,
+           MIN(gap_days) AS min_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM gaps
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    ORDER BY avg_gap_days DESC, o_custkey
+    LIMIT 25
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order intervals per customer (LAG over the per-customer
+    order timeline) rolled up to gap statistics — the repeat-purchase
+    cadence analysis.  One shuffle on custkey serves both the window and
+    the aggregation (same partitioning, no second exchange); day diffs on
+    date-level timestamps are exact integers, and the mean is one double
+    division (numeric contract)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+    gaps = o.select("o_custkey", gap.alias("gap_days")).filter(
+        F.col("gap_days").isNotNull()
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("gap_days").alias("n_gaps"),
+            (F.sum("gap_days").cast("double") / F.count("gap_days")).alias("avg_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .orderBy(F.col("avg_gap_days").desc(), "o_custkey")
+        .limit(25)
+    )
+
+
+@_spec(
+    "region_revenue_share",
+    """
+    WITH per_region AS (
+        SELECT r.r_name,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    )
+    SELECT r_name,
+           CAST(ROUND(rev, 2) AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS revenue_share
+    FROM per_region
+    """,
+)
+def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: per-region revenue over the corpus total via an
+    unpartitioned window over the ALREADY-REDUCED region rollup (5 rows —
+    the single-partition window is driver-sized by construction, unlike a
+    window over the fact).  Decimal sums, one double division per row."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    per_region = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("rev"))
+    )
+    total = Window.partitionBy()
+    return per_region.select(
+        "r_name",
+        F.round(F.col("rev"), 2).cast("double").alias("revenue"),
+        (F.col("rev").cast("double") / F.sum("rev").over(total).cast("double")).alias(
+            "revenue_share"
+        ),
+    )
