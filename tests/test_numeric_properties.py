@@ -90,3 +90,30 @@ def test_known_boundary_case(sparkm):
     # the naive double path is allowed to agree here — the point is the
     # decimal path is exact by construction
     assert not math.isnan(naive)
+
+
+def test_pack_contiguous_matches_naive_prefix_sum(spark):
+    """Property: the distributed prefix-sum packing must equal the naive
+    sequential layout for adversarial size mixes (zeros, giants, runs of
+    equal ids are impossible — ids unique — but unsorted input order and
+    skewed sizes are the risk surfaces)."""
+    import random
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    rng = random.Random(7)
+    rows = [
+        (i, "w " * rng.choice([0, 1, 3, 40, 511, 512, 513, 2000]))
+        for i in rng.sample(range(10_000), 400)
+    ]
+    rng.shuffle(rows)  # arrival order != id order
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.bin_id, r.offset_in_bin)
+        for r in corpus.pack_contiguous(df, budget_tokens=256).collect()
+    }
+    cum = 0
+    for doc_id, text in sorted(rows):
+        n = len(text.split())
+        assert got[doc_id] == (n, cum // 256, cum % 256)
+        cum += n
