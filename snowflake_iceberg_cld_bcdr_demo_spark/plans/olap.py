@@ -410,3 +410,21 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") / F.col("n")).alias("share"),
         )
     )
+
+
+@_spec("heavy_hitters_approx", None)
+def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent users via Spark's mergeable FreqItems sketch
+    (Karp-Papadimitriou-Shenker): single pass, fixed memory per
+    partition, partial sketches merged on the driver — the scale path
+    when the exact `heavy_hitter_users` rollup is too hot.  Guarantee:
+    every item above the support threshold IS in the result (possible
+    false positives, no false negatives) — asserted against the exact
+    counts in tests/test_olap.py.  Rows-only by design (sketch contents
+    depend on merge order)."""
+    ev = table(spark, sf_dir, "events")
+    fi = ev.freqItems(["user_id"], support=0.01)
+    return (
+        fi.select(F.explode("user_id_freqItems").alias("user_id"))
+        .orderBy("user_id")
+    )

@@ -8,6 +8,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from snowflake_iceberg_cld_bcdr_demo_spark.plans import olap
+
+from .conftest import SF_MED
 from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
 
 SF = "/root/testdata/sf0.01"
@@ -71,3 +73,23 @@ def test_pivot_explicit_values_single_job(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_heavy_hitters_approx_is_superset_of_exact(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    approx = {
+        r.user_id
+        for r in QUERY_SPECS["heavy_hitters_approx"].build(spark, SF_MED).collect()
+    }
+    ev = table(spark, SF_MED, "events")
+    total = ev.count()
+    exact = {
+        r.user_id
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") >= 0.01 * total)
+        .collect()
+    }
+    assert exact <= approx  # no false negatives above the support
