@@ -355,3 +355,40 @@ def mixture_sample(
     return ranked.filter(F.col("rk") <= quota).select(
         id_col, group_col, F.col("rk").cast("int").alias("rk"), "n_group"
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental ingestion dedup: drop arriving documents whose
+    canonical text already exists in the corpus (exact-fingerprint
+    anti-join), then dedup WITHIN the batch (keep min id per
+    fingerprint).  The standard admit gate for append-only corpus
+    ingestion — new snapshots are checked against the accumulated corpus
+    without ever rewriting it.
+
+    Scale: the corpus side reduces to distinct fingerprints (128-bit md5
+    — uniformly distributed join keys, no skew); the anti-join shuffles
+    fingerprints, not text.  At 100 TB keep the corpus fingerprint table
+    as its own compacted lakehouse table (one narrow column) instead of
+    refingerprinting the corpus per batch — the operator takes any
+    fingerprint-bearing frame via ``existing_docs``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
+
+    existing_fp = existing_docs.select(
+        fingerprint(F.col(text_col)).alias("_fp")
+    ).distinct()
+    tagged = new_docs.withColumn("_fp", fingerprint(F.col(text_col)))
+    fresh = tagged.join(existing_fp, "_fp", "left_anti")
+    w = Window.partitionBy("_fp")
+    return (
+        fresh.withColumn("_keep", F.col(id_col) == F.min(id_col).over(w))
+        .filter("_keep")
+        .drop("_fp", "_keep")
+    )

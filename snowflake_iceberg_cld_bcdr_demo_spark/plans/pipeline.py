@@ -960,3 +960,37 @@ def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sim >= 0.9).alias("semantic_agrees"),
         )
     )
+
+
+@_spec(
+    "incremental_dedup_admit",
+    """
+    WITH corpus AS (SELECT * FROM documents WHERE doc_id % 7 != 0),
+    batch AS (SELECT * FROM documents WHERE doc_id % 7 = 0),
+    exfp AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM corpus
+    ),
+    tagged AS (
+        SELECT b.*, md5(trim(regexp_replace(lower(b.text), '\\s+', ' ', 'g'))) AS fp
+        FROM batch b
+    ),
+    fresh AS (
+        SELECT t.* FROM tagged t LEFT JOIN exfp e USING (fp) WHERE e.fp IS NULL
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM fresh
+    QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)
+    """,
+)
+def incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion admit gate: an arriving batch (doc_id % 7
+    == 0 here) anti-joined against the accumulated corpus's exact-text
+    fingerprints, then deduped within the batch — append-only corpus
+    ingestion without rewriting history (operators/corpus.py::
+    incremental_dedup)."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.incremental_dedup(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+    )

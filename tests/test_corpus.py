@@ -206,3 +206,26 @@ def test_corpus_to_lakehouse_roundtrip(spark, docs, tmp_path):
     # the filter folded through the bucket transform into a PartitionFilter
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "_p_bucket_doc_id" in plan
+
+
+def test_incremental_dedup_admits_only_new_texts(spark, docs):
+    """Arriving batch: one doc duplicating the corpus, two copies of one
+    new text, one genuinely new text → exactly two admitted."""
+    existing = docs
+    dup_of_corpus = docs.limit(1).select(
+        F.lit(777_001).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    batch = dup_of_corpus.unionByName(
+        spark.createDataFrame(
+            [
+                (777_002, "a brand new document body", "en", "srcX", 25),
+                (777_003, "a brand new document body", "en", "srcX", 25),
+                (777_004, "another unseen text entirely", "en", "srcX", 28),
+            ],
+            docs.schema,
+        )
+    )
+    admitted = corpus.incremental_dedup(batch, existing)
+    ids = sorted(r.doc_id for r in admitted.collect())
+    assert ids == [777_002, 777_004]
+    assert admitted.columns == docs.columns  # helper cols dropped
