@@ -535,3 +535,28 @@ def test_remove_orphan_files(spark, cat):
     assert not os.path.exists(stale) and os.path.exists(fresh)
     # table contents untouched
     assert cat.load("db", "orph").count() == 8
+
+
+def test_transform_in_list_and_expired_timestamp(spark, cat):
+    import time as _time
+
+    df = spark.range(30).select(
+        F.col("id"),
+        F.concat(
+            F.lit("2024-0"), (F.col("id") % 3 + 1).cast("string"), F.lit("-10")
+        ).alias("d"),
+    )
+    cat.create_table("db", "til", df, partition_by=["months(d)"])
+    t1 = _time.time()
+    cat.append("db", "til", df.withColumn("id", F.col("id") + 100))
+
+    # IN-list folds through the months transform (each literal mapped)
+    out = cat.load("db", "til", filters=[("d", "in", ["2024-01-10", "2024-03-10"])])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_p_months_d" in plan
+    assert out.count() == 2 * 20  # two of three months, both snapshots
+
+    # timestamp travel into an expired snapshot raises clearly
+    cat.expire_snapshots("db", "til", keep_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        cat.load("db", "til", as_of_timestamp=t1)
