@@ -130,13 +130,13 @@ def _read_cursors(cat: LakehouseCatalog, view: str) -> dict | None:
         return json.load(f)
 
 
-def _write_cursors(cat: LakehouseCatalog, namespace: str, view: str) -> None:
-    """Record, per base table, the snapshot id + table uuid the MV now
-    reflects (atomic rename, like the manifest)."""
-    import json
-    import os
-
-    cursors = {
+def _capture_cursors(cat: LakehouseCatalog, namespace: str) -> dict:
+    """Snapshot-id + uuid per base table, captured BEFORE a refresh runs.
+    If a source append lands while the refresh executes, the stale cursor
+    makes the NEXT cycle re-patch those dates (idempotent) instead of
+    silently skipping them — cursors must never run ahead of what the
+    refresh actually read."""
+    return {
         tbl: {
             "snapshot_id": cat.snapshots(namespace, tbl)[-1].snapshot_id,
             "table_uuid": cat.table_uuid(namespace, tbl),
@@ -144,6 +144,13 @@ def _write_cursors(cat: LakehouseCatalog, namespace: str, view: str) -> None:
         for tbl in V.BASE_TABLES
         if cat.table_exists(namespace, tbl)
     }
+
+
+def _write_cursors(cat: LakehouseCatalog, view: str, cursors: dict) -> None:
+    """Persist captured cursors (atomic rename, like the manifest)."""
+    import json
+    import os
+
     p = _cursor_path(cat, view)
     os.makedirs(os.path.dirname(p), exist_ok=True)
     tmp = p + ".tmp"
@@ -182,9 +189,13 @@ def refresh_incremental(
     t0 = time.time()
     facts = _FACT_SOURCES.get(view)
     cursors = _read_cursors(cat, view)
+    # Capture cursors BEFORE any read/refresh: a concurrent append during
+    # the refresh then leaves the cursor behind (next cycle re-patches,
+    # idempotent) rather than ahead (data silently skipped).
+    pre = _capture_cursors(cat, namespace)
     if facts is None or cursors is None or not cat.table_exists(MV_NS, view):
         out = refresh_mv(spark, cat, namespace, view)
-        _write_cursors(cat, namespace, view)
+        _write_cursors(cat, view, pre)
         return {**out, "mode": "full", "changed_partitions": None}
 
     # Dim drift or lineage reset → full.
@@ -192,7 +203,7 @@ def refresh_incremental(
         cur = cursors.get(tbl)
         if cur is None or cat.table_uuid(namespace, tbl) != cur["table_uuid"]:
             out = refresh_mv(spark, cat, namespace, view)
-            _write_cursors(cat, namespace, view)
+            _write_cursors(cat, view, pre)
             return {**out, "mode": "full", "changed_partitions": None}
     if facts and "campaigns" not in facts:
         camp_delta, _ = incremental_snapshot_read(
@@ -200,14 +211,19 @@ def refresh_incremental(
         )
         if camp_delta is not None:
             out = refresh_mv(spark, cat, namespace, view)
-            _write_cursors(cat, namespace, view)
+            _write_cursors(cat, view, pre)
             return {**out, "mode": "full", "changed_partitions": None}
 
     changed: set[str] = set()
+    read_up_to: dict = dict(cursors)
     for tbl in facts:
-        delta, _latest = incremental_snapshot_read(
+        delta, latest = incremental_snapshot_read(
             cat, namespace, tbl, cursors[tbl]["snapshot_id"]
         )
+        read_up_to[tbl] = {
+            "snapshot_id": latest,
+            "table_uuid": cursors[tbl]["table_uuid"],
+        }
         if delta is not None:
             changed.update(r.date_key for r in delta.select("date_key").distinct().collect())
     if not changed:
@@ -224,7 +240,9 @@ def refresh_incremental(
     sources = register_catalog_tables(spark, cat, namespace, source_prefix)
     patch = spark.sql(V.render(view, sources)).filter(F.col("date_key").isin(sorted(changed)))
     cat.replace_partitions(MV_NS, view, patch, "date_key", sorted(changed))
-    _write_cursors(cat, namespace, view)
+    # advance fact cursors only to the snapshots the deltas actually
+    # covered; dims keep their pre-captured position
+    _write_cursors(cat, view, read_up_to)
     return {
         "mv": view,
         "mode": "incremental",

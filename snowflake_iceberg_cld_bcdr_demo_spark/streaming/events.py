@@ -168,7 +168,9 @@ def incremental_snapshot_read(
         )
         for d in new_dirs
     ]
-    return reduce(lambda a, b: a.unionByName(b), parts), latest
+    # allowMissingColumns: delta dirs may span a schema evolution
+    # (append-with-new-column) — older dirs read the missing column as NULL
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts), latest
 
 
 def stream_stream_join(
