@@ -132,11 +132,18 @@ PII_RULES: list[tuple[str, str, str]] = [
 ]
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def pii_scrub(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Regex PII redaction (emails, long digit runs) with per-rule match
     counts for auditability.  One narrow codegen stage; counts are taken
-    against the pre-redaction text, rules applied in declaration order."""
-    cols = [F.col(id_col)]
+    against the pre-redaction text, rules applied in declaration order.
+    ``keep_cols`` pass document metadata (lang, source, …) through
+    unchanged."""
+    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
     redacted = F.col(text_col)
     for rule, pat, repl in PII_RULES:
         cols.append(F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)).alias(f"n_{rule}"))
@@ -308,7 +315,8 @@ def prepare_corpus(
     flags = corpus_flags(docs, near_dup_pairs)
     kept = flags.filter(F.col("q_keep") & F.col("e_keep") & F.col("c_keep"))
     survivors = docs.join(kept.select("doc_id"), "doc_id")
-    return pii_scrub(survivors), flags
+    meta = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
+    return pii_scrub(survivors, keep_cols=meta), flags
 
 
 def mixture_sample(

@@ -229,3 +229,13 @@ def test_incremental_dedup_admits_only_new_texts(spark, docs):
     ids = sorted(r.doc_id for r in admitted.collect())
     assert ids == [777_002, 777_004]
     assert admitted.columns == docs.columns  # helper cols dropped
+
+
+def test_prepare_corpus_preserves_metadata(spark, docs):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    pairs = dedup.minhash_similarity(docs, k=8, num_hashes=16, bands=4).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    clean, _ = corpus.prepare_corpus(docs, pairs)
+    assert {"lang", "source", "n_chars", "clean_text"} <= set(clean.columns)
