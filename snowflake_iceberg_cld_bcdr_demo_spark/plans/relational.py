@@ -1281,3 +1281,66 @@ def region_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+@_spec(
+    "hourly_volume_anomalies",
+    """
+    WITH hourly AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_ts,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT hour_ts, n_events,
+               SUM(n_events) OVER w AS s,
+               SUM(n_events * n_events) OVER w AS sq,
+               COUNT(*) OVER w AS n
+        FROM hourly
+        WINDOW w AS (ORDER BY hour_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_ts, n_events,
+           CASE WHEN n >= 12 AND (n * sq - s * s) > 0
+                THEN (n_events - CAST(s AS DOUBLE) / n)
+                     / sqrt(CAST(n * sq - s * s AS DOUBLE) / (n * n))
+                END AS zscore,
+           COALESCE(n >= 12 AND (n * sq - s * s) > 0
+                    AND abs((n_events - CAST(s AS DOUBLE) / n)
+                            / sqrt(CAST(n * sq - s * s AS DOUBLE) / (n * n))) > 3.0,
+                    FALSE) AS is_anomaly
+    FROM stats
+    """,
+)
+def hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection for the monitoring layer: z-score of each
+    hour's event count against its trailing 24-hour window (needs ≥12
+    history points and non-zero variance; |z| > 3 flags).
+
+    Scale: the fact reduces to hourly counts FIRST (one shuffle, O(hours)
+    rows), so the ordered window runs over a tiny frame — the
+    single-partition window is bounded by the calendar, not the data.
+    Sums/squares stay integer until one double division each (numeric
+    contract); variance via the integer identity n·Σx² − (Σx)²."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.orderBy("hour_ts").rowsBetween(-24, -1)
+    stats = hourly.select(
+        "hour_ts",
+        "n_events",
+        F.sum("n_events").over(w).alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("sq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    n, s, sq = F.col("n"), F.col("s"), F.col("sq")
+    ok = (n >= 12) & ((n * sq - s * s) > 0)
+    z = (F.col("n_events") - s.cast("double") / n) / F.sqrt(
+        (n * sq - s * s).cast("double") / (n * n)
+    )
+    return stats.select(
+        "hour_ts",
+        "n_events",
+        F.when(ok, z).alias("zscore"),
+        F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
+    )
