@@ -38,6 +38,9 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("dedup_exact_groups", 1),   # one shuffle on md5(text)
         ("decontaminate_eval_overlap", 2),  # corpus agg + tiny eval-vocab distinct
         ("gap_fill_daily_orders", 1),  # daily rollup only; spine broadcasts
+        ("funnel_conversion", 2),    # user agg + final scalar fold
+        ("mixture_sample", 1),       # one window shuffle on the group key
+        ("hourly_volume_anomalies", 2),  # hourly rollup + calendar-sized window
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
