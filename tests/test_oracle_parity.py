@@ -34,3 +34,20 @@ def test_rows_only_runs(spark, name):
     df = spec.build(spark, SF_SMALL)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_oracle_bearing_queries_lead_registry_order():
+    """The external driver records a bounded prefix of queries() in
+    CORRECTNESS_r{N}.json — hash-checkable (oracle-bearing) queries must
+    come before rows-only ones so approximate variants never crowd them
+    out of the official record."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    oracles = set(e.oracle_sql())
+    seen_rows_only = False
+    for n in names:
+        if n in oracles:
+            assert not seen_rows_only, f"oracle-bearing {n!r} after a rows-only entry"
+        else:
+            seen_rows_only = True
