@@ -994,3 +994,102 @@ def incremental_dedup_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 7 == 0),
         docs.filter(F.col("doc_id") % 7 != 0),
     )
+
+
+@_spec(
+    "source_quality_profile",
+    """
+    WITH q AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+               ((CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) >= 5
+                 AND CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) <= 10000)
+                AND COALESCE(
+                    length(regexp_replace(text, '\\s', '', 'g'))
+                        / CAST(NULLIF(length(regexp_extract_all(text, '\\S+')), 0) AS DOUBLE)
+                        BETWEEN 2.0 AND 12.0, FALSE)
+                AND COALESCE((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                        / CAST(NULLIF(length(text), 0) AS DOUBLE) <= 0.2, FALSE)
+                AND COALESCE((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                        / CAST(NULLIF(length(text), 0) AS DOUBLE) <= 0.2, FALSE)) AS keep
+        FROM documents
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY f) AS is_canonical
+        FROM fp
+    ),
+    lid AS (
+        SELECT doc_id,
+               CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+                    WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                    WHEN s_fr >= s_es THEN 'fr'
+                    ELSE 'es' END AS pred
+        FROM (
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '(?i)\\b(the|and|of|to|in|is)\\b'))      AS s_en,
+                   length(regexp_extract_all(text, '(?i)\\b(der|die|das|und|nicht|ist)\\b')) AS s_de,
+                   length(regexp_extract_all(text, '(?i)\\b(le|les|des|et|est|une)\\b'))     AS s_fr,
+                   length(regexp_extract_all(text, '(?i)\\b(el|los|las|y|es|una)\\b'))       AS s_es
+            FROM documents
+        ) sc
+    )
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_pass,
+           CAST(SUM(CASE WHEN canon.is_canonical THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_exact_dups,
+           CAST(SUM(CASE WHEN lid.pred = d.lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_agree
+    FROM documents d
+    JOIN q     USING (doc_id)
+    JOIN canon USING (doc_id)
+    JOIN lid   USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance profile: volume, token mass, quality
+    pass rate, exact-dup count, language-label agreement — the table a
+    curator reads before choosing mixture weights (pairs with
+    `mixture_sample`).
+
+    Scale: every per-doc signal is a narrow stage or doc-keyed window;
+    the only wide stages are the fingerprint window and the final
+    O(sources) rollup."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint, predicted_lang, token_count
+
+    docs = table(spark, sf_dir, "documents")
+    q = textops.quality_filter(docs).select("doc_id", "keep")
+    canon = docs.select("doc_id", fingerprint(F.col("text")).alias("_f")).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_f"))).alias(
+            "is_canonical"
+        ),
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        (predicted_lang(F.col("text")) == F.col("lang")).alias("lang_agree"),
+    )
+    return (
+        per_doc.join(q, "doc_id")
+        .join(canon, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("keep").cast("long")).alias("n_quality_pass"),
+            F.sum((~F.col("is_canonical")).cast("long")).alias("n_exact_dups"),
+            F.sum(F.col("lang_agree").cast("long")).alias("n_lang_agree"),
+        )
+    )
