@@ -41,6 +41,8 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("funnel_conversion", 2),    # user agg + final scalar fold
         ("mixture_sample", 1),       # one window shuffle on the group key
         ("hourly_volume_anomalies", 2),  # hourly rollup + calendar-sized window
+        ("asof_click_to_view", 1),   # union-then-window: ONE shuffle, no range self-join
+        ("cohort_retention", 3),     # first-seen agg + activity distinct + rollup
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
