@@ -128,6 +128,7 @@ def chunk_documents(
 #: Regex constructs restricted to the Java/RE2 common subset.
 PII_RULES: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
     ("long_number", r"[0-9]{6,}", "<NUM>"),
 ]
 

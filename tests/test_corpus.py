@@ -109,13 +109,14 @@ def test_decontaminate_excludes_eval_and_flags_dupes(spark, docs):
 
 def test_pii_scrub_redacts(spark):
     df = spark.createDataFrame(
-        [(1, "mail me at jane.doe+x@example.com or call 5551234567 ext 12345")],
+        [(1, "mail me at jane.doe+x@example.com from 10.1.255.3 or call 5551234567 ext 12345")],
         "doc_id long, text string",
     )
     row = corpus.pii_scrub(df).collect()[0]
-    assert row.n_email == 1 and row.n_long_number == 1
-    assert "<EMAIL>" in row.clean_text and "<NUM>" in row.clean_text
+    assert row.n_email == 1 and row.n_long_number == 1 and row.n_ipv4 == 1
+    assert "<EMAIL>" in row.clean_text and "<NUM>" in row.clean_text and "<IP>" in row.clean_text
     assert "example.com" not in row.clean_text and "5551234567" not in row.clean_text
+    assert "10.1.255.3" not in row.clean_text
     assert "12345" in row.clean_text  # short numbers survive
 
 
