@@ -36,6 +36,8 @@ HEADLINE = [
     "text_quality",
     "dedup_exact_groups",
     "window_topk_per_group",
+    "asof_click_to_view",
+    "corpus_pipeline_report",
 ]
 
 

@@ -227,6 +227,10 @@ def refresh_incremental(
         if delta is not None:
             changed.update(r.date_key for r in delta.select("date_key").distinct().collect())
     if not changed:
+        # Still advance cursors past zero-row deltas (e.g. an empty
+        # append), else every later cycle re-reads the same empty dirs.
+        if read_up_to != cursors:
+            _write_cursors(cat, view, read_up_to)
         return {
             "mv": view,
             "mode": "noop",

@@ -8,9 +8,11 @@ arithmetic can be replayed by the DuckDB oracle.  Greedy packing is an
 inherently sequential scan, so it runs as an Arrow-batched
 ``applyInPandas`` per shard — bounded state, no driver loop.
 
-Reference parity note: the reference pipeline stops at ad-analytics SQL
-(`/root/reference/scripts/20_analytics_queries.sql`); these operators are
-the north-star extensions a pre-training data pipeline needs on top.
+Reference parity note: the reference pipeline stops at the ad-analytics
+view layer (`/root/reference/scripts/10_external_tables.sql:111-152`,
+`/root/reference/scripts/15_create_prod_database.sql:93-242`); these
+operators are the north-star extensions a pre-training data pipeline
+needs on top.
 """
 
 from __future__ import annotations
@@ -178,12 +180,13 @@ def pack_contiguous(
        get their own prefix offsets on a driver-sized frame and broadcast
        back — the fact side is never shuffled again.
 
-    The local frame is persisted so both plan branches (totals + final
-    join) see the SAME partition assignment — re-sampling the range
-    exchange per branch could otherwise skew offsets.
+    The local frame is eagerly local-checkpointed so both plan branches
+    (totals + final join) see the SAME partition assignment — re-sampling
+    the range exchange per branch (or a recompute after cache eviction)
+    could otherwise skew offsets.  Checkpoint blocks are released by the
+    context cleaner once the caller drops the returned DataFrame.
     """
     import pandas as pd
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     n_tokens = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0))
@@ -203,7 +206,7 @@ def pack_contiguous(
             seen = int(before.iloc[-1] + pdf["n_tokens"].iloc[-1]) if len(pdf) else seen
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_tokens": pdf["n_tokens"],
                     "pid": pid,
                     "local_before": before.astype("int64"),
@@ -212,7 +215,7 @@ def pack_contiguous(
 
     local = base.mapInPandas(
         local_cumsum, f"{id_col} long, n_tokens int, pid int, local_before long"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
 
     totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
     pw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -257,7 +260,7 @@ def pack_greedy(
     base = docs.select(F.col(id_col), shard.alias("shard"), n_tokens.alias("n_tokens"))
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         bins, fill = [], 0
         cur = 0
         for nt in pdf["n_tokens"]:
@@ -268,9 +271,11 @@ def pack_greedy(
             fill += nt
         pdf["bin_seq"] = bins
         pdf["bin_id"] = pdf["shard"].astype("int64") * (1 << 32) + pdf["bin_seq"]
-        return pdf[["doc_id", "n_tokens", "bin_id"]]
+        return pdf[[id_col, "n_tokens", "bin_id"]]
 
-    return base.groupBy("shard").applyInPandas(pack, "doc_id long, n_tokens int, bin_id long")
+    return base.groupBy("shard").applyInPandas(
+        pack, f"{id_col} long, n_tokens int, bin_id long"
+    )
 
 
 def corpus_flags(docs: DataFrame, near_dup_pairs: DataFrame) -> DataFrame:

@@ -28,6 +28,36 @@ class QuerySpec:
     doc: str = ""
 
 
+# Queries that already have a green row in an official CORRECTNESS_r{N}.json
+# (rounds 1–2).  The driver records a bounded prefix (50 entries) of
+# ``queries()``, so never-officially-checked oracle queries must sort ahead
+# of these to get on the record; the set is a frozen historical fact, safe
+# to hardcode.
+_OFFICIALLY_CHECKED: frozenset[str] = frozenset({
+    "anti_join_dormant_customers", "asof_click_to_view",
+    "cheapest_part_per_brand", "cohort_retention", "conditional_agg_ratio",
+    "correlated_small_lots", "customer_order_gaps", "daily_events",
+    "dedup_exact_groups", "dedup_stats", "disjunctive_join_revenue",
+    "doc_fingerprint", "drift_hash_mismatch", "except_never_ordered",
+    "fanout_count_distinct", "filter_in_status", "filter_like",
+    "forecast_revenue_delta", "full_outer_nation_counts",
+    "funnel_conversion", "group_by_ordinal", "hash_stratified_sample",
+    "having_big_orders", "hourly_event_stats", "hourly_volume_anomalies",
+    "intersect_active_building", "interval_error_context",
+    "join_agg_subqueries", "json_event_props", "lang_id", "limit_sample",
+    "minhash_near_dup_pairs", "multikey_group", "ngram_jaccard_pairs",
+    "order_count_distribution", "order_performance",
+    "priority_price_percentiles", "proj_computed_columns",
+    "q1_pricing_summary", "q3_top_orders", "q5_region_revenue",
+    "q7_volume_shipping", "reagg_rollup", "recent_events_window",
+    "region_revenue_share", "rollup_line_status", "scalar_avg_dormant_rich",
+    "scalar_function_showcase", "scalar_row_counts", "semi_join_late_orders",
+    "sessionize_events", "text_quality", "tfidf_top_terms", "token_count",
+    "token_count_bpe", "topk_parts", "union_count_reconciliation",
+    "validation_report", "validation_summary", "window_topk_per_group",
+})
+
+
 def _collect() -> dict[str, QuerySpec]:
     from . import olap, pipeline, relational, tpch_ext
 
@@ -37,13 +67,18 @@ def _collect() -> dict[str, QuerySpec]:
         if spec.name in seen:
             raise ValueError(f"duplicate query name {spec.name!r}")
         seen.add(spec.name)
-    # Oracle-bearing specs first: the driver records a bounded prefix of
-    # queries() in CORRECTNESS_r{N}.json, so hash-checkable queries must
-    # not be crowded out by rows-only (approximate) ones.
+    # The driver records a bounded prefix of queries() in
+    # CORRECTNESS_r{N}.json.  Priority: (1) oracle-bearing queries that have
+    # never been on the official record, (2) already-certified oracle
+    # queries (rotating them back through the window), (3) rows-only
+    # (approximate) queries, which only ever get a weaker rows-only check.
     return {
         spec.name: spec
         for spec in [
-            *(s for s in ordered if s.oracle is not None),
+            *(s for s in ordered
+              if s.oracle is not None and s.name not in _OFFICIALLY_CHECKED),
+            *(s for s in ordered
+              if s.oracle is not None and s.name in _OFFICIALLY_CHECKED),
             *(s for s in ordered if s.oracle is None),
         ]
     }

@@ -374,7 +374,14 @@ class LakehouseCatalog:
         from pyspark.sql import functions as F
 
         current = self.load(namespace, table)
-        kept = current.filter(~F.col(partition_col).isin(values))
+        # NOT IN evaluates to NULL (→ dropped) for NULL-keyed rows; a
+        # NULL partition must carry over unless explicitly replaced, to
+        # match what a full refresh would keep.
+        pcol = F.col(partition_col)
+        has_null_value = any(v is None for v in values)
+        kept = current.filter(
+            (pcol.isNull() & F.lit(not has_null_value)) | ~pcol.isin(values)
+        )
         merged = kept.unionByName(df, allowMissingColumns=False)
         manifest = self._read_manifest(namespace, table)
         return self._commit(namespace, table, manifest, merged, "replace")
@@ -553,6 +560,22 @@ class LakehouseCatalog:
         dir_stats = (
             self._stats_from_metrics(metrics, stat_kinds, dict(df.dtypes)) if added else {}
         )
+        if added == 0:
+            # A zero-row partitioned write materializes no partition dirs
+            # (and hence no schema-bearing parquet file), which would make
+            # the dir unreadable.  Iceberg semantics: an empty append adds
+            # no data files (the snapshot still commits — cursors advance,
+            # batch ids are recorded); an empty create/replace keeps one
+            # explicit empty file so the table schema survives.
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+            if op == "append":
+                data_dir = None
+            else:
+                self.spark.createDataFrame([], df.schema).repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(out)
 
         # 2. commit the manifest with optimistic-concurrency retry: the
         # exclusive version-file create is the CAS; losers re-read the
@@ -582,21 +605,26 @@ class LakehouseCatalog:
                 "operation": op,
                 "row_count": prev_total + added,
                 "added_rows": added,
-                "data_dirs": [*prev_dirs, data_dir] if op == "append" else [data_dir],
+                "data_dirs": (
+                    [*prev_dirs, *([data_dir] if data_dir else [])]
+                    if op == "append"
+                    else [data_dir]
+                ),
                 "columns": evolved,
                 "batch_id": batch_id,
             }
             candidate = dict(manifest)
             candidate["snapshots"] = [*manifest["snapshots"], snap]
             candidate["columns"] = evolved
-            candidate["dir_columns"] = {
-                **manifest.get("dir_columns", {}),
-                data_dir: list(df.columns),
-            }
-            candidate["dir_stats"] = {
-                **manifest.get("dir_stats", {}),
-                data_dir: dir_stats,
-            }
+            if data_dir is not None:
+                candidate["dir_columns"] = {
+                    **manifest.get("dir_columns", {}),
+                    data_dir: list(df.columns),
+                }
+                candidate["dir_stats"] = {
+                    **manifest.get("dir_stats", {}),
+                    data_dir: dir_stats,
+                }
             try:
                 # publish at base+1: versions advance independently of
                 # snapshot ids (expire_snapshots bumps versions without
@@ -777,9 +805,10 @@ class LakehouseCatalog:
         str_bounds = isinstance(lo, str)
         if any(isinstance(v, str) != str_bounds for v in vals):
             return True  # type mismatch with the recorded bounds: keep
-        v = vals[0]
         if op in ("=", "==") or op == "in":
+            # an empty IN list matches no row → the dir can be skipped
             return any(lo <= x <= hi for x in vals)
+        v = vals[0]
         if op == ">=":
             return hi >= v
         if op == ">":
@@ -953,7 +982,14 @@ class LakehouseCatalog:
             elif op == "in":
                 from functools import reduce as _reduce
 
-                df = df.filter(_reduce(lambda a, b: a | b, [field == tv(v) for v in val]))
+                if val:
+                    df = df.filter(
+                        _reduce(lambda a, b: a | b, [field == tv(v) for v in val])
+                    )
+                else:
+                    # empty IN list prunes everything, matching the
+                    # row-level isin([]) path below
+                    df = df.filter(F.lit(False))
             elif mono and op in ("<", "<="):
                 df = df.filter(field <= tv(val))
             elif mono and op in (">", ">="):

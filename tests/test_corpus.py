@@ -240,3 +240,21 @@ def test_prepare_corpus_preserves_metadata(spark, docs):
     )
     clean, _ = corpus.prepare_corpus(docs, pairs)
     assert {"lang", "source", "n_chars", "clean_text"} <= set(clean.columns)
+
+
+def test_packing_honors_custom_id_col(spark):
+    """Both packers advertise an ``id_col`` parameter — the Arrow output
+    schema must carry the caller's column name, not a hardcoded doc_id."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i")], "row_id long, text string"
+    )
+    cont = corpus.pack_contiguous(df, budget_tokens=4, id_col="row_id")
+    assert cont.columns[0] == "row_id"
+    rows = sorted(map(tuple, cont.collect()))
+    cum = 0
+    for _rid, n_tokens, bin_id, offset in rows:
+        assert bin_id == cum // 4 and offset == cum % 4
+        cum += n_tokens
+    greedy = corpus.pack_greedy(df, budget_tokens=4, num_shards=2, id_col="row_id")
+    assert greedy.columns[0] == "row_id"
+    assert greedy.count() == 3

@@ -560,3 +560,57 @@ def test_transform_in_list_and_expired_timestamp(spark, cat):
     cat.expire_snapshots("db", "til", keep_last=1)
     with pytest.raises(ValueError, match="expired"):
         cat.load("db", "til", as_of_timestamp=t1)
+
+
+def test_replace_partitions_keeps_null_keyed_partition(spark, cat):
+    """A NULL-keyed partition must carry over through a partition-scoped
+    replace (NOT IN evaluates to NULL for NULL keys — the naive filter
+    silently drops it; a full refresh would keep it)."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, None)], "id long, date_key string"
+    )
+    cat.create_table("db", "np", df)
+    patch = spark.createDataFrame([(20, "2024-01-02")], "id long, date_key string")
+    cat.replace_partitions("db", "np", patch, "date_key", ["2024-01-02"])
+    got = sorted((r.id, r.date_key) for r in cat.load("db", "np").collect())
+    assert got == [(1, "2024-01-01"), (3, None), (20, "2024-01-02")]
+
+    # explicitly replacing the NULL partition does replace it
+    patch2 = spark.createDataFrame([(30, None)], "id long, date_key string")
+    cat.replace_partitions("db", "np", patch2, "date_key", [None])
+    got = sorted(
+        (r.id, r.date_key) for r in cat.load("db", "np").collect()
+        if r.date_key is None
+    )
+    assert got == [(30, None)]
+
+
+def test_empty_in_list_filter_prunes_everything(spark, cat):
+    """An empty IN list matches nothing — on both the transform-aware
+    pruning path (partitioned) and the row-level path."""
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("2024-0"), (F.col("id") % 3 + 1).cast("string"), F.lit("-10")).alias("d"),
+    )
+    cat.create_table("db", "emptyin", df, partition_by=["months(d)"])
+    assert cat.load("db", "emptyin", filters=[("d", "in", [])]).count() == 0
+    cat.create_table("db", "emptyin2", df)
+    assert cat.load("db", "emptyin2", filters=[("d", "in", [])]).count() == 0
+
+
+def test_zero_row_writes(spark, cat):
+    """Empty create keeps a readable schema; an empty append commits a
+    snapshot (cursors/batch ids advance) but adds no data files."""
+    df = spark.range(5).limit(0).select(
+        F.col("id"), F.lit("x").alias("date_key")
+    )
+    cat.create_table("db", "zr", df, partition_by=["date_key"])
+    loaded = cat.load("db", "zr")
+    assert loaded.count() == 0 and set(loaded.columns) == {"id", "date_key"}
+
+    cat.append("db", "zr", _df(spark, 4))
+    before_dirs = cat.snapshots("db", "zr")[-1].data_dirs
+    snap = cat.append("db", "zr", _df(spark, 4).limit(0))
+    assert snap.added_rows == 0 and snap.row_count == 4
+    assert snap.data_dirs == before_dirs  # no new data dir
+    assert cat.load("db", "zr").count() == 4

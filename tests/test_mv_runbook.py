@@ -144,3 +144,20 @@ def test_runbook_incremental_mv_refresh_task(spark, stack):
     # first cycle seeds cursors (full); an immediate second cycle is a noop
     out = mv.refresh_incremental(spark, primary.catalog, "advertising", "v_clicks_daily")
     assert out["mode"] == "noop"
+
+
+def test_noop_refresh_advances_cursor_past_empty_delta(spark, stack):
+    """A zero-row append advances the fact snapshot without changing any
+    partition; the noop refresh must still advance its cursor so later
+    cycles don't re-read the same empty delta dirs."""
+    cat = stack["cat"]
+    view = "v_conversions_daily"
+    mv.refresh_incremental(spark, cat, "advertising", view)  # seed cursors
+    conv = cat.load("advertising", "conversions")
+    cat.append("advertising", "conversions", conv.limit(0))  # empty snapshot
+    before = mv._read_cursors(cat, view)["conversions"]["snapshot_id"]
+    out = mv.refresh_incremental(spark, cat, "advertising", view)
+    assert out["mode"] == "noop"
+    after = mv._read_cursors(cat, view)["conversions"]["snapshot_id"]
+    assert after > before
+    assert after == cat.snapshots("advertising", "conversions")[-1].snapshot_id
