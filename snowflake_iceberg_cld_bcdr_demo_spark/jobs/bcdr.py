@@ -95,6 +95,127 @@ def promote(secondary: Account, old_primary: Account | None = None) -> dict:
     return {"status": "PROMOTED", "account": secondary.name}
 
 
+def migrate_prod_independent(
+    spark: SparkSession,
+    secondary: Account,
+    namespace: str,
+    monitoring: LakehouseCatalog | None = None,
+    old_source_prefix: str = "cld",
+    new_source_prefix: str | None = None,
+) -> dict:
+    """ONE-TIME migration making the secondary's PROD database independent
+    — port of `32_migrate_prod_db_independent.sql:185-210` (drop the
+    replica's view definitions, recreate them against the LOCAL CLD) and
+    `32:318-364` (recreate the DR monitoring tables), with the step-11
+    count validation (`32:449-459`) run before AND after so the rebind is
+    provably lossless.
+
+    The replicated definitions reference the primary's CLD source prefix;
+    after migration every view reads ``{new_source_prefix}_{table}`` —
+    the secondary's own catalog binding over the same shared storage, so
+    counts must be identical (the zero-copy invariant).  Appends one
+    ``PROD_MIGRATION`` row per view plus a completion row to ``sync_log``.
+    """
+    from . import sync as _sync
+    from ..adtech.schemas import (
+        GRANT_AUDIT_LOG_SCHEMA,
+        HEARTBEAT_LOG_SCHEMA,
+        SCHEMA_DRIFT_LOG_SCHEMA,
+        SYNC_LOG_SCHEMA,
+    )
+    from .logs import append_rows, ensure_log_table
+
+    if not secondary.is_writable:
+        raise PermissionError(
+            f"{secondary.name} is a replica — promote before migrating (`32` step 3)"
+        )
+    old_defs = secondary.prod.definitions()
+    if not old_defs:
+        raise ValueError(f"{secondary.name} has no replicated PROD views to migrate")
+
+    t0 = time.time()
+    monitoring = monitoring or secondary.catalog
+    new_prefix = new_source_prefix or f"cld_{secondary.name}"
+
+    # Step 5 capture: pre-migration counts through the REPLICATED defs
+    # (resolved against the old/primary prefix — shared storage).
+    _sync.register_catalog_tables(spark, secondary.catalog, namespace, old_source_prefix)
+    pre_counts = {name: spark.sql(sql).count() for name, sql in sorted(old_defs.items())}
+
+    # Step 5 drop + steps 7-8 recreate: fresh definitions bound to the
+    # secondary's OWN CLD prefix (sync re-renders passthrough + agg views).
+    for name in old_defs:
+        secondary.prod.drop(name)
+    report = _sync.sync_prod_database(
+        spark,
+        secondary.catalog,
+        namespace,
+        secondary.prod,
+        monitoring=monitoring,
+        source_prefix=new_prefix,
+    )
+
+    # Step 9: independent DR monitoring tables.
+    for table, schema in (
+        ("secondary_heartbeat_log", HEARTBEAT_LOG_SCHEMA),
+        ("grant_audit_log", GRANT_AUDIT_LOG_SCHEMA),
+        ("schema_drift_log", SCHEMA_DRIFT_LOG_SCHEMA),
+    ):
+        ensure_log_table(monitoring, table, schema)
+
+    # Step 11 verification: identical counts through the NEW definitions.
+    new_defs = secondary.prod.definitions()
+    post_counts = {name: spark.sql(sql).count() for name, sql in sorted(new_defs.items())}
+    validation = [
+        {
+            "view": name,
+            "pre_count": pre_counts.get(name),
+            "post_count": post_counts.get(name),
+            "verdict": "MATCH" if pre_counts.get(name) == post_counts.get(name) else "MISMATCH",
+        }
+        for name in sorted(set(old_defs) | set(new_defs))
+    ]
+    mismatches = [v for v in validation if v["verdict"] != "MATCH"]
+
+    log_rows = [
+        dict(
+            sync_type="PROD_MIGRATION",
+            source_database=secondary.catalog.name,
+            source_schema=namespace,
+            object_type="VIEW",
+            object_name=v["view"],
+            action="REBIND_TO_LOCAL_CLD",
+            status=v["verdict"],
+            row_count=v["post_count"],
+        )
+        for v in validation
+    ]
+    log_rows.append(
+        dict(
+            sync_type="PROD_MIGRATION",
+            source_database=secondary.catalog.name,
+            source_schema=namespace,
+            object_type="DATABASE",
+            object_name=secondary.prod.database,
+            action="MIGRATE_INDEPENDENT",
+            status="SUCCESS" if not mismatches and not report["views_failed"] else "FAILED",
+            row_count=len(new_defs),
+            execution_time_ms=int((time.time() - t0) * 1000),
+        )
+    )
+    append_rows(spark, monitoring, "sync_log", SYNC_LOG_SCHEMA, log_rows, id_field="sync_id")
+    secondary.history.append(f"prod migrated independent (source prefix {new_prefix})")
+    return {
+        "status": "SUCCESS" if not mismatches and not report["views_failed"] else "FAILED",
+        "views_migrated": report["views_created"],
+        "views_failed": report["views_failed"],
+        "source_prefix": new_prefix,
+        "validation": validation,
+        "mismatches": len(mismatches),
+        "execution_time_ms": int((time.time() - t0) * 1000),
+    }
+
+
 def object_inventory(
     spark: SparkSession,
     account: Account,

@@ -4,6 +4,8 @@ the reference's F1-F5 procedures and its embedded validation suite
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -170,6 +172,116 @@ def test_bcdr_failover_lifecycle(spark, stack):
     # failback
     bcdr.promote(primary, old_primary=secondary)
     assert primary.is_writable and not secondary.is_writable
+
+
+def test_prod_independence_migration(spark, stack):
+    """Failover → migrate → failback (`32_migrate_prod_db_independent.sql`):
+    the secondary's PROD views rebind from the replicated definitions to
+    its own CLD with provably identical results."""
+    wh = stack["wh"]
+    ns = stack["ns"]
+    primary = bcdr.make_account(spark, wh, "mig_primary", role="primary")
+    secondary = bcdr.make_account(spark, wh, "mig_secondary", role="replica")
+    sync.sync_prod_database(spark, primary.catalog, ns, primary.prod)
+    bcdr.replicate_definitions(primary, secondary)
+
+    # pre-migration view results through the replicated definitions
+    secondary.prod.apply(spark, prefix="premig")
+    before = sorted(
+        spark.table("premig_v_campaign_performance").collect(),
+        key=lambda r: (r.campaign_id, r.date_key),
+    )
+
+    # migration requires promotion first (`32` step 3)
+    with pytest.raises(PermissionError):
+        bcdr.migrate_prod_independent(spark, secondary, ns)
+
+    bcdr.promote(secondary, old_primary=primary)
+    out = bcdr.migrate_prod_independent(spark, secondary, ns)
+    assert out["status"] == "SUCCESS"
+    assert out["mismatches"] == 0
+    assert out["views_migrated"] == 9
+    assert all(v["verdict"] == "MATCH" for v in out["validation"])
+    assert out["source_prefix"] == "cld_mig_secondary"
+
+    # every definition now reads the secondary's OWN CLD prefix
+    for name, sql in secondary.prod.definitions().items():
+        assert "cld_mig_secondary_" in sql, name
+
+    # identical results through the new definitions
+    secondary.prod.apply(spark, prefix="postmig")
+    after = sorted(
+        spark.table("postmig_v_campaign_performance").collect(),
+        key=lambda r: (r.campaign_id, r.date_key),
+    )
+    assert before == after
+
+    # DR monitoring tables recreated independent (`32:318-364`)
+    for table in ("secondary_heartbeat_log", "grant_audit_log", "schema_drift_log"):
+        assert secondary.catalog.table_exists(MONITORING_NS, table)
+
+    # migration audit trail in sync_log
+    log = secondary.catalog.load(MONITORING_NS, "sync_log")
+    mig = log.filter(F.col("sync_type") == "PROD_MIGRATION")
+    assert mig.filter(
+        (F.col("object_type") == "DATABASE") & (F.col("status") == "SUCCESS")
+    ).count() == 1
+    assert mig.filter(F.col("status") == "MATCH").count() == 9
+
+    # failback: the old primary keeps serving its own (untouched) views
+    bcdr.promote(primary, old_primary=secondary)
+    assert primary.is_writable
+    primary.prod.apply(spark, prefix="failback")
+    failback = sorted(
+        spark.table("failback_v_campaign_performance").collect(),
+        key=lambda r: (r.campaign_id, r.date_key),
+    )
+    assert failback == before
+
+
+def test_teardown_stack(spark, tmp_path):
+    """Build the full demo stack, tear it down (`99_cleanup.sql` order),
+    assert the warehouse is empty except retained audit logs."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import cleanup, mv
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs.grants import GrantRegistry
+
+    wh = str(tmp_path / "wh")
+    cat = LakehouseCatalog(spark, wh, name="cld")
+    ns = "advertising"
+    data = generate_all(spark, GeneratorConfig(num_campaigns=4, impressions_per_campaign=40))
+    for name, df in data.items():
+        cat.create_table(ns, name, df)
+
+    prod = ViewRegistry(wh, "prod")
+    sync.sync_prod_database(spark, cat, ns, prod)  # views + sync_log
+    account = bcdr.make_account(spark, wh, "acct")
+    for t in cat.list_tables(ns):
+        account.ext.register(f"EXT_{t.upper()}", ns, t)
+    grants = GrantRegistry(wh, "acct")
+    grants.create_role("iceberg_admin")
+    mv.refresh_mv(spark, cat, ns, "v_impressions_daily")
+    sched = Scheduler()
+    sched.add("sync", lambda: None, interval_s=300)
+
+    report = cleanup.teardown_stack(spark, wh, scheduler=sched).cache()
+    rows = {(r.object_type, r.object_name): (r.action, r.status) for r in report.collect()}
+    assert rows[("TASK", "sync")] == ("DROP", "DROPPED")
+    assert rows[("VIEW_DATABASE", "prod")] == ("DROP", "DROPPED")
+    assert ("EXT_DATABASE", "ext_acct") in rows
+    assert rows[("NAMESPACE", ns)] == ("DROP", "DROPPED")
+    assert rows[("MATERIALIZED_VIEW", "mv.v_impressions_daily")] == ("DROP", "DROPPED")
+    assert rows[("GRANT_REGISTRY", "acct")] == ("DROP", "DROPPED")
+    assert rows[("TABLE", "monitoring.sync_log")] == ("RETAIN", "RETAINED")
+    # nothing remains but the retained monitoring namespace
+    assert not [k for k, v in rows.items() if v[1] == "REMAINS"]
+    assert sorted(os.listdir(wh)) == ["monitoring"]
+    assert not sched.tasks
+    # the audit trail is still queryable after teardown
+    assert cat.load("monitoring", "sync_log").count() > 0
+
+    # full teardown (no retention) leaves an empty warehouse
+    cleanup.teardown_stack(spark, wh, retain_audit_logs=False)
+    assert os.listdir(wh) == []
 
 
 def test_scheduler_semantics():
