@@ -1,12 +1,16 @@
 """Multimodal (image/audio/video) column processing.
 
-Media are opaque ``binary`` columns with a typed metadata struct; all
-per-asset compute runs as Arrow-batched pandas transforms over
-``mapInPandas`` — the only layer of this engine where Python touches row
-data, because byte-level decode genuinely can't be expressed in Catalyst.
-Decode itself is stubbed behind an import-gate (no image/audio libs ship
-in this environment); everything around it — schemas, batch iteration,
-partitioning, feature extraction on raw bytes — is real and tested.
+Media are opaque ``binary`` columns with a typed metadata struct.  The
+*metadata* path is fully real and JVM-side: container headers (PNG IHDR,
+JPEG SOFn, GIF, BMP, RIFF/WAVE) are parsed with Catalyst expressions
+(:func:`image_header` / :func:`wav_sample_rate`) — no Python, no codec
+libraries.  Per-asset *pixel* compute runs as Arrow-batched pandas
+transforms over ``mapInPandas`` — the only layer of this engine where
+Python touches row data, because byte-level pixel decode genuinely can't
+be expressed in Catalyst; it is stubbed behind an import-gate (no
+image/audio libs ship in this environment).  Everything around it —
+schemas, batch iteration, partitioning, feature extraction on raw bytes —
+is real and tested.
 """
 
 from .media import (
@@ -14,10 +18,14 @@ from .media import (
     audio_segment_plan,
     byte_features,
     decode_images,
+    encode_image_header,
     frame_sample_plan,
+    image_dimensions,
+    image_header,
     pack_shards,
     resize_images,
     synthesize_assets,
+    wav_sample_rate,
 )
 
 __all__ = [
@@ -25,8 +33,12 @@ __all__ = [
     "audio_segment_plan",
     "byte_features",
     "decode_images",
+    "encode_image_header",
     "frame_sample_plan",
+    "image_dimensions",
+    "image_header",
     "pack_shards",
     "resize_images",
     "synthesize_assets",
+    "wav_sample_rate",
 ]

@@ -46,6 +46,141 @@ def _pil_available() -> bool:
         return False
 
 
+# ---------------------------------------------------------------------------
+# JVM-side container-header codecs (no Python, no Pillow): integer helpers
+# over the raw binary column, then per-format width/height/sample-rate
+# extraction.  These make the *metadata* path of image/audio handling real
+# even where no codec library is installed — Pillow is needed only for
+# pixel work (`decode_images` / `resize_images`).
+# ---------------------------------------------------------------------------
+
+
+def _u8(c, pos):
+    """Unsigned byte at 1-based ``pos`` (``pos`` may be a Column)."""
+    return F.conv(F.hex(F.substring(c, pos, 1)), 16, 10).cast("int")
+
+
+def _ube(c, pos, nbytes):
+    """Big-endian unsigned int of ``nbytes`` at 1-based ``pos``."""
+    return F.conv(F.hex(F.substring(c, pos, nbytes)), 16, 10).cast("int")
+
+
+def _ule(c, pos, nbytes):
+    """Little-endian unsigned int: reverse the hex byte pairs then conv."""
+    pairs = [F.hex(F.substring(c, pos + i, 1)) for i in range(nbytes)]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("int")
+
+
+def _magic(c, pos, hexstr):
+    return F.hex(F.substring(c, pos, len(hexstr) // 2)) == hexstr.upper()
+
+
+_PNG_SIG = "89504E470D0A1A0A"
+_JPEG_SOF_MARKERS = [
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+]  # SOF0..SOF15 minus DHT/JPG/DAC
+_JPEG_MAX_SEGMENTS = 24
+
+
+def _jpeg_dims(c):
+    """Walk the JPEG segment chain to the first SOFn and read its
+    height/width — a bounded Catalyst ``aggregate`` fold (state =
+    (offset, w, h)), entirely JVM-side.  Layout per segment: FF marker at
+    ``off``, 2-byte big-endian length at ``off+2`` (length counts itself
+    but not the marker), so the next segment starts at ``off+2+len``.
+    SOFn payload: precision(1), height(2), width(2)."""
+    init = F.struct(
+        F.lit(3).cast("int").alias("off"),
+        F.lit(None).cast("int").alias("w"),
+        F.lit(None).cast("int").alias("h"),
+    )
+
+    def step(acc, _):
+        off = acc["off"]
+        marker = _u8(c, off + 1)
+        seglen = _ube(c, off + 2, 2)
+        halted = (
+            acc["w"].isNotNull()
+            | (off + 8 > F.length(c))
+            | (_u8(c, off) != 0xFF)
+            | (marker == 0xDA)  # SOS: entropy-coded data begins, no SOF seen
+        )
+        is_sof = marker.isin(_JPEG_SOF_MARKERS)
+        return (
+            F.when(halted, acc)
+            .when(
+                is_sof,
+                F.struct(
+                    off.alias("off"),
+                    _ube(c, off + 7, 2).alias("w"),
+                    _ube(c, off + 5, 2).alias("h"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    (off + 2 + seglen).alias("off"),
+                    acc["w"].alias("w"),
+                    acc["h"].alias("h"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_MAX_SEGMENTS)), init, step
+    )
+
+
+def image_header(content) -> F.Column:
+    """``struct(format, width, height)`` parsed from the container header
+    of a binary column — PNG (IHDR), JPEG (SOFn segment walk), GIF
+    (logical screen descriptor), BMP (BITMAPINFOHEADER).  Unknown or
+    truncated content yields NULL fields.  Pure Catalyst: usable in
+    filters and pruned like any other expression."""
+    c = F.col(content) if isinstance(content, str) else content
+    jpeg = _jpeg_dims(c)
+    fmt = (
+        F.when(_magic(c, 1, _PNG_SIG), F.lit("png"))
+        .when(_magic(c, 1, "FFD8"), F.lit("jpeg"))
+        .when(_magic(c, 1, "474946"), F.lit("gif"))
+        .when(_magic(c, 1, "424D"), F.lit("bmp"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    width = (
+        F.when(fmt == "png", _ube(c, 17, 4))
+        .when(fmt == "jpeg", jpeg["w"])
+        .when(fmt == "gif", _ule(c, 7, 2))
+        .when(fmt == "bmp", _ule(c, 19, 4))
+    )
+    height = (
+        F.when(fmt == "png", _ube(c, 21, 4))
+        .when(fmt == "jpeg", jpeg["h"])
+        .when(fmt == "gif", _ule(c, 9, 2))
+        .when(fmt == "bmp", _ule(c, 23, 4))
+    )
+    return F.struct(fmt.alias("format"), width.alias("width"), height.alias("height"))
+
+
+def wav_sample_rate(content) -> F.Column:
+    """Sample rate from a RIFF/WAVE header (LE u32 at byte 25), NULL for
+    non-WAV content — the audio twin of :func:`image_header`."""
+    c = F.col(content) if isinstance(content, str) else content
+    is_wav = _magic(c, 1, "52494646") & _magic(c, 9, "57415645")  # RIFF…WAVE
+    return F.when(is_wav, _ule(c, 25, 4))
+
+
+def image_dimensions(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-asset parsed header columns (format/width/height) for image
+    rows — the REAL metadata path (no Pillow, no Python): one narrow
+    projection, codegen'd, prunable."""
+    hdr = image_header(content_col)
+    return df.filter(F.col("media_type") == "image").select(
+        "asset_id",
+        hdr["format"].alias("format"),
+        hdr["width"].alias("width"),
+        hdr["height"].alias("height"),
+    )
+
+
 METADATA_SCHEMA = StructType(
     [
         StructField("width", IntegerType()),
@@ -66,14 +201,79 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def _be_bytes(col, nbytes):
+    """Big-endian byte encoding of an int column."""
+    return F.unhex(F.lpad(F.hex(col), nbytes * 2, "0"))
+
+
+def _le_bytes(col, nbytes):
+    """Little-endian byte encoding of an int column."""
+    col = col if not isinstance(col, int) else F.lit(col)
+    pairs = [
+        F.lpad(
+            F.hex(F.pmod(F.floor(col / F.lit(256**i)).cast("long"), F.lit(256))),
+            2,
+            "0",
+        )
+        for i in range(nbytes)
+    ]
+    return F.unhex(F.concat(*pairs))
+
+
+def encode_image_header(fmt, width, height) -> F.Column:
+    """Valid container-header bytes for (format, width, height) — the
+    encoder dual of :func:`image_header`, also pure Catalyst.  Used by the
+    synthetic generator and the oracle round-trip query (encode → parse
+    must be the identity)."""
+    png_hdr = F.concat(
+        F.unhex(F.lit(_PNG_SIG + "0000000D" + "49484452")),  # sig + IHDR len/tag
+        _be_bytes(width, 4),
+        _be_bytes(height, 4),
+        F.unhex(F.lit("0806000000" + "00000000")),  # bit depth/color + crc slot
+    )
+    jpeg_hdr = F.concat(
+        # SOI + APP0/JFIF (len 0x10) — the SOFn walker must skip this
+        F.unhex(F.lit("FFD8" + "FFE00010" + "4A46494600010100000100010000")),
+        F.unhex(F.lit("FFC00011" + "08")),  # SOF0, len 0x11, precision 8
+        _be_bytes(height, 2),
+        _be_bytes(width, 2),
+        F.unhex(F.lit("03" + "011100" + "021101" + "031101")),  # 3 components
+    )
+    gif_hdr = F.concat(
+        F.unhex(F.lit("474946383961")),  # GIF89a
+        _le_bytes(width, 2),
+        _le_bytes(height, 2),
+        F.unhex(F.lit("F70000")),
+    )
+    bmp_hdr = F.concat(
+        F.unhex(F.lit("424D")),  # BM
+        _le_bytes(128, 4),  # file size
+        F.unhex(F.lit("00000000")),  # reserved
+        _le_bytes(54, 4),  # pixel-array offset
+        _le_bytes(40, 4),  # BITMAPINFOHEADER size
+        _le_bytes(width, 4),
+        _le_bytes(height, 4),
+    )
+    return (
+        F.when(fmt == "png", png_hdr)
+        .when(fmt == "jpeg", jpeg_hdr)
+        .when(fmt == "gif", gif_hdr)
+        .when(fmt == "bmp", bmp_hdr)
+    )
+
+
 def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table: content bytes are seeded
-    md5-chains (opaque, incompressible — realistic for the planner), and
-    metadata is hash-derived.  Spark-native (`spark.range` + exprs), so it
-    scales like any other generator in this repo."""
+    """Deterministic synthetic media table with REAL container headers:
+    image content starts with a valid PNG/JPEG/GIF/BMP header encoding the
+    metadata dimensions, audio with a RIFF/WAVE header encoding the sample
+    rate, video with an MP4 ``ftyp`` box — so the JVM-side codecs
+    (:func:`image_header`, :func:`wav_sample_rate`) round-trip for real.
+    The remainder is a seeded md5-chain payload (opaque, incompressible);
+    every asset is exactly 128 bytes.  Spark-native (`spark.range` +
+    exprs), so it scales like any other generator in this repo."""
     idx = F.col("id")
     h = F.md5(F.concat(F.lit(f"{seed}#media#"), idx.cast("string")))
-    # 128 bytes of deterministic content: 8 chained md5 digests
+    # 128 bytes of deterministic payload: 8 chained md5 digests
     chain = F.concat(
         *[F.unhex(F.md5(F.concat(h, F.lit(str(i))))) for i in range(8)]
     )
@@ -81,23 +281,45 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(h), F.lit(3)) + 1).cast("int"),
     )
+    width = (F.pmod(F.xxhash64(h, F.lit("w")), F.lit(1920)) + 1).cast("int")
+    height = (F.pmod(F.xxhash64(h, F.lit("h")), F.lit(1080)) + 1).cast("int")
+    sample_rate = F.lit(16000)
+    img_fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+        (F.pmod(F.xxhash64(h, F.lit("f")), F.lit(4)) + 1).cast("int"),
+    )
+
+    wav_hdr = F.concat(
+        F.unhex(F.lit("52494646")),  # RIFF
+        _le_bytes(120, 4),
+        F.unhex(F.lit("57415645" + "666D7420")),  # WAVE + "fmt "
+        _le_bytes(16, 4),  # fmt chunk size
+        _le_bytes(1, 2),  # PCM
+        _le_bytes(1, 2),  # mono
+        _le_bytes(sample_rate, 4),
+    )
+    mp4_hdr = F.concat(_be_bytes(F.lit(128), 4), F.unhex(F.lit("66747970" + "69736F6D")))
+
+    header = (
+        F.when(mtype == "audio", wav_hdr)
+        .when(mtype == "video", mp4_hdr)
+        .otherwise(encode_image_header(img_fmt, width, height))
+    )
+    content = F.substring(F.concat(header, chain), 1, 128)
+
     meta = F.struct(
-        F.when(mtype == "image", (F.pmod(F.xxhash64(h, F.lit("w")), F.lit(1920)) + 1).cast("int"))
+        F.when(mtype == "image", width).otherwise(F.lit(None).cast("int")).alias("width"),
+        F.when(mtype == "image", height).otherwise(F.lit(None).cast("int")).alias("height"),
+        F.when(mtype == "audio", sample_rate)
         .otherwise(F.lit(None).cast("int"))
-        .alias("width"),
-        F.when(mtype == "image", (F.pmod(F.xxhash64(h, F.lit("h")), F.lit(1080)) + 1).cast("int"))
-        .otherwise(F.lit(None).cast("int"))
-        .alias("height"),
-        F.when(mtype == "audio", F.lit(16000)).otherwise(F.lit(None).cast("int")).alias(
-            "sample_rate"
-        ),
+        .alias("sample_rate"),
         F.when(
             mtype != "image",
             (F.pmod(F.xxhash64(h, F.lit("d")), F.lit(600)) + 1).cast("double"),
         )
         .otherwise(F.lit(None).cast("double"))
         .alias("duration_s"),
-        F.when(mtype == "image", F.lit("png"))
+        F.when(mtype == "image", img_fmt)
         .when(mtype == "audio", F.lit("wav"))
         .otherwise(F.lit("mp4"))
         .alias("format"),
@@ -105,7 +327,7 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).select(
         F.format_string("ASSET-%06d", idx.cast("int")).alias("asset_id"),
         mtype.alias("media_type"),
-        chain.cast("binary").alias("content"),
+        content.cast("binary").alias("content"),
         meta.alias("metadata"),
     )
 
@@ -163,19 +385,28 @@ DECODED_SCHEMA = StructType(
 def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode image assets to pixel statistics.
 
-    STUB: real pixel decode needs Pillow, which this environment lacks.
+    Dimensions are REAL either way — parsed JVM-side from the container
+    header (:func:`image_header`) before any byte reaches Python.  Pixel
+    statistics (``mean_luma``) need Pillow, which this environment lacks:
     ``strict=True`` raises ``NotImplementedError`` (the clearly-marked
-    stub path); otherwise a deterministic byte-derived fake stands in so
+    stub path); otherwise a deterministic byte-derived luma stands in so
     the plumbing — metadata filter pushdown, Arrow batching, typed output
     — runs for real.  With Pillow installed the same code decodes
     actual pixels (see the import-gated branch)."""
     has_pil = _pil_available()
     if strict and not has_pil:
         raise NotImplementedError(
-            "image decode requires Pillow; install it or use strict=False "
-            "for the deterministic fake decoder"
+            "pixel decode requires Pillow; install it, use strict=False for "
+            "the deterministic fake luma, or use image_dimensions() for the "
+            "fully-real metadata path"
         )
-    images = df.filter(F.col("media_type") == "image")
+    hdr = image_header("content")
+    images = df.filter(F.col("media_type") == "image").select(
+        "asset_id",
+        "content",
+        hdr["width"].alias("_w"),
+        hdr["height"].alias("_h"),
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -192,21 +423,16 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
 
                 rows = [stats(b) for b in pdf["content"]]
             else:
-                # deterministic fake: "pixels" are the raw bytes tiled to
-                # the metadata dimensions
+                # real header-parsed dims; only the luma is a byte-derived fake
                 rows = [
                     (
-                        int(w or 0),
-                        int(h or 0),
-                        int((w or 0) * (h or 0)),
+                        int(w) if pd.notna(w) else 0,
+                        int(h) if pd.notna(h) else 0,
+                        int(w * h) if pd.notna(w) and pd.notna(h) else 0,
                         float(sum(b)) / len(b) if len(b) else 0.0,
                         "fake",
                     )
-                    for b, w, h in zip(
-                        pdf["content"],
-                        pdf["metadata"].map(lambda m: m["width"]),
-                        pdf["metadata"].map(lambda m: m["height"]),
-                    )
+                    for b, w, h in zip(pdf["content"], pdf["_w"], pdf["_h"])
                 ]
             out = pd.DataFrame(
                 rows, columns=["width", "height", "n_pixels", "mean_luma", "decoder"]

@@ -154,3 +154,86 @@ def test_audio_segment_plan_covers_duration(assets):
 
     with pytest.raises(ValueError):
         M.audio_segment_plan(assets, segment_s=5.0, overlap_s=5.0)
+
+
+def test_image_header_roundtrip_all_formats(spark, assets):
+    """The JVM header parser recovers exactly the dims the generator
+    encoded — across png/jpeg/gif/bmp."""
+    images = assets.filter(F.col("media_type") == "image")
+    parsed = images.select(
+        "asset_id",
+        F.col("metadata.format").alias("want_fmt"),
+        F.col("metadata.width").alias("want_w"),
+        F.col("metadata.height").alias("want_h"),
+        M.image_header("content").alias("hdr"),
+    ).collect()
+    assert len(parsed) > 0
+    fmts = {r.hdr.format for r in parsed}
+    assert fmts == {"png", "jpeg", "gif", "bmp"}  # all four codecs exercised
+    for r in parsed:
+        assert r.hdr.format == r.want_fmt, r.asset_id
+        assert r.hdr.width == r.want_w, r.asset_id
+        assert r.hdr.height == r.want_h, r.asset_id
+    # non-image content parses to NULLs, not garbage
+    other = assets.filter(F.col("media_type") != "image").select(
+        M.image_header("content").alias("hdr")
+    )
+    assert other.filter(F.col("hdr.format").isNotNull()).count() == 0
+
+
+def test_image_header_real_world_png(spark):
+    """Parse an actual PNG file (canonical 1x1 transparent pixel), not
+    one produced by our own encoder — guards against a symmetric
+    encode/decode bug."""
+    import base64
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+        "AAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    df = spark.createDataFrame([("one", png_1x1)], "asset_id string, content binary")
+    r = df.select(M.image_header("content").alias("h")).collect()[0].h
+    assert (r.format, r.width, r.height) == ("png", 1, 1)
+    # truncated / junk bytes → NULL fields, no error
+    junk = spark.createDataFrame(
+        [("j", b"\x89PN"), ("k", b"hello world")], "asset_id string, content binary"
+    )
+    rows = junk.select(M.image_header("content").alias("h")).collect()
+    assert all(r.h.format is None for r in rows)
+
+
+def test_wav_sample_rate_parse(spark, assets):
+    audio = assets.filter(F.col("media_type") == "audio")
+    rows = audio.select(
+        F.col("metadata.sample_rate").alias("want"),
+        M.wav_sample_rate("content").alias("got"),
+    ).collect()
+    assert len(rows) > 0
+    assert all(r.got == r.want for r in rows)
+    non_audio = assets.filter(F.col("media_type") != "audio")
+    assert (
+        non_audio.select(M.wav_sample_rate("content").alias("sr"))
+        .filter(F.col("sr").isNotNull())
+        .count()
+        == 0
+    )
+
+
+def test_image_dimensions_pure_catalyst(spark, assets):
+    """The metadata path runs with no Python stage and no Pillow —
+    strict-mode metadata is real (VERDICT r2 item 3)."""
+    import contextlib
+    import io
+
+    dims = M.image_dimensions(assets)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        dims.explain(extended=False)
+    plan = buf.getvalue()
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+    rows = dims.collect()
+    want = {
+        r.asset_id: (r.metadata.format, r.metadata.width, r.metadata.height)
+        for r in assets.filter(F.col("media_type") == "image").collect()
+    }
+    assert {r.asset_id: (r.format, r.width, r.height) for r in rows} == want
