@@ -161,6 +161,7 @@ def pack_contiguous(
     budget_tokens: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin: bool = True,
 ) -> DataFrame:
     """Contiguous-stream sequence packing: documents are laid out in
     ``id`` order as one token stream and assigned to the training sequence
@@ -215,7 +216,14 @@ def pack_contiguous(
 
     local = base.mapInPandas(
         local_cumsum, f"{id_col} long, n_tokens int, pid int, local_before long"
-    ).localCheckpoint(eager=True)
+    )
+    if pin:
+        # Pin partition assignment: both plan branches (totals + final
+        # join) MUST see the same sampled range boundaries; a re-sample
+        # would skew offsets.  ``pin=False`` exists only for plan
+        # inspection (checkpointing replaces the lineage with an RDD
+        # scan, hiding the range-exchange shape from plan tests).
+        local = local.localCheckpoint(eager=True)
 
     totals = local.groupBy("pid").agg(F.sum("n_tokens").alias("ptotal"))
     pw = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -331,6 +339,7 @@ def mixture_sample(
     default_fraction: float = 0.0,
     group_col: str = "source",
     id_col: str = "doc_id",
+    key_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic data-mixture sampling: keep a target fraction of each
     source (the mixture-weighting step of corpus assembly — e.g. upweight
@@ -342,11 +351,19 @@ def mixture_sample(
     (unlike Bernoulli ``sample()``, which only hits the fraction in
     expectation) and fully deterministic re-runs.
 
-    Scale: one window shuffle on the group key.  Group counts ride the
-    same window (``count over partition``), so there is no separate
-    counting pass.  Skewed groups (a giant web source) are bounded by the
-    window sort within each partition; for pathological single-source
-    corpora, pre-salt the group key and merge quotas downstream.
+    Scale (skew-proof by construction): a naive
+    ``row_number over (partitionBy source)`` forces an entire group —
+    worst case ONE giant web-crawl source, i.e. the whole corpus —
+    through a single reducer's sort.  Instead this runs the textbook
+    distributed selection: the rank key space is RANGE-bucketed by its
+    own leading bytes (md5 prefix → ``key_buckets`` monotone buckets), a
+    tiny (groups × buckets) count table localizes the quota boundary, and
+    the wide ``row_number`` sorts only within (group, key-bucket) —
+    ``key_buckets``× finer than the group, so even a single-source corpus
+    spreads across the cluster.  Because buckets partition the key space
+    in order, ``cum_before + local_rank`` IS the global md5 rank: the
+    output is bit-identical to the single-window formulation (the DuckDB
+    oracle replays that exact semantic).
     """
     from pyspark.sql import Window
 
@@ -357,17 +374,41 @@ def mixture_sample(
         ],
         F.lit(float(default_fraction)),
     )
-    w = Window.partitionBy(group_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-    wc = Window.partitionBy(group_col)
-    ranked = docs.select(
-        id_col,
+    key = F.md5(F.col(id_col).cast("string"))
+    # Monotone key-range bucket: md5 hex sorts lexicographically == numerically
+    # (fixed 32 lowercase hex chars), and the 16-bit prefix is monotone in it.
+    kb = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") * key_buckets / 65536
+    ).cast("int")
+    tagged = docs.select(F.col(id_col), F.col(group_col), key.alias("_k"), kb.alias("_kb"))
+
+    # Tiny side: per-(group, bucket) counts → cumulative position of each
+    # bucket inside its group's global md5 order.  O(groups × key_buckets)
+    # rows — broadcastable at any corpus size.
+    counts = tagged.groupBy(group_col, "_kb").agg(F.count(F.lit(1)).alias("_nb"))
+    wg = Window.partitionBy(group_col)
+    wcum = wg.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = counts.select(
         group_col,
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(wc).alias("n_group"),
+        "_kb",
+        F.coalesce(F.sum("_nb").over(wcum), F.lit(0)).alias("_cum_before"),
+        F.sum("_nb").over(wg).alias("n_group"),
     )
     quota = F.ceil(F.col("n_group") * frac).cast("bigint")
-    return ranked.filter(F.col("rk") <= quota).select(
-        id_col, group_col, F.col("rk").cast("int").alias("rk"), "n_group"
+
+    # Wide side: rank only within (group, key-bucket); keep rows whose
+    # local rank fits the remaining quota for that bucket.
+    wlocal = Window.partitionBy(group_col, "_kb").orderBy("_k", id_col)
+    ranked = (
+        tagged.join(F.broadcast(bounds), [group_col, "_kb"])
+        .withColumn("_lrk", F.row_number().over(wlocal))
+        .filter(F.col("_lrk") <= quota - F.col("_cum_before"))
+    )
+    return ranked.select(
+        id_col,
+        group_col,
+        (F.col("_cum_before") + F.col("_lrk")).cast("int").alias("rk"),
+        "n_group",
     )
 
 

@@ -39,7 +39,8 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("decontaminate_eval_overlap", 2),  # corpus agg + tiny eval-vocab distinct
         ("gap_fill_daily_orders", 1),  # daily rollup only; spine broadcasts
         ("funnel_conversion", 2),    # user agg + final scalar fold
-        ("mixture_sample", 1),       # one window shuffle on the group key
+        ("mixture_sample", 3),       # 1 wide (group, key-bucket) rank shuffle
+        #                              + 2 over the O(groups×buckets) count side
         ("hourly_volume_anomalies", 2),  # hourly rollup + calendar-sized window
         ("asof_click_to_view", 1),   # union-then-window: ONE shuffle, no range self-join
         ("cohort_retention", 3),     # first-seen agg + activity distinct + rollup
@@ -62,9 +63,14 @@ def test_pack_contiguous_never_single_partitions_the_fact(spark):
     a range exchange (parallel), never a SinglePartition exchange — the
     only SinglePartition allowed is the per-partition-totals window
     (~shuffle-partition-count rows)."""
-    spark.catalog.clearCache()  # other tests persist this frame; plan must
-    # be judged on the uncached shape
-    plan = _plan(spark, "pack_contiguous")
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    # pin=False: the production default eagerly localCheckpoints (pinning
+    # the sampled range boundaries), which replaces lineage with an RDD
+    # scan — the UNPINNED build exposes the real plan shape to assert on.
+    df = corpus.pack_contiguous(table(spark, SF_SMALL, "documents"), pin=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan
     assert "MapInPandas" in plan
     # the per-partition-totals window is the only single-partition stage
