@@ -614,3 +614,52 @@ def test_zero_row_writes(spark, cat):
     assert snap.added_rows == 0 and snap.row_count == 4
     assert snap.data_dirs == before_dirs  # no new data dir
     assert cat.load("db", "zr").count() == 4
+
+
+def test_two_writer_concurrent_append_cas(spark, tmp_path):
+    """Catalog-level two-writer race (VERDICT r2 item 8): two threads
+    append concurrently through SEPARATE catalog instances over the same
+    warehouse.  The manifest CAS must serialize them — both snapshots
+    land, all rows survive, and remove_orphan_files finds nothing (no
+    stranded data dirs)."""
+    import threading
+
+    wh = str(tmp_path / "wh")
+    cat_a = LakehouseCatalog(spark, wh, name="writer_a")
+    cat_b = LakehouseCatalog(spark, wh, name="writer_b")
+    base = spark.range(100).select(F.col("id"), F.lit("seed").alias("src"))
+    cat_a.create_table("db", "t", base)
+
+    errors: list[Exception] = []
+    barrier = threading.Barrier(2)
+
+    def writer(cat, tag, lo):
+        df = spark.range(lo, lo + 50).select(F.col("id"), F.lit(tag).alias("src"))
+        try:
+            barrier.wait(timeout=60)  # maximize overlap
+            cat.append("db", "t", df)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(cat_a, "a", 1000)),
+        threading.Thread(target=writer, args=(cat_b, "b", 2000)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+
+    snaps = cat_a.snapshots("db", "t")
+    assert len(snaps) == 3  # create + both appends (serialized by the CAS)
+    assert snaps[-1].row_count == 200
+    assert cat_a.load("db", "t").count() == 200
+    by_src = {r.src: r.n for r in cat_a.load("db", "t").groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"seed": 100, "a": 50, "b": 50}
+    # no stranded dirs: every written data dir is referenced by a snapshot
+    orphans = cat_a.remove_orphan_files("db", "t", older_than_s=0.0)
+    assert orphans["deleted"] == []
+    # snapshot ids strictly increasing, unique (the CAS invariant)
+    ids = [s.snapshot_id for s in snaps]
+    assert ids == sorted(set(ids))

@@ -206,3 +206,52 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.sql("SELECT event_id FROM dedup_wm").collect())
     assert got == [1, 2]
+
+
+def test_streaming_crash_replay_exactly_once(spark, tmp_path):
+    """Crash-recovery e2e (VERDICT r2 item 9): simulate a failure AFTER
+    the foreachBatch append but BEFORE the checkpoint commit by deleting
+    the last checkpoint commit marker, then restart.  Structured
+    Streaming replays the batch with the SAME batch_id; the
+    batch_id-idempotent sink must turn the replay into a no-op — table
+    contents exactly-once."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+    cat = LakehouseCatalog(spark, wh)
+
+    _batch(spark, 0, 10).write.mode("append").parquet(src)
+    q = S.write_stream_to_lakehouse(S.read_file_stream(spark, src, SCHEMA), cat, "db", "ev", ckpt)
+    q.awaitTermination(120)
+    _batch(spark, 100, 7).write.mode("append").parquet(src)
+    q = S.write_stream_to_lakehouse(S.read_file_stream(spark, src, SCHEMA), cat, "db", "ev", ckpt)
+    q.awaitTermination(120)
+    assert cat.load("db", "ev").count() == 17
+    snaps_before = cat.snapshots("db", "ev")
+    committed_batches = [s.batch_id for s in snaps_before]
+
+    # the crash: lakehouse append happened (snapshot committed above) but
+    # the stream "dies" before recording batch 1 in the checkpoint
+    commits = sorted(os.listdir(os.path.join(ckpt, "commits")))
+    last = [c for c in commits if c.isdigit()][-1]
+    os.unlink(os.path.join(ckpt, "commits", last))
+    crc = os.path.join(ckpt, "commits", f".{last}.crc")  # Hadoop checksum shadow
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    # restart FROM A FRESH SESSION (what a real crashed process does):
+    # Spark replays the uncommitted batch with the same batch_id
+    spark2 = spark.newSession()
+    cat2 = LakehouseCatalog(spark2, wh)
+    q = S.write_stream_to_lakehouse(
+        S.read_file_stream(spark2, src, SCHEMA), cat2, "db", "ev", ckpt
+    )
+    q.awaitTermination(120)
+
+    # exactly-once: no duplicate rows, no duplicate snapshot for the batch
+    assert cat.load("db", "ev").count() == 17
+    snaps_after = cat.snapshots("db", "ev")
+    assert [s.batch_id for s in snaps_after] == committed_batches
+    assert cat.load("db", "ev").select("event_id").distinct().count() == 17
