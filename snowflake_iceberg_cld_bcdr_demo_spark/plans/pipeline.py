@@ -1098,3 +1098,160 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("lang_agree").cast("long")).alias("n_lang_agree"),
         )
     )
+
+
+@_spec(
+    "image_dimensions",
+    """
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+               WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+           CAST(doc_id % 1919 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 1079 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side image-header codec round-trip: deterministically derive
+    (format, width, height) per document, ENCODE a real container header
+    (PNG IHDR / JPEG SOFn / GIF / BMP, `multimodal.media.encode_image_header`),
+    then PARSE it back with the pure-Catalyst decoder
+    (`multimodal.media.image_header`) — the oracle recomputes the expected
+    dimensions arithmetically, so any codec bug on either side
+    hash-mismatches.  The JPEG rows exercise the bounded segment-walk
+    fold (APP0 must be skipped to reach SOF0).
+
+    Scale: one narrow codegen'd projection — zero shuffles, zero Python."""
+    from ..multimodal.media import encode_image_header, image_header
+
+    docs = table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    width = (F.pmod(F.col("doc_id"), F.lit(1919)) + 1).cast("int")
+    height = (F.pmod(F.col("doc_id"), F.lit(1079)) + 1).cast("int")
+    hdr = image_header(encode_image_header(fmt, width, height))
+    return docs.select(
+        "doc_id",
+        hdr["format"].alias("format"),
+        hdr["width"].alias("width"),
+        hdr["height"].alias("height"),
+    )
+
+
+@_spec(
+    "embedding_centroid_per_label",
+    """
+    WITH flat AS (
+        SELECT label, CAST(t.i AS INTEGER) AS dim,
+               embedding[CAST(t.i AS INTEGER) + 1] AS val
+        FROM embeddings CROSS JOIN range(64) t(i)
+    )
+    SELECT label, dim, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+               / (1048576 * COUNT(*)) AS centroid_q
+    FROM flat GROUP BY label, dim
+    """,
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, dimension-wise — the K-means/class-prototype
+    building block.  Floats are fixed-pointed by a POWER-OF-TWO scale
+    (``floor(x · 2^20)``: exponent shift, exactly representable, floor is
+    unambiguous) so the sum is an integer — order-independent and
+    bit-identical across engines, unlike a naive double mean.
+
+    Scale: posexplode then ONE map-side-combined shuffle on
+    (label, dim) — output is O(labels × dims) regardless of corpus size.
+    This is the canonical dimension-wise aggregate; at 100 TB the explode
+    stays pipelined with the scan (no materialized blow-up)."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    q = F.floor(F.col("val").cast("double") * 1048576).cast("bigint")
+    return (
+        flat.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(q).alias("_s"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            (F.col("_s").cast("double") / (1048576 * F.col("n"))).alias("centroid_q"),
+        )
+    )
+
+
+@_spec(
+    "zipf_top_terms",
+    """
+    WITH tok AS (
+        SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token
+        FROM documents
+    ),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS INTEGER) AS rank,
+           token, freq
+    FROM counts
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def zipf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf curve head: global token frequencies, top 50 with
+    rank — the vocabulary/frequency profile a tokenizer-training run
+    reads first.
+
+    Scale: explode stays pipelined; ONE map-side-combined shuffle on
+    token; the top-50 is a TakeOrdered (no global sort), and the rank
+    window runs on the 50 surviving driver-sized rows only."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+    w = Window.orderBy(F.col("freq").desc(), "token")  # 50 rows: driver-sized
+    return counts.select(
+        F.row_number().over(w).cast("int").alias("rank"), "token", "freq"
+    )
+
+
+@_spec(
+    "token_length_histogram",
+    """
+    WITH counted AS (
+        SELECT len(regexp_extract_all(lower(text), '\\S+')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(least(floor(n_tokens / 50), 19) AS INTEGER) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS INTEGER) AS min_tokens,
+           CAST(MAX(n_tokens) AS INTEGER) AS max_tokens
+    FROM counted GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in 50-token buckets (capped at bucket
+    19) — the length profile that picks packing/chunking budgets.
+
+    Scale: narrow codegen'd projection then one tiny aggregate
+    (≤20 output rows); integer arithmetic end-to-end — nothing to
+    drift."""
+    docs = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0))
+    bucket = F.least(F.floor(n_tokens / 50), F.lit(19)).cast("int")
+    return (
+        docs.select(n_tokens.alias("n_tokens"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").cast("int").alias("min_tokens"),
+            F.max("n_tokens").cast("int").alias("max_tokens"),
+        )
+    )

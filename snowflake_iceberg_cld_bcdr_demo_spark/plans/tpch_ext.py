@@ -784,3 +784,231 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((num / F.sum("volume").cast("double")).alias("market_share"))
         .orderBy("o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: the remaining classic TPC-H shapes expressible on the
+# driver star schema (no partsupp / commitdate columns exist, so Q9/Q11/
+# Q12/Q20/Q21 are adapted to the available columns with identical plan
+# shapes).
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "q9_product_profit",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          - CAST(p_retailprice AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(0.8 AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    GROUP BY n_name, year(l_shipdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted: per (supplier nation,
+    ship year) profit where supply cost is modeled as 80% of retail price
+    (no partsupp table in the star schema).
+
+    Scale: lineitem is the only fact; part and supplier broadcast at
+    small SF and AQE falls back to shuffle joins when they outgrow the
+    threshold — either way the single wide shuffle is the final
+    (nation, year) aggregate, which map-side combines to O(nations ×
+    years) rows.  Decimal contract throughout (exact, order-independent
+    sums)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    profit = dec("l_extendedprice") * one_minus("l_discount") - (
+        dec("p_retailprice") * dec("l_quantity") * F.lit("0.8").cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(dec_sum(profit).alias("sum_profit"))
+    )
+
+
+@_spec(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM pv)
+    SELECT l_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) / n_parts * 1.2
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part revenue filtered against the GLOBAL
+    mean (parts 20% above average revenue share — SF-invariant, unlike
+    Q11's fixed fraction) — a HAVING-vs-scalar-subquery decorrelated into
+    a broadcast of the one-row total.
+
+    Scale: one map-side-combined shuffle to (partkey) — the global total
+    re-aggregates THAT result (O(parts) rows, not a second fact scan) and
+    broadcasts back as a literal-sized frame.  The threshold comparison
+    runs in double on both engines (identical IEEE ops on identical
+    decimal-exact inputs → deterministic)."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * one_minus("l_discount")).alias("value"))
+    )
+    tot = pv.agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double")
+            > F.col("total").cast("double") / F.col("n_parts") * 1.2
+        )
+        .select(
+            "l_partkey",
+            F.round("value", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@_spec(
+    "q12_shipdelay_priority",
+    """
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 'fast'
+                WHEN datediff('day', o_orderdate, l_shipdate) <= 90 THEN 'medium'
+                ELSE 'slow' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_shipdelay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-delay service check): conditional counts
+    of high/low-priority lines per order-to-ship delay bucket (the
+    testdata carries no shipmode/commitdate, so the delay IS the bucket).
+
+    Scale: one fact-fact equi-join on orderkey (both sides shuffle on the
+    join key; AQE coalesces), then a 3-row aggregate — the CASE counts
+    fold map-side."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.when(delay <= 30, "fast")
+            .when(delay <= 90, "medium")
+            .otherwise("slow")
+            .alias("delay_bucket")
+        )
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+@_spec(
+    "q20_promo_part_suppliers",
+    """
+    WITH promo_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+    ),
+    heavy AS (
+        SELECT l_suppkey
+        FROM lineitem JOIN promo_parts ON p_partkey = l_partkey
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 50
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM supplier JOIN heavy ON l_suppkey = s_suppkey
+    ORDER BY s_suppkey
+    """,
+)
+def q20_promo_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: chained semi-joins — parts filtered by name feed
+    a grouped HAVING over lineitem, whose distinct suppliers semi-join
+    into supplier.
+
+    Scale: the name-filtered part list broadcasts into the fact scan
+    (semi-join prunes before the shuffle); the (suppkey, partkey)
+    aggregate map-side combines; the final semi-join against supplier is
+    a broadcast of the distinct surviving suppkeys."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = table(spark, sf_dir, "supplier")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@_spec(
+    "q21_last_shipper",
+    """
+    WITH per_order AS (
+        SELECT l_orderkey, MAX(l_shipdate) AS last_ship,
+               COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_suppkey, COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem JOIN per_order USING (l_orderkey)
+    WHERE n_supp > 1 AND l_shipdate = last_ship
+    GROUP BY l_suppkey
+    ORDER BY n_orders DESC, l_suppkey
+    LIMIT 20
+    """,
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting): within each multi-supplier order, the supplier(s) whose
+    line shipped LAST, ranked by how many orders they closed out.
+
+    Scale: ONE shuffle on orderkey serves both window functions (max
+    shipdate + distinct-supplier count via ``collect_set`` size — exact,
+    bounded by suppliers-per-order); the per-suppkey rollup map-side
+    combines and the top-20 is a TakeOrdered, no global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    marked = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_shipdate",
+        F.max("l_shipdate").over(w).alias("last_ship"),
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+    )
+    return (
+        marked.filter((F.col("n_supp") > 1) & (F.col("l_shipdate") == F.col("last_ship")))
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "l_suppkey")
+        .limit(20)
+    )
