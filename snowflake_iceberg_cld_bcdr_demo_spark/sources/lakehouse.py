@@ -428,6 +428,9 @@ class LakehouseCatalog:
             candidate["dir_stats"] = {
                 d: s for d, s in manifest.get("dir_stats", {}).items() if d in live
             }
+            candidate["dir_rows"] = {
+                d: r for d, r in manifest.get("dir_rows", {}).items() if d in live
+            }
             try:
                 self._publish_manifest(namespace, table, candidate, version=base_version + 1)
             except FileExistsError:
@@ -523,7 +526,21 @@ class LakehouseCatalog:
         df: DataFrame,
         op: str,
         batch_id: int | None = None,
+        carry_dirs: list[str] | None = None,
+        base_snapshot_id: int | None = None,
+        extra_dir_rows: dict[str, int] | None = None,
     ) -> Snapshot:
+        """Write ``df`` as a new data dir and publish a snapshot.
+
+        ``op='rewrite'`` is file-level copy-on-write (row-level DELETE/
+        UPDATE/MERGE): ``carry_dirs`` are the untouched data dirs carried
+        into the new snapshot by reference — metadata only, no data moves
+        — while ``df`` holds the rewritten content of the touched dirs.
+        ``base_snapshot_id`` pins the snapshot the rewrite was planned
+        against; if a concurrent commit advanced the table past it, the
+        rewrite ABORTS with :class:`CommitConflictError` (Iceberg's
+        serializable validation) instead of silently dropping the
+        concurrent rows — the caller re-plans against the new head."""
         # 1. write the data exactly once, outside the retry loop; the row
         # count rides along on the write job itself (no second scan —
         # `df.observe` attaches a metric to the existing action)
@@ -570,7 +587,7 @@ class LakehouseCatalog:
             import shutil
 
             shutil.rmtree(out, ignore_errors=True)
-            if op == "append":
+            if op == "append" or (op == "rewrite" and carry_dirs):
                 data_dir = None
             else:
                 self.spark.createDataFrame([], df.schema).repartition(1).write.mode(
@@ -588,7 +605,25 @@ class LakehouseCatalog:
             if op != "create":
                 manifest, base_version = self._read_manifest_versioned(namespace, table)
             sid = len(manifest["snapshots"]) + 1
-            if op == "append" and manifest["snapshots"]:
+            if op == "rewrite" and manifest["snapshots"] and (
+                manifest["snapshots"][-1]["snapshot_id"] != base_snapshot_id
+            ):
+                # a concurrent commit landed between plan and publish: the
+                # rewrite's carried/rewritten split no longer reflects the
+                # table — abort rather than drop the concurrent snapshot
+                import shutil
+
+                if data_dir is not None:
+                    shutil.rmtree(
+                        os.path.join(self._table_path(namespace, table), data_dir),
+                        ignore_errors=True,
+                    )
+                raise CommitConflictError(
+                    f"rewrite of {namespace}.{table} planned at snapshot "
+                    f"{base_snapshot_id} but head advanced to "
+                    f"{manifest['snapshots'][-1]['snapshot_id']}; re-plan and retry"
+                )
+            if op in ("append", "rewrite") and manifest["snapshots"]:
                 prev = manifest["snapshots"][-1]
                 prev_dirs = list(prev["data_dirs"])
                 prev_cols = list(prev.get("columns") or manifest.get("columns") or [])
@@ -596,6 +631,13 @@ class LakehouseCatalog:
             else:
                 prev_dirs, prev_cols, prev_total = [], [], 0
             evolved = prev_cols + [c for c in df.columns if c not in prev_cols]
+            if op == "rewrite":
+                # carried rows ride the manifest's per-dir counts — the
+                # rewrite commit never re-scans untouched data
+                # (``extra_dir_rows`` backfills pre-dir_rows-era dirs the
+                # caller had to count once)
+                dir_rows = {**manifest.get("dir_rows", {}), **(extra_dir_rows or {})}
+                carried_rows = sum(dir_rows.get(d, 0) for d in carry_dirs or [])
             if batch_id is not None and self._batch_already_committed(manifest, batch_id):
                 # a concurrent/restarted writer already committed this batch
                 return self.current_snapshot(namespace, table)
@@ -603,11 +645,15 @@ class LakehouseCatalog:
                 "snapshot_id": sid,
                 "committed_at": time.time(),
                 "operation": op,
-                "row_count": prev_total + added,
+                "row_count": (
+                    carried_rows + added if op == "rewrite" else prev_total + added
+                ),
                 "added_rows": added,
                 "data_dirs": (
                     [*prev_dirs, *([data_dir] if data_dir else [])]
                     if op == "append"
+                    else [*(carry_dirs or []), *([data_dir] if data_dir else [])]
+                    if op == "rewrite"
                     else [data_dir]
                 ),
                 "columns": evolved,
@@ -624,6 +670,16 @@ class LakehouseCatalog:
                 candidate["dir_stats"] = {
                     **manifest.get("dir_stats", {}),
                     data_dir: dir_stats,
+                }
+                candidate["dir_rows"] = {
+                    **manifest.get("dir_rows", {}),
+                    **(extra_dir_rows or {}),
+                    data_dir: added,
+                }
+            elif extra_dir_rows:
+                candidate["dir_rows"] = {
+                    **manifest.get("dir_rows", {}),
+                    **extra_dir_rows,
                 }
             try:
                 # publish at base+1: versions advance independently of
@@ -882,6 +938,295 @@ class LakehouseCatalog:
             )
         return snap
 
+    def _read_dir_paths(
+        self, namespace: str, table: str, read_dirs: list[str], manifest: dict
+    ) -> DataFrame:
+        """Read an explicit list of data dirs with read-time schema merge
+        (shared by :meth:`load` and the row-level rewrite ops)."""
+        paths = [
+            os.path.join(self._table_path(namespace, table), d) for d in read_dirs
+        ]
+        dir_cols = manifest.get("dir_columns", {})
+        schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
+        if manifest["partition_by"] and len(paths) > 1:
+            # Hive-partitioned dirs can't share one basePath across
+            # multiple snapshot roots (Spark's partition discovery rejects
+            # the non-partition data-dir level: CONFLICTING_DIRECTORY_
+            # STRUCTURES).  Read each snapshot dir rooted at itself and
+            # union; filter/column pushdown applies per branch and
+            # partition pruning still reaches each scan.
+            from functools import reduce
+
+            parts = [
+                self.spark.read.option("basePath", p).parquet(p) for p in paths
+            ]
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=len(schemas) > 1),
+                parts,
+            )
+        # One multi-path read (not a unionAll chain): Spark builds a
+        # single file index, so pruning/pushdown span all snapshots.
+        # mergeSchema only when dirs actually differ — it costs extra
+        # footer reads at planning time; don't pay it on the common path.
+        reader = self.spark.read.option("basePath", self._table_path(namespace, table))
+        if len(schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
+    def _read_dirs_clean(
+        self, namespace: str, table: str, read_dirs: list[str], manifest: dict
+    ) -> DataFrame:
+        """:meth:`_read_dir_paths` + strip hidden-partition columns and
+        restore the declared column order — rewrite-op input frames."""
+        df = self._read_dir_paths(namespace, table, read_dirs, manifest)
+        spec_fields = parse_partition_spec(manifest["partition_by"])
+        derived_names = {f["field"] for f in spec_fields if f["transform"] != "identity"}
+        cols = list(manifest.get("columns") or [])
+        ordered = [c for c in cols if c in df.columns]
+        extras = [
+            c for c in df.columns if c not in cols and c not in derived_names
+        ]
+        return df.select(*ordered, *extras)
+
+    @staticmethod
+    def _filters_to_column(filters: list[tuple]):
+        """Conjunction of ``(col, op, value)`` triples as a Column (the
+        same grammar :meth:`load` accepts)."""
+        from functools import reduce
+
+        def one(col, op, val):
+            c = F.col(col)
+            return (
+                c.isin(list(val))
+                if op == "in"
+                else {"=": c == val, "==": c == val, "<": c < val, "<=": c <= val,
+                      ">": c > val, ">=": c >= val}[op]
+            )
+
+        return reduce(lambda a, b: a & b, [one(*f) for f in filters])
+
+    def _plan_rewrite(
+        self, namespace: str, table: str, filters: list[tuple]
+    ) -> tuple[dict, dict, list[str], list[str], dict[str, int]]:
+        """(manifest, head snapshot, touched dirs, carried dirs, row-count
+        backfill) for a row-level rewrite gated by ``filters``: dirs whose
+        manifest bounds PROVE no row can match carry over by reference —
+        the Iceberg file-level CoW planning step, O(dirs) metadata work."""
+        manifest = self._read_manifest(namespace, table)
+        snap = self._resolve_snapshot(manifest, namespace, table, None)
+        pruned = self.prune_preview(
+            namespace, table, filters, snap["snapshot_id"]
+        )
+        touched, carried = pruned["kept"], pruned["skipped"]
+        dir_rows = manifest.get("dir_rows", {})
+        missing = [d for d in carried if d not in dir_rows]
+        backfill: dict[str, int] = {}
+        if missing:
+            # pre-dir_rows-era dirs: count once, then the count lives in
+            # the manifest forever
+            backfill = {
+                d: self._read_dir_paths(namespace, table, [d], manifest).count()
+                for d in missing
+            }
+        return manifest, snap, touched, carried, backfill
+
+    # -- row-level DELETE / UPDATE / MERGE (file-level copy-on-write) -----
+    def delete_where(self, namespace: str, table: str, filters: list[tuple]) -> Snapshot:
+        """Row-level ``DELETE WHERE`` with Iceberg copy-on-write semantics
+        at data-dir granularity: dirs whose column bounds prove no match
+        carry into the new snapshot untouched (metadata only); only dirs
+        that may contain matching rows are rewritten without them.
+
+        ``filters`` is the same ``[(col, op, value), ...]`` conjunction
+        grammar as :meth:`load`.  SQL DELETE semantics: rows where the
+        predicate is NULL (e.g. a NULL column compared with ``<``) are
+        KEPT, not deleted.  History is preserved — time travel to the
+        pre-delete snapshot still works.
+
+        Scale: the rewrite reads/writes only the touched dirs, so a
+        delete keyed on the partition/sort column of a 100 TB table moves
+        only the affected partitions' bytes; the carried side is pure
+        manifest metadata."""
+        manifest, snap, touched, carried, backfill = self._plan_rewrite(
+            namespace, table, filters
+        )
+        if not touched:
+            return self.current_snapshot(namespace, table)  # metadata no-op
+        pred = self._filters_to_column(filters)
+        keep = self._read_dirs_clean(namespace, table, touched, manifest).filter(
+            ~pred.eqNullSafe(F.lit(True))
+        )
+        return self._commit(
+            namespace, table, manifest, keep, "rewrite",
+            carry_dirs=carried, base_snapshot_id=snap["snapshot_id"],
+            extra_dir_rows=backfill,
+        )
+
+    def update_where(
+        self,
+        namespace: str,
+        table: str,
+        assignments: dict[str, object],
+        filters: list[tuple],
+    ) -> Snapshot:
+        """Row-level ``UPDATE … SET … WHERE`` (copy-on-write, dir
+        granularity like :meth:`delete_where`).  ``assignments`` maps
+        column name → Column expression or SQL string (may reference any
+        column of the row).  Only rows where the predicate is TRUE are
+        updated; NULL-predicate rows pass through unchanged."""
+        manifest, snap, touched, carried, backfill = self._plan_rewrite(
+            namespace, table, filters
+        )
+        if not touched:
+            return self.current_snapshot(namespace, table)
+        pred = self._filters_to_column(filters).eqNullSafe(F.lit(True))
+        df = self._read_dirs_clean(namespace, table, touched, manifest)
+        dtypes = dict(df.dtypes)
+        for col, expr in assignments.items():
+            if col not in df.columns:
+                raise ValueError(f"update_where: unknown column {col!r}")
+            new_val = F.expr(expr) if isinstance(expr, str) else expr
+            df = df.withColumn(
+                col, F.when(pred, new_val.cast(dtypes[col])).otherwise(F.col(col))
+            )
+        return self._commit(
+            namespace, table, manifest, df, "rewrite",
+            carry_dirs=carried, base_snapshot_id=snap["snapshot_id"],
+            extra_dir_rows=backfill,
+        )
+
+    def merge_into(
+        self,
+        namespace: str,
+        table: str,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, object] | None = None,
+        when_matched_delete: object | None = None,
+        when_not_matched_insert: bool = True,
+        matched_condition: object | None = None,
+        validate_unique_keys: bool = True,
+    ) -> Snapshot:
+        """Full ``MERGE INTO`` (Iceberg/Delta-style) with file-level
+        copy-on-write: target dirs whose key bounds cannot overlap the
+        source's key range carry over by reference; only overlapping dirs
+        join the source and rewrite.
+
+        - ``when_matched_update``: column → expression over the joined row
+          (source columns visible as ``s.<col>``, target as ``t.<col>``;
+          bare names resolve to the target).  SQL strings or Columns.
+        - ``when_matched_delete``: ``True`` or a boolean SQL string /
+          Column — matched rows satisfying it are dropped.
+        - ``when_not_matched_insert``: source rows with no target match
+          insert (columns matched by name; missing target columns → NULL).
+        - ``matched_condition``: extra predicate gating the update clause.
+        - ``validate_unique_keys``: raise if two source rows share a key
+          (a target row may only merge with one source row — the ambiguity
+          Iceberg rejects at runtime).
+
+        Scale: the source is scanned twice (bounds + join) — cache it if
+        it's expensive; the join shuffles only the touched target dirs,
+        and a merge keyed on the partition column of a date-partitioned
+        fact rewrites only the partitions the source touches."""
+        if not (when_matched_update or when_matched_delete or when_not_matched_insert):
+            raise ValueError("merge_into: no clauses given")
+        if validate_unique_keys:
+            dup = (
+                source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    f"merge_into: source has duplicate keys on {on} — each "
+                    "target row must match at most one source row"
+                )
+        # source key bounds → dir-level pruning filters (min <= key <= max)
+        bounds_row = source.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in on],
+            *[F.max(k).alias(f"hi_{k}") for k in on],
+        ).first()
+        filters: list[tuple] = []
+        for k in on:
+            lo, hi = bounds_row[f"lo_{k}"], bounds_row[f"hi_{k}"]
+            if lo is not None:
+                filters.append((k, ">=", lo))
+            if hi is not None:
+                filters.append((k, "<=", hi))
+        if not filters:
+            # empty / all-NULL-key source: nothing can match; inserts of
+            # NULL-keyed rows are rejected like engines reject NULL merge keys
+            return self.current_snapshot(namespace, table)
+        manifest, snap, touched, carried, backfill = self._plan_rewrite(
+            namespace, table, filters
+        )
+        t = self._read_dirs_clean(namespace, table, touched, manifest) if touched else None
+        target_cols = (
+            list(t.columns) if t is not None
+            else list(manifest.get("columns") or [])
+        )
+        pieces = []
+        if t is not None:
+            s_marked = source.withColumn("__s_matched", F.lit(True)).alias("s")
+            joined = t.alias("t").join(
+                s_marked, on=[F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on],
+                how="left",
+            )
+            matched = F.col("s.__s_matched").isNotNull()
+            if matched_condition is not None:
+                cond = (
+                    F.expr(matched_condition)
+                    if isinstance(matched_condition, str)
+                    else matched_condition
+                )
+                matched = matched & cond.eqNullSafe(F.lit(True))
+            if when_matched_delete is not None:
+                del_cond = (
+                    matched
+                    if when_matched_delete is True
+                    else matched
+                    & (
+                        F.expr(when_matched_delete)
+                        if isinstance(when_matched_delete, str)
+                        else when_matched_delete
+                    ).eqNullSafe(F.lit(True))
+                )
+                joined = joined.filter(~del_cond.eqNullSafe(F.lit(True)))
+            dtypes = dict(t.dtypes)
+            out_cols = []
+            for c in target_cols:
+                base = F.col(f"t.{c}")
+                if when_matched_update and c in when_matched_update:
+                    expr = when_matched_update[c]
+                    new_val = F.expr(expr) if isinstance(expr, str) else expr
+                    base = F.when(matched, new_val.cast(dtypes[c])).otherwise(base)
+                out_cols.append(base.alias(c))
+            pieces.append(joined.select(*out_cols))
+        if when_not_matched_insert:
+            # anti-join against the WHOLE table (carried dirs included):
+            # a source key living in a carried dir must not re-insert
+            full = self.load(namespace, table)
+            tgt_dtypes = dict(full.dtypes)
+            inserts = source.join(full.select(*on).distinct(), on, "left_anti")
+            projected = inserts.select(
+                *[
+                    (F.col(c) if c in inserts.columns else F.lit(None))
+                    .cast(tgt_dtypes[c])
+                    .alias(c)
+                    for c in target_cols
+                ]
+            )
+            pieces.append(projected)
+        if not pieces:
+            return self.current_snapshot(namespace, table)
+        from functools import reduce
+
+        merged = reduce(lambda a, b: a.unionByName(b), pieces)
+        return self._commit(
+            namespace, table, manifest, merged, "rewrite",
+            carry_dirs=carried, base_snapshot_id=snap["snapshot_id"],
+            extra_dir_rows=backfill,
+        )
+
     def load(
         self,
         namespace: str,
@@ -921,36 +1266,7 @@ class LakehouseCatalog:
                 )
                 empty = self.spark.read.parquet(any_dir).limit(0)
                 return empty.select(*[c for c in cols if c in empty.columns])
-        paths = [
-            os.path.join(self._table_path(namespace, table), d) for d in read_dirs
-        ]
-        dir_cols = manifest.get("dir_columns", {})
-        schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
-        if manifest["partition_by"] and len(paths) > 1:
-            # Hive-partitioned dirs can't share one basePath across
-            # multiple snapshot roots (Spark's partition discovery rejects
-            # the non-partition data-dir level: CONFLICTING_DIRECTORY_
-            # STRUCTURES).  Read each snapshot dir rooted at itself and
-            # union; filter/column pushdown applies per branch and
-            # partition pruning still reaches each scan.
-            from functools import reduce
-
-            parts = [
-                self.spark.read.option("basePath", p).parquet(p) for p in paths
-            ]
-            df = reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=len(schemas) > 1),
-                parts,
-            )
-        else:
-            # One multi-path read (not a unionAll chain): Spark builds a
-            # single file index, so pruning/pushdown span all snapshots.
-            # mergeSchema only when dirs actually differ — it costs extra
-            # footer reads at planning time; don't pay it on the common path.
-            reader = self.spark.read.option("basePath", self._table_path(namespace, table))
-            if len(schemas) > 1:
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*paths)
+        df = self._read_dir_paths(namespace, table, read_dirs, manifest)
         # Transform-aware partition pruning (hidden partitioning): fold
         # each filter literal through the spec's transform so the derived
         # `_p_…` partition column gets a constant predicate — Spark turns
