@@ -1106,6 +1106,8 @@ class LakehouseCatalog:
         when_not_matched_insert: bool = True,
         matched_condition: object | None = None,
         validate_unique_keys: bool = True,
+        insert_condition: object | None = None,
+        batch_id: int | None = None,
     ) -> Snapshot:
         """Full ``MERGE INTO`` (Iceberg/Delta-style) with file-level
         copy-on-write: target dirs whose key bounds cannot overlap the
@@ -1123,6 +1125,12 @@ class LakehouseCatalog:
         - ``validate_unique_keys``: raise if two source rows share a key
           (a target row may only merge with one source row — the ambiguity
           Iceberg rejects at runtime).
+        - ``insert_condition``: predicate over bare source columns gating
+          the insert clause (``WHEN NOT MATCHED AND <cond> THEN INSERT`` —
+          a CDC apply must not insert delete-markers).
+        - ``batch_id``: streaming idempotence — a replayed micro-batch
+          whose id is already recorded returns the current snapshot
+          without re-planning the merge.
 
         Scale: the source is scanned twice (bounds + join) — cache it if
         it's expensive; the join shuffles only the touched target dirs,
@@ -1130,6 +1138,12 @@ class LakehouseCatalog:
         fact rewrites only the partitions the source touches."""
         if not (when_matched_update or when_matched_delete or when_not_matched_insert):
             raise ValueError("merge_into: no clauses given")
+        if batch_id is not None and self._batch_already_committed(
+            self._read_manifest(namespace, table), batch_id
+        ):
+            # replayed streaming micro-batch: the merge already committed —
+            # skip the whole plan, not just the manifest publish
+            return self.current_snapshot(namespace, table)
         if validate_unique_keys:
             dup = (
                 source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
@@ -1207,6 +1221,13 @@ class LakehouseCatalog:
             full = self.load(namespace, table)
             tgt_dtypes = dict(full.dtypes)
             inserts = source.join(full.select(*on).distinct(), on, "left_anti")
+            if insert_condition is not None:
+                cond = (
+                    F.expr(insert_condition)
+                    if isinstance(insert_condition, str)
+                    else insert_condition
+                )
+                inserts = inserts.filter(cond.eqNullSafe(F.lit(True)))
             projected = inserts.select(
                 *[
                     (F.col(c) if c in inserts.columns else F.lit(None))
@@ -1223,8 +1244,8 @@ class LakehouseCatalog:
         merged = reduce(lambda a, b: a.unionByName(b), pieces)
         return self._commit(
             namespace, table, manifest, merged, "rewrite",
-            carry_dirs=carried, base_snapshot_id=snap["snapshot_id"],
-            extra_dir_rows=backfill,
+            batch_id=batch_id, carry_dirs=carried,
+            base_snapshot_id=snap["snapshot_id"], extra_dir_rows=backfill,
         )
 
     def load(

@@ -206,6 +206,70 @@ def stream_stream_join(
     return lw.join(rw, cond, how)
 
 
+def apply_cdc_stream(
+    stream_df: DataFrame,
+    catalog: LakehouseCatalog,
+    namespace: str,
+    table: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    op_col: str = "op",
+    seq_col: str = "ts",
+    available_now: bool = True,
+):
+    """Apply a change-data-capture stream to a lakehouse table: each
+    micro-batch MERGEs into the target — upserts for ``op`` in (I, U),
+    row deletion for ``op = 'D'`` — the streaming-upsert pattern an
+    Iceberg/Delta user expresses as ``foreachBatch + MERGE INTO``.
+
+    Within a batch, only the LAST change per key (by ``seq_col``) applies
+    — intermediate states of a hot key collapse, exactly like engines'
+    CDC apply.  Exactly-once: the ``batch_id`` rides into the merge commit
+    (and the table-create commit on first batch), so a replayed batch
+    after a crash-between-merge-and-checkpoint is a no-op.
+
+    Scale: the merge is file-level copy-on-write — target data dirs whose
+    key bounds can't overlap the batch's key range carry by reference, so
+    a trickle of changes against a 100 TB table rewrites only the touched
+    key ranges' dirs, per batch."""
+    from pyspark.sql import Window
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if not catalog.table_exists(namespace, table):
+            init = latest.filter(F.col(op_col) != F.lit("D")).drop(op_col)
+            catalog.create_table(namespace, table, init, batch_id=batch_id)
+            return
+        data_cols = [c for c in latest.columns if c != op_col and c not in key_cols]
+        catalog.merge_into(
+            namespace,
+            table,
+            latest,
+            on=key_cols,
+            when_matched_update={c: f"s.{c}" for c in data_cols},
+            when_matched_delete=f"s.{op_col} = 'D'",
+            when_not_matched_insert=True,
+            insert_condition=F.col(op_col) != F.lit("D"),
+            batch_id=batch_id,
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_dedup_within_watermark(
     events: DataFrame,
     key_cols: list[str],

@@ -255,3 +255,86 @@ def test_streaming_crash_replay_exactly_once(spark, tmp_path):
     snaps_after = cat.snapshots("db", "ev")
     assert [s.batch_id for s in snaps_after] == committed_batches
     assert cat.load("db", "ev").select("event_id").distinct().count() == 17
+
+
+def test_apply_cdc_stream_upserts_and_deletes(spark, tmp_path):
+    """CDC apply: a change stream (op I/U/D + seq timestamp) merged into a
+    lakehouse table per micro-batch — last change per key wins within a
+    batch, deletes remove rows, replayed batches are no-ops."""
+    from pyspark.sql.types import StructField, StructType
+
+    cdc_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("op", StringType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    # batch 1: inserts, one key changed twice in-batch (last wins)
+    spark.createDataFrame(
+        [
+            (1, t(0), "I", "ann", 1.0),
+            (2, t(0), "I", "bob", 2.0),
+            (2, t(5), "U", "bob2", 2.5),
+            (3, t(0), "I", "cat", 3.0),
+        ],
+        cdc_schema,
+    ).write.mode("append").parquet(src)
+    q = S.apply_cdc_stream(
+        S.read_file_stream(spark, src, cdc_schema), cat, "db", "users",
+        key_cols=["user_id"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in cat.load("db", "users").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2].name == "bob2" and rows[2].score == 2.5
+
+    # batch 2: update 1, delete 3, insert 4, and a D for a brand-new key
+    # (no-op insert guard)
+    spark.createDataFrame(
+        [
+            (1, t(10), "U", "ann2", 1.5),
+            (3, t(10), "D", None, None),
+            (4, t(10), "I", "dan", 4.0),
+            (9, t(10), "D", None, None),
+        ],
+        cdc_schema,
+    ).write.mode("append").parquet(src)
+    q = S.apply_cdc_stream(
+        S.read_file_stream(spark, src, cdc_schema), cat, "db", "users",
+        key_cols=["user_id"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in cat.load("db", "users").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].name == "ann2"
+    assert rows[4].name == "dan"
+
+    # crash replay: drop the last checkpoint commit and restart — the
+    # merge's batch_id idempotence keeps contents exactly-once
+    import os
+
+    commits = sorted(c for c in os.listdir(os.path.join(ckpt, "commits")) if c.isdigit())
+    os.unlink(os.path.join(ckpt, "commits", commits[-1]))
+    crc = os.path.join(ckpt, "commits", f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    spark2 = spark.newSession()
+    cat2 = LakehouseCatalog(spark2, str(tmp_path / "wh"))
+    q = S.apply_cdc_stream(
+        S.read_file_stream(spark2, src, cdc_schema), cat2, "db", "users",
+        key_cols=["user_id"], checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r for r in cat.load("db", "users").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].name == "ann2"
