@@ -447,3 +447,123 @@ def incremental_dedup(
         .filter("_keep")
         .drop("_fp", "_keep")
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset splitting / ordering (train-val-test, global shuffle, curriculum)
+# --------------------------------------------------------------------------
+
+#: 2^32 — the md5-prefix hash domain used for portable bucketing
+_HASH_DOMAIN = 1 << 32
+
+
+def _portable_u32(col, seed: int):
+    """Deterministic uniform 32-bit integer from (seed, value) — the
+    md5-prefix construction every split/sample operator here shares, and
+    the DuckDB oracle reproduces verbatim:
+    ``conv(substring(md5(concat(seed, ':', v)), 1, 8), 16, 10)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's split is a pure
+    function of (seed, id) — stable across reruns, re-partitioning, and
+    engine versions, so a document never migrates between splits when the
+    corpus grows (the property random() splits lack).
+
+    Thresholds are exact integers on the 2^32 hash domain (no float
+    comparison at the boundary).  Adds a ``split`` column.
+
+    Scale: zero shuffle — one codegen projection; split sizes converge to
+    the requested fractions by hash uniformity (binomial concentration:
+    ±0.01% at 1e8 docs)."""
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("hash_split: fractions must sum to 1")
+    u = _portable_u32(F.col(id_col), seed)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thresh = int(cum * _HASH_DOMAIN)
+        case = F.when(u < thresh, F.lit(name))
+        expr = case if expr is None else expr.when(u < thresh, F.lit(name))
+    expr = (
+        F.lit(fractions[-1][0]) if expr is None else expr.otherwise(F.lit(fractions[-1][0]))
+    )
+    return df.withColumn("split", expr)
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic global permutation for training-order randomization:
+    sort by a seeded hash of the id.  Different seeds give independent
+    permutations; the same seed replays the exact order (resumable epochs).
+
+    Scale: a hash sort is a range exchange on uniformly distributed keys —
+    perfectly balanced partitions, no skew by construction, and writers
+    downstream get the randomized order shard-by-shard without any
+    single-point pass.  Adds the ``shuffle_key`` column (kept so samplers
+    can range-seek into the permutation)."""
+    return df.withColumn(
+        "shuffle_key", F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    ).orderBy("shuffle_key", id_col)
+
+
+def stratified_split_flags(
+    df: DataFrame,
+    strata_col: str = "source",
+    frac: float = 0.25,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACT per-stratum selection: within each stratum, rank rows by the
+    seeded hash and keep the first ``floor(frac * stratum_size)`` — unlike
+    :func:`hash_split`, every stratum hits its quota exactly (the
+    guarantee evaluation sets need), at the cost of one shuffle on the
+    stratum key.  Adds a boolean ``selected``.
+
+    Scale: one window shuffle on the stratum key; a single giant stratum
+    concentrates its rank in one partition — for that shape use
+    ``mixture_sample`` (key-range distributed selection) instead."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _portable_u32(F.col(id_col), seed), F.col(id_col)
+    )
+    wc = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        .withColumn("selected", F.col("_rk") <= F.floor(F.lit(frac) * F.col("_n")))
+        .drop("_rk", "_n")
+    )
+
+
+def curriculum_bins(
+    df: DataFrame,
+    measure_col: str = "n_chars",
+    bin_width: int = 200,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Curriculum-learning difficulty bins: bucket documents by a
+    difficulty proxy (length, perplexity score, …) into fixed-width bins
+    with the tail capped into the last bin.  Training then samples bins
+    easy→hard on a schedule.  Adds an integer ``bin_id``.
+
+    Fixed boundaries (not quantiles) keep the assignment pure per-row —
+    zero shuffle, stable as the corpus grows; pair with
+    ``event_value_deciles`` when data-driven boundaries are wanted."""
+    b = F.floor(F.col(measure_col) / F.lit(bin_width)).cast("int")
+    return df.withColumn("bin_id", F.least(b, F.lit(n_bins - 1)))

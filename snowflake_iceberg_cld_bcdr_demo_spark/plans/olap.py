@@ -33,6 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec
 from ..sources.testdata import register_views, table
 from .registry import QuerySpec
 
@@ -427,4 +428,146 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fi.select(F.explode("user_id_freqItems").alias("user_id"))
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Statistical aggregates (deterministic-moment formulations)
+# --------------------------------------------------------------------------
+
+
+@_spec(
+    "stats_corr_by_flag",
+    """
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS n_rows,
+           (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+             AS regr_intercept,
+           SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty
+    FROM m
+    """,
+)
+def stats_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / least-squares slope + intercept / sample
+    stddev per return flag, computed from EXACT decimal co-moments with
+    one final double combination — the cross-engine-deterministic form of
+    ``corr`` / ``regr_slope`` / ``regr_intercept`` / ``stddev_samp``
+    (whose streaming float updates are partition-order-dependent).
+
+    Scale: one map-side-combined hash aggregate over the fact (five
+    decimal sums + a count per group), O(groups) rows after; the moment
+    combination is per-group scalar math.  Decimal(38,4) headroom covers
+    1e11-row facts (sums ≤ 1e29 < 1e34)."""
+    li = table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        n.alias("n_rows"),
+        ((n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        .alias("corr_qty_price"),
+        slope.alias("regr_slope"),
+        ((sy - slope * sx) / n).alias("regr_intercept"),
+        F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1)))).alias("stddev_qty"),
+    )
+
+
+@_spec(
+    "ntile_price_quartiles",
+    """
+    WITH q AS (
+        SELECT o_orderpriority, o_totalprice,
+               CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice, o_orderkey) AS INTEGER)
+                   AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price
+    FROM q GROUP BY o_orderpriority, quartile
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing: per-priority price quartiles with bucket bounds.
+    The window ORDER BY ends in the unique orderkey so tile assignment is
+    total-ordered (deterministic in both engines).
+
+    Scale: one shuffle on the partition key; NTILE is a streaming frame
+    over each sorted partition, then the rollup re-uses the same
+    partitioning (no second exchange for the groupBy prefix)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo_price"),
+            F.max("o_totalprice").alias("hi_price"),
+        )
+    )
+
+
+@_spec(
+    "acctbal_median_by_nation",
+    """
+    SELECT n.n_name,
+           COUNT(*) AS n_customers,
+           MEDIAN(c.c_acctbal) AS median_acctbal,
+           MIN(c.c_acctbal) AS min_acctbal,
+           MAX(c.c_acctbal) AS max_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def acctbal_median_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median account balance per nation (plus extrema).  Median of
+    an even count is the midpoint average in both engines; the inputs are
+    exact 2-decimal doubles, so the single (a+b)/2 is bit-deterministic.
+
+    Scale: exact median needs the per-group sorted middle — Spark's
+    ``median``/``percentile`` aggregates buffer per group, fine for
+    dimension-bounded groups (25 nations); unbounded-cardinality use
+    cases switch to the `approx_percentile` sketch twin
+    (`event_value_deciles_approx`)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.median("c_acctbal").alias("median_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
     )

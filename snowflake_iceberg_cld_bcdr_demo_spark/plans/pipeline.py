@@ -1255,3 +1255,139 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("int").alias("max_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dataset splitting / ordering
+# --------------------------------------------------------------------------
+
+#: the md5-prefix u32 the split operators share, as oracle SQL
+_U32_SQL = (
+    "CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+@_spec(
+    "split_assignment_counts",
+    f"""
+    WITH assigned AS (
+        SELECT n_chars,
+               CASE WHEN {_U32_SQL} < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+                    WHEN {_U32_SQL} < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train-val-test split audit: per-split doc
+    and char totals.  The assignment is a pure hash of (seed, doc_id) —
+    verified bit-for-bit by the oracle — so the split is reproducible
+    on any engine and stable under corpus growth.
+
+    Scale: `hash_split` is a zero-shuffle projection; this audit is one
+    3-group aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        corpus.hash_split(docs, id_col="doc_id", seed=42)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@_spec(
+    "shuffle_head",
+    """
+    SELECT doc_id,
+           md5('42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key, doc_id
+    LIMIT 20
+    """,
+)
+def shuffle_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 20 documents of the seed-42 global training permutation —
+    the resumable-epoch contract: the same seed replays the same order on
+    any engine.
+
+    Scale: the LIMIT collapses to TakeOrdered (per-partition top-k, no
+    global sort materialization); the full `global_shuffle` sort is the
+    balanced range exchange documented on the operator."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.global_shuffle(docs, id_col="doc_id", seed=42).select(
+        "doc_id", "shuffle_key"
+    ).limit(20)
+
+
+@_spec(
+    "stratified_split_counts",
+    f"""
+    WITH ranked AS (
+        SELECT source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_U32_SQL}, doc_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rk <= FLOOR(0.25 * n) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_selected
+    FROM ranked GROUP BY source
+    """,
+)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified selection audit: every source contributes
+    exactly floor(25%) of its documents — the per-stratum guarantee an
+    eval-set builder needs (hash splits only converge in expectation).
+
+    Scale: one window shuffle on the stratum key (see the operator's skew
+    note); the audit aggregate reuses the same partitioning."""
+    docs = table(spark, sf_dir, "documents")
+    flagged = corpus.stratified_split_flags(
+        docs, strata_col="source", frac=0.25, id_col="doc_id", seed=42
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("selected").cast("long")).alias("n_selected"),
+    )
+
+
+@_spec(
+    "curriculum_bin_profile",
+    """
+    WITH binned AS (
+        SELECT LEAST(CAST(FLOOR(n_chars / 200) AS INTEGER), 9) AS bin_id, n_chars
+        FROM documents
+    )
+    SELECT bin_id, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM binned GROUP BY bin_id
+    """,
+)
+def curriculum_bin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum difficulty-bin profile (200-char fixed-width bins, tail
+    capped at bin 9): the easy→hard schedule's input histogram.  Integer
+    arithmetic plus one exact-sum average — fully deterministic.
+
+    Scale: zero-shuffle binning + one ≤10-group aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        corpus.curriculum_bins(docs, measure_col="n_chars", bin_width=200, n_bins=10)
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )

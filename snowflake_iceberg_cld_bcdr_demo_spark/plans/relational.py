@@ -213,29 +213,26 @@ def order_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to the dim on a composite key (J2), COALESCE/NULLIF ratio metrics
     (A5), and the NULL-preserving activity filter (P5 — `12:228`).
 
-    Both CTEs share the (l_orderkey, ship_month) grouping, so Catalyst/AQE
-    reuses one shuffle partitioning; the final joins co-locate on orderkey."""
+    The reference's CTEs aggregate DIFFERENT fact tables (impressions /
+    clicks / conversions) before the dim join; the testdata translation
+    lands both on lineitem, so the Spark-first plan fuses them into ONE
+    grouped aggregation — one fact scan + one agg shuffle instead of two
+    of each, with bit-identical results (both CTEs share the
+    (l_orderkey, ship_month) key, so their join is a row-aligned zip).
+    The fused-aggregate → dim join is still the A7 shape."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     key = [F.col("l_orderkey"), F.date_trunc("month", F.col("l_shipdate")).alias("ship_month")]
-    li_ship = li.groupBy(*key).agg(
-        F.count(F.lit(1)).alias("n_items"), dec_sum(dec("l_quantity")).alias("sum_qty")
-    )
-    li_rev = li.groupBy(*key).agg(
+    li_perf = li.groupBy(*key).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dec_sum(dec("l_quantity")).alias("sum_qty"),
         dec_sum(dec("l_extendedprice") * one_minus("l_discount")).alias("revenue"),
         dec_avg(dec("l_discount")).alias("avg_discount"),
     )
-    s = li_ship.alias("s")
-    r = li_rev.alias("r")
+    s = li_perf.alias("s")
     return (
         o.join(s, F.col("o_orderkey") == F.col("s.l_orderkey"), "left")
-        .join(
-            r,
-            (F.col("r.l_orderkey") == F.col("s.l_orderkey"))
-            & (F.col("r.ship_month") == F.col("s.ship_month")),
-            "left",
-        )
-        .filter(F.col("s.ship_month").isNotNull() | F.col("r.ship_month").isNotNull())
+        .filter(F.col("s.ship_month").isNotNull())
         .select(
             "o_orderkey",
             "o_orderpriority",

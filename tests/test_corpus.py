@@ -308,3 +308,73 @@ def test_packing_honors_custom_id_col(spark):
     greedy = corpus.pack_greedy(df, budget_tokens=4, num_shards=2, id_col="row_id")
     assert greedy.columns[0] == "row_id"
     assert greedy.count() == 3
+
+
+def test_hash_split_deterministic_and_exclusive(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = corpus.hash_split(docs, id_col="doc_id", seed=7)
+    b = corpus.hash_split(docs.repartition(13), id_col="doc_id", seed=7)
+    # assignment is a pure function of (seed, id): partitioning-invariant
+    assert a.groupBy("split").count().collect() == sorted(
+        b.groupBy("split").count().collect()
+    ) or {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+    counts = {r.split: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # hash uniformity: 80/10/10 within a loose tolerance at n=2000
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    # a different seed produces a different assignment
+    c = corpus.hash_split(docs, id_col="doc_id", seed=8)
+    joined = a.select("doc_id", F.col("split").alias("s1")).join(
+        c.select("doc_id", F.col("split").alias("s2")), "doc_id"
+    )
+    assert joined.filter("s1 != s2").count() > 0
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus.hash_split(
+            spark.range(5).withColumnRenamed("id", "doc_id"),
+            fractions=(("a", 0.5), ("b", 0.2)),
+        )
+
+
+def test_global_shuffle_replayable_and_balanced(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in corpus.global_shuffle(docs, seed=3).collect()]
+    o2 = [r.doc_id for r in corpus.global_shuffle(docs.repartition(7), seed=3).collect()]
+    assert o1 == o2  # same seed → exact same order, any input partitioning
+    assert o1 != sorted(o1)  # it actually permutes
+    o3 = [r.doc_id for r in corpus.global_shuffle(docs, seed=4).collect()]
+    assert o1 != o3  # different seed → different permutation
+
+
+def test_stratified_split_exact_quota(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    rows = [(i, ["web", "book", "code"][i % 3]) for i in range(999)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.stratified_split_flags(df, strata_col="source", frac=0.3)
+    per = {
+        r.source: (r.n, r.k)
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("selected").cast("long")).alias("k"))
+        .collect()
+    }
+    for n, k in per.values():
+        assert k == int(0.3 * n)  # EXACT floor quota per stratum
+
+
+def test_curriculum_bins_caps_tail(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 199), (3, 200), (4, 5000)], "doc_id long, n_chars int"
+    )
+    got = {r.doc_id: r.bin_id for r in corpus.curriculum_bins(df).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 9}

@@ -31,6 +31,8 @@ def norm(v):
     return str(v)
 
 qs, osql = e.queries(), e.oracle_sql()
+if len(sys.argv) > 1:  # optional: check only the named queries
+    qs = {n: b for n, b in qs.items() if n in sys.argv[1:]}
 fails = []
 for name, build in qs.items():
     t0 = time.time()
