@@ -571,3 +571,57 @@ def acctbal_median_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_acctbal").alias("max_acctbal"),
         )
     )
+
+
+@_spec(
+    "session_window_rollup",
+    """
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation (`F.session_window`,
+    30-min gap): dynamic-length windows merged by overlap, end = last
+    event + gap.  The lag+cumsum twin is `sessionize_events`; note the
+    boundary difference — native windows CLOSE at exactly gap distance
+    (strict overlap merge), which the oracle mirrors with ``>=``.
+
+    Scale: one shuffle on user_id; Spark merges sessions inside each
+    sorted partition (MergingSessionsExec), the same operator the
+    streaming form uses with watermark state eviction."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

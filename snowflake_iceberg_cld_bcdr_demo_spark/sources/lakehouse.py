@@ -166,6 +166,7 @@ class Snapshot:
     added_rows: int = 0  # rows written by this commit alone
     columns: tuple[str, ...] = ()  # evolved column order at this snapshot
     batch_id: int | None = None  # streaming micro-batch id, for idempotent sinks
+    branch: str | None = None  # staged WAP-branch commit (None = on main)
 
 
 class CommitConflictError(RuntimeError):
@@ -321,18 +322,30 @@ class LakehouseCatalog:
         return self._commit(namespace, table, manifest, df, "create", batch_id=batch_id)
 
     def append(
-        self, namespace: str, table: str, df: DataFrame, batch_id: int | None = None
+        self,
+        namespace: str,
+        table: str,
+        df: DataFrame,
+        batch_id: int | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Append a new snapshot — `05_append_campaigns.py:119-123`.
 
         ``batch_id`` makes the append idempotent for streaming sinks:
         if a snapshot with ``batch_id >= current`` is already committed
         (restart after crash-between-append-and-checkpoint), the append is
-        skipped and the current snapshot returned."""
+        skipped and the current snapshot returned.
+
+        ``branch`` stages the commit on a named branch (Iceberg
+        write-audit-publish): main readers don't see it until
+        :meth:`publish_branch` fast-forwards; branch readers use
+        ``load(..., ref=branch)``."""
         manifest = self._read_manifest(namespace, table)
         if batch_id is not None and self._batch_already_committed(manifest, batch_id):
             return self.current_snapshot(namespace, table)
-        return self._commit(namespace, table, manifest, df, "append", batch_id=batch_id)
+        return self._commit(
+            namespace, table, manifest, df, "append", batch_id=batch_id, branch=branch
+        )
 
     # -- maintenance (Iceberg MERGE / rewrite_data_files / expire_snapshots
     # analogs) ------------------------------------------------------------
@@ -410,9 +423,18 @@ class LakehouseCatalog:
             manifest, base_version = self._read_manifest_versioned(namespace, table)
             snaps = manifest["snapshots"]
             retained = snaps[-keep_last:] if keep_last > 0 else []
+            # snapshots pinned by a branch/tag ref stay live regardless of
+            # the retention window (Iceberg ref-aware expiry)
+            ref_sids = {
+                r["snapshot_id"] for r in manifest.get("refs", {}).values()
+            }
+            retained = retained + [s for s in snaps if s["snapshot_id"] in ref_sids]
             live = {d for s in retained for d in s["data_dirs"]}
+            retained_ids = {s["snapshot_id"] for s in retained}
             expired_ids = [
-                s["snapshot_id"] for s in snaps[:-keep_last or len(snaps)] if not s.get("expired")
+                s["snapshot_id"]
+                for s in snaps[:-keep_last or len(snaps)]
+                if not s.get("expired") and s["snapshot_id"] not in retained_ids
             ]
             dead_dirs = sorted(
                 {d for s in snaps for d in s["data_dirs"]} - live
@@ -513,10 +535,11 @@ class LakehouseCatalog:
                 name = f"{base}-{uuid.uuid4().hex[:8]}"
 
     def current_snapshot(self, namespace: str, table: str) -> Snapshot:
-        snaps = self.snapshots(namespace, table)
-        if not snaps:
+        """The MAIN head: the latest snapshot not staged on a WAP branch."""
+        main = [s for s in self.snapshots(namespace, table) if s.branch is None]
+        if not main:
             raise ValueError(f"{namespace}.{table} has no snapshots")
-        return snaps[-1]
+        return main[-1]
 
     def _commit(
         self,
@@ -529,6 +552,7 @@ class LakehouseCatalog:
         carry_dirs: list[str] | None = None,
         base_snapshot_id: int | None = None,
         extra_dir_rows: dict[str, int] | None = None,
+        branch: str | None = None,
     ) -> Snapshot:
         """Write ``df`` as a new data dir and publish a snapshot.
 
@@ -623,8 +647,22 @@ class LakehouseCatalog:
                     f"{base_snapshot_id} but head advanced to "
                     f"{manifest['snapshots'][-1]['snapshot_id']}; re-plan and retry"
                 )
+            prev = None
             if op in ("append", "rewrite") and manifest["snapshots"]:
-                prev = manifest["snapshots"][-1]
+                # an append's parent is the branch head when writing to a
+                # WAP branch, else the MAIN head (last unstaged snapshot) —
+                # staged branch commits never leak into main's lineage
+                if branch and branch in manifest.get("refs", {}):
+                    ref = manifest["refs"][branch]
+                    if ref.get("type") == "tag":
+                        raise ValueError(f"cannot append to tag {branch!r}")
+                    prev = manifest["snapshots"][ref["snapshot_id"] - 1]
+                else:
+                    prev = next(
+                        (s for s in reversed(manifest["snapshots"]) if not s.get("branch")),
+                        None,
+                    )
+            if prev is not None:
                 prev_dirs = list(prev["data_dirs"])
                 prev_cols = list(prev.get("columns") or manifest.get("columns") or [])
                 prev_total = prev.get("row_count", 0)
@@ -659,8 +697,16 @@ class LakehouseCatalog:
                 "columns": evolved,
                 "batch_id": batch_id,
             }
+            if branch:
+                snap["branch"] = branch
+                snap["parent_id"] = prev["snapshot_id"] if prev else None
             candidate = dict(manifest)
             candidate["snapshots"] = [*manifest["snapshots"], snap]
+            if branch:
+                candidate["refs"] = {
+                    **manifest.get("refs", {}),
+                    branch: {"type": "branch", "snapshot_id": sid},
+                }
             candidate["columns"] = evolved
             if data_dir is not None:
                 candidate["dir_columns"] = {
@@ -701,6 +747,7 @@ class LakehouseCatalog:
                 added,
                 tuple(evolved),
                 batch_id,
+                branch,
             )
         raise CommitConflictError(
             f"append to {namespace}.{table} lost {COMMIT_RETRIES} commit races"
@@ -771,6 +818,194 @@ class LakehouseCatalog:
             )
         raise CommitConflictError(
             f"rollback of {namespace}.{table} lost {COMMIT_RETRIES} commit races"
+        )
+
+    # -- branches / tags / write-audit-publish (Iceberg refs analog) ------
+    def _update_manifest_cas(self, namespace: str, table: str, mutate) -> dict:
+        """Apply a metadata-only manifest mutation under the optimistic
+        CAS: ``mutate(manifest) -> manifest'`` re-runs against the fresh
+        manifest on every conflict.  Returns the published manifest."""
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            candidate = mutate(dict(manifest))
+            try:
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
+            except FileExistsError:
+                continue
+            return candidate
+        raise CommitConflictError(
+            f"metadata update on {namespace}.{table} kept losing races"
+        )
+
+    def create_tag(
+        self, namespace: str, table: str, name: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Immutable named pointer to a snapshot (Iceberg ``create_tag``)
+        — release labels, audit pins.  Defaults to the main head."""
+
+        def mutate(m):
+            refs = dict(m.get("refs", {}))
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else self._resolve_snapshot(m, namespace, table, None)["snapshot_id"]
+            )
+            self._resolve_snapshot(m, namespace, table, sid)  # validates range/expiry
+            refs[name] = {"type": "tag", "snapshot_id": sid}
+            m["refs"] = refs
+            return m
+
+        return self._update_manifest_cas(namespace, table, mutate)["refs"][name]
+
+    def create_branch(
+        self, namespace: str, table: str, name: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Mutable named pointer (Iceberg ``create_branch``): later
+        ``append(..., branch=name)`` commits advance it without touching
+        main — the write-audit-publish staging area."""
+
+        def mutate(m):
+            refs = dict(m.get("refs", {}))
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = (
+                snapshot_id
+                if snapshot_id is not None
+                else self._resolve_snapshot(m, namespace, table, None)["snapshot_id"]
+            )
+            self._resolve_snapshot(m, namespace, table, sid)
+            refs[name] = {"type": "branch", "snapshot_id": sid}
+            m["refs"] = refs
+            return m
+
+        return self._update_manifest_cas(namespace, table, mutate)["refs"][name]
+
+    def list_refs(self, namespace: str, table: str) -> dict[str, dict]:
+        return dict(self._read_manifest(namespace, table).get("refs", {}))
+
+    def drop_ref(self, namespace: str, table: str, name: str) -> None:
+        """Remove a branch/tag pointer.  An unpublished branch's staged
+        snapshots stay in history (marked with their branch) until
+        ``expire_snapshots`` reclaims their dirs."""
+
+        def mutate(m):
+            refs = dict(m.get("refs", {}))
+            if name not in refs:
+                raise ValueError(f"no ref named {name!r}")
+            del refs[name]
+            m["refs"] = refs
+            return m
+
+        self._update_manifest_cas(namespace, table, mutate)
+
+    def publish_branch(self, namespace: str, table: str, name: str) -> Snapshot:
+        """Fast-forward main to a WAP branch head (Iceberg
+        ``fast_forward`` / the publish step of write-audit-publish): the
+        branch's staged snapshots become main history — metadata only, no
+        data moves.  Fails if main advanced past the branch's fork point
+        (diverged history is not fast-forwardable; re-stage instead)."""
+
+        def mutate(m):
+            refs = dict(m.get("refs", {}))
+            if name not in refs or refs[name].get("type") != "branch":
+                raise ValueError(f"no branch named {name!r}")
+            head_sid = refs[name]["snapshot_id"]
+            chain = [
+                s
+                for s in m["snapshots"]
+                if s.get("branch") == name and s["snapshot_id"] <= head_sid
+            ]
+            if not chain:
+                raise ValueError(f"branch {name!r} has no staged commits to publish")
+            main_head = next(
+                (s for s in reversed(m["snapshots"]) if not s.get("branch")), None
+            )
+            fork_parent = chain[0].get("parent_id")
+            if main_head is not None and fork_parent != main_head["snapshot_id"]:
+                raise CommitConflictError(
+                    f"branch {name!r} forked at snapshot {fork_parent} but main "
+                    f"is at {main_head['snapshot_id']}; not fast-forwardable"
+                )
+            published = {s["snapshot_id"] for s in chain}
+            m["snapshots"] = [
+                {k: v for k, v in s.items() if k != "branch"}
+                if s["snapshot_id"] in published
+                else s
+                for s in m["snapshots"]
+            ]
+            del refs[name]
+            m["refs"] = refs
+            return m
+
+        self._update_manifest_cas(namespace, table, mutate)
+        return self.current_snapshot(namespace, table)
+
+    def changelog(
+        self,
+        namespace: str,
+        table: str,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Row-level changes between two snapshots (Iceberg
+        ``create_changelog_view`` analog): each row tagged ``insert`` or
+        ``delete`` in ``_change_type``; an update surfaces as
+        delete(old) + insert(new).
+
+        Scale: data dirs PRESENT IN BOTH snapshots contribute identical
+        rows to both sides, so they cancel by metadata — only the
+        symmetric-difference dirs are read at all.  Append-only ranges
+        (no dirs removed) need ZERO comparison: the new dirs are the
+        inserts, one narrow scan.  Rewrite ranges diff with exceptAll
+        (one hash shuffle over only the touched dirs' rows)."""
+        manifest = self._read_manifest(namespace, table)
+        f = self._resolve_snapshot(manifest, namespace, table, from_snapshot_id)
+        t = self._resolve_snapshot(manifest, namespace, table, to_snapshot_id)
+        fd, td = set(f["data_dirs"]), set(t["data_dirs"])
+        only_f = [d for d in f["data_dirs"] if d not in td]
+        only_t = [d for d in t["data_dirs"] if d not in fd]
+        cols = list(
+            dict.fromkeys(
+                [*(t.get("columns") or []), *(f.get("columns") or [])]
+            )
+        ) or list(manifest.get("columns") or [])
+
+        any_dirs = only_t or only_f or list(t["data_dirs"]) or list(f["data_dirs"])
+        if not any_dirs:
+            raise ValueError(
+                f"{namespace}.{table}: changelog needs at least one data dir"
+            )
+        raw_ins = self._read_dirs_clean(namespace, table, only_t or any_dirs, manifest)
+        if not only_t:
+            raw_ins = raw_ins.limit(0)
+        raw_dels = self._read_dirs_clean(namespace, table, only_f or any_dirs, manifest)
+        if not only_f:
+            raw_dels = raw_dels.limit(0)
+        dtypes = {**dict(raw_dels.dtypes), **dict(raw_ins.dtypes)}
+        cols = [c for c in cols if c in dtypes]
+
+        def align(df):
+            return df.select(
+                *[
+                    (
+                        F.col(c) if c in df.columns else F.lit(None).cast(dtypes[c])
+                    ).alias(c)
+                    for c in cols
+                ]
+            )
+
+        ins, dels = align(raw_ins), align(raw_dels)
+        if not only_f:
+            diff_ins, diff_dels = ins, dels  # pure append: no diff needed
+        elif not only_t:
+            diff_ins, diff_dels = ins, dels  # pure removal
+        else:
+            diff_ins = ins.exceptAll(dels)
+            diff_dels = dels.exceptAll(ins)
+        return diff_ins.withColumn("_change_type", F.lit("insert")).unionByName(
+            diff_dels.withColumn("_change_type", F.lit("delete"))
         )
 
     def metadata_table(self, namespace: str, table: str, kind: str = "snapshots") -> DataFrame:
@@ -910,7 +1145,11 @@ class LakehouseCatalog:
         if as_of_timestamp is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of_timestamp, not both")
-            eligible = [s for s in snaps if s["committed_at"] <= as_of_timestamp]
+            eligible = [
+                s
+                for s in snaps
+                if s["committed_at"] <= as_of_timestamp and not s.get("branch")
+            ]
             if not eligible:
                 raise ValueError(
                     f"{namespace}.{table}: no snapshot committed at or before "
@@ -924,7 +1163,10 @@ class LakehouseCatalog:
                 )
             return snap
         if snapshot_id is None:
-            return snaps[-1]
+            main = [s for s in snaps if not s.get("branch")]
+            if not main:
+                raise ValueError(f"{namespace}.{table} has no main snapshots")
+            return main[-1]
         if not 1 <= snapshot_id <= len(snaps):
             raise ValueError(
                 f"{namespace}.{table}: snapshot_id {snapshot_id} out of range "
@@ -1255,8 +1497,13 @@ class LakehouseCatalog:
         snapshot_id: int | None = None,
         filters: list[tuple] | None = None,
         as_of_timestamp: float | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Read a table at the current (or a historical) snapshot.
+
+        ``ref`` reads a named branch or tag head (Iceberg
+        ``VERSION AS OF 'ref'``) — mutually exclusive with
+        ``snapshot_id`` / ``as_of_timestamp``.
 
         Schema evolution: when the snapshot's data dirs were written with
         different column sets, the read merges schemas (missing columns
@@ -1272,6 +1519,13 @@ class LakehouseCatalog:
         results never depend on stats and Spark still pushes them to the
         parquet row-group level (the second pruning tier)."""
         manifest = self._read_manifest(namespace, table)
+        if ref is not None:
+            if snapshot_id is not None or as_of_timestamp is not None:
+                raise ValueError("pass ref OR snapshot_id/as_of_timestamp, not both")
+            refs = manifest.get("refs", {})
+            if ref not in refs:
+                raise ValueError(f"{namespace}.{table}: no branch/tag named {ref!r}")
+            snapshot_id = refs[ref]["snapshot_id"]
         snap = self._resolve_snapshot(
             manifest, namespace, table, snapshot_id, as_of_timestamp
         )
@@ -1364,6 +1618,7 @@ class LakehouseCatalog:
                 s.get("added_rows", s["row_count"]),
                 tuple(s.get("columns", ())),
                 s.get("batch_id"),
+                s.get("branch"),
             )
             for s in manifest["snapshots"]
         ]

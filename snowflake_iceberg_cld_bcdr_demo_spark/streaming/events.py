@@ -140,7 +140,10 @@ def incremental_snapshot_read(
     uuid mismatch — or a cursor beyond the current history — the reader
     falls back to a full re-read instead of returning None."""
     snaps = catalog.snapshots(namespace, table)
-    latest = snaps[-1].snapshot_id
+    # cursors track MAIN history: staged WAP-branch snapshots are not
+    # downstream-visible until published
+    main = [s for s in snaps if s.branch is None]
+    latest = main[-1].snapshot_id
     if expected_table_uuid is not None and (
         catalog.table_uuid(namespace, table) != expected_table_uuid
     ):
@@ -152,7 +155,7 @@ def incremental_snapshot_read(
     if after_snapshot_id >= latest:
         return None, latest
     seen = set(snaps[after_snapshot_id - 1].data_dirs) if after_snapshot_id >= 1 else set()
-    new_dirs = [d for d in snaps[-1].data_dirs if d not in seen]
+    new_dirs = [d for d in main[-1].data_dirs if d not in seen]
     if not new_dirs:
         return None, latest
     import os

@@ -258,3 +258,98 @@ def test_scd2_noop_apply_writes_nothing(spark, cat):
     )
     assert out["changed"] == 0 and out["inserted"] == 0 and out["snapshot"] is None
     assert cat.current_snapshot("dim", "customer").snapshot_id == before
+
+
+# -- branches / tags / write-audit-publish ---------------------------------
+
+
+def test_wap_branch_stage_audit_publish(spark, cat):
+    """Write-audit-publish: stage an append on a branch, audit it via the
+    branch ref while main is untouched, then fast-forward publish."""
+    cat.create_table("db", "t", _batch(spark, 0, 50))
+    snap = cat.append("db", "t", _batch(spark, 50, 80, tag="staged"), branch="audit")
+    assert snap.branch == "audit"
+    # main readers see nothing of the staged commit
+    assert cat.load("db", "t").count() == 50
+    assert cat.current_snapshot("db", "t").row_count == 50
+    # branch readers see the staged state
+    assert cat.load("db", "t", ref="audit").count() == 80
+    # a second staged append chains on the branch
+    cat.append("db", "t", _batch(spark, 80, 90, tag="staged"), branch="audit")
+    assert cat.load("db", "t", ref="audit").count() == 90
+    assert cat.load("db", "t").count() == 50
+    # audit passed → publish: main fast-forwards, metadata only
+    head = cat.publish_branch("db", "t", "audit")
+    assert head.row_count == 90
+    assert cat.load("db", "t").count() == 90
+    assert "audit" not in cat.list_refs("db", "t")
+
+
+def test_wap_publish_refuses_diverged_main(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    cat.append("db", "t", _batch(spark, 10, 20), branch="wap")
+    cat.append("db", "t", _batch(spark, 100, 110, tag="main"))  # main diverges
+    with pytest.raises(CommitConflictError, match="not fast-forwardable"):
+        cat.publish_branch("db", "t", "wap")
+    # main unaffected, branch still readable
+    assert cat.load("db", "t").count() == 20
+    assert cat.load("db", "t", ref="wap").count() == 20
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    cat.create_tag("db", "t", "v1.0")
+    cat.append("db", "t", _batch(spark, 10, 30))
+    cat.append("db", "t", _batch(spark, 30, 60))
+    # tag still reads the pinned state after main advanced
+    assert cat.load("db", "t", ref="v1.0").count() == 10
+    # expiry keeps the tagged snapshot's data alive
+    cat.expire_snapshots("db", "t", keep_last=1)
+    assert cat.load("db", "t", ref="v1.0").count() == 10
+    assert cat.load("db", "t").count() == 60
+    with pytest.raises(ValueError, match="already exists"):
+        cat.create_tag("db", "t", "v1.0")
+    cat.drop_ref("db", "t", "v1.0")
+    with pytest.raises(ValueError, match="no branch/tag"):
+        cat.load("db", "t", ref="v1.0")
+
+
+def test_append_to_tag_rejected(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 5))
+    cat.create_tag("db", "t", "pin")
+    with pytest.raises(ValueError, match="cannot append to tag"):
+        cat.append("db", "t", _batch(spark, 5, 8), branch="pin")
+
+
+# -- changelog -------------------------------------------------------------
+
+
+def test_changelog_append_only_is_insert_scan(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    s1 = cat.current_snapshot("db", "t").snapshot_id
+    cat.append("db", "t", _batch(spark, 10, 15, tag="b"))
+    cl = cat.changelog("db", "t", s1)
+    rows = cl.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    assert {r.id for r in rows} == set(range(10, 15))
+
+
+def test_changelog_surfaces_update_as_delete_plus_insert(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    s1 = cat.current_snapshot("db", "t").snapshot_id
+    cat.update_where("db", "t", {"tag": F.lit("upd")}, [("id", "=", 3)])
+    cat.delete_where("db", "t", [("id", "=", 7)])
+    cl = cat.changelog("db", "t", s1).collect()
+    by_type = {}
+    for r in cl:
+        by_type.setdefault(r._change_type, []).append(r)
+    # update of id=3 → delete(old) + insert(new); delete of id=7 → delete
+    assert {r.id for r in by_type["delete"]} == {3, 7}
+    assert {r.id for r in by_type["insert"]} == {3}
+    assert by_type["insert"][0].tag == "upd"
+
+
+def test_changelog_same_snapshot_is_empty(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 5))
+    s1 = cat.current_snapshot("db", "t").snapshot_id
+    assert cat.changelog("db", "t", s1, s1).count() == 0
