@@ -1341,3 +1341,67 @@ def hourly_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, z).alias("zscore"),
         F.coalesce(ok & (F.abs(z) > 3.0), F.lit(False)).alias("is_anomaly"),
     )
+
+
+@_spec(
+    "data_quality_report",
+    """
+    WITH o AS (SELECT COUNT(*) AS n FROM orders),
+         l AS (SELECT COUNT(*) AS n FROM lineitem)
+    SELECT 'not_null(o_orderdate)' AS rule, (SELECT n FROM o) AS n_rows,
+           (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS n_violations
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)', (SELECT n FROM o),
+           (SELECT COUNT(*) FROM orders
+            WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))
+    UNION ALL
+    SELECT 'in_range(o_totalprice)', (SELECT n FROM o),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice < 0)
+    UNION ALL
+    SELECT 'unique(o_orderkey)', (SELECT n FROM o),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'in_range(l_discount)', (SELECT n FROM l),
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0)
+    UNION ALL
+    SELECT 'not_null(l_shipdate)', (SELECT n FROM l),
+           (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+    UNION ALL
+    SELECT 'unique(l_orderkey,l_linenumber)', (SELECT n FROM l),
+           (SELECT COUNT(*) FROM lineitem)
+             - (SELECT COUNT(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'foreign_key(l_orderkey)', (SELECT n FROM l),
+           (SELECT COUNT(*) FROM lineitem li LEFT JOIN orders o2
+              ON li.l_orderkey = o2.o_orderkey
+            WHERE li.l_orderkey IS NOT NULL AND o2.o_orderkey IS NULL)
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations over the star schema
+    (NOT NULL / accepted values / ranges / uniqueness / referential
+    integrity) via `operators/quality.py::check` — the generalized form of
+    the reference's hand-written validation corpus
+    (`/root/reference/scripts/90_validation_queries.sql:21-142`).
+
+    Scale: the five row-local rules ride ONE conditional-agg scan per
+    table; uniqueness adds a key groupBy, the FK an anti-join — O(rules)
+    output rows, nothing driver-side."""
+    from ..operators import quality as Q
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    o_report = Q.check(o, [
+        Q.not_null("o_orderdate"),
+        Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        Q.in_range("o_totalprice", lo=0),
+        Q.unique(["o_orderkey"]),
+    ])
+    l_report = Q.check(li, [
+        Q.in_range("l_discount", lo=0.0, hi=1.0),
+        Q.not_null("l_shipdate"),
+        Q.unique(["l_orderkey", "l_linenumber"]),
+        Q.foreign_key("l_orderkey", o, "o_orderkey"),
+    ])
+    return o_report.unionByName(l_report).drop("passed")

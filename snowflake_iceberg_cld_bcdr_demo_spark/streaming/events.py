@@ -144,6 +144,17 @@ def incremental_snapshot_read(
     # downstream-visible until published
     main = [s for s in snaps if s.branch is None]
     latest = main[-1].snapshot_id
+    if after_snapshot_id is not None and any(
+        s.operation not in ("append", "create")
+        for s in main
+        if after_snapshot_id < s.snapshot_id <= latest
+    ):
+        # a rewrite/replace/rollback intervened: the dir difference is NOT
+        # an append delta (rewritten dirs mix old and new rows, and a
+        # deletion can empty a partition without adding any dir) — fall
+        # back to a full re-read, exactly like a lineage reset.  Callers
+        # needing row-level diffs across rewrites use catalog.changelog().
+        after_snapshot_id = None
     if expected_table_uuid is not None and (
         catalog.table_uuid(namespace, table) != expected_table_uuid
     ):

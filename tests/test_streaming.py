@@ -338,3 +338,22 @@ def test_apply_cdc_stream_upserts_and_deletes(spark, tmp_path):
     rows = {r.user_id: r for r in cat.load("db", "users").collect()}
     assert set(rows) == {1, 2, 4}
     assert rows[1].name == "ann2"
+
+
+def test_incremental_read_falls_back_to_full_after_rewrite(spark, tmp_path):
+    """A rewrite (row-level delete) between cursor and head means the dir
+    difference is not an append delta — the reader must return the FULL
+    current state (lineage-reset semantics), never a mixed pseudo-delta."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    cat.create_table("db", "t", df)
+    cursor = cat.current_snapshot("db", "t").snapshot_id
+    cat.append("db", "t", spark.range(100, 120).select(F.col("id"), (F.col("id") % 5).alias("k")))
+    cat.delete_where("db", "t", [("id", "<", 10)])
+
+    delta, latest = S.incremental_snapshot_read(cat, "db", "t", cursor)
+    assert latest == cat.current_snapshot("db", "t").snapshot_id
+    # full state: 110 rows, no duplicates, deleted rows absent
+    assert delta.count() == 110
+    assert delta.select("id").distinct().count() == 110
+    assert delta.filter("id < 10").count() == 0
