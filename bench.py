@@ -38,6 +38,8 @@ HEADLINE = [
     "window_topk_per_group",
     "asof_click_to_view",
     "corpus_pipeline_report",
+    "stats_corr_by_flag",
+    "session_window_rollup",
 ]
 
 

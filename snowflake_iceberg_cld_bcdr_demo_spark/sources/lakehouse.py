@@ -1054,10 +1054,24 @@ class LakehouseCatalog:
                 for f in parse_partition_spec(manifest["partition_by"])
             ]
             schema = "field string, transform string, source_column string, param int"
+        elif kind == "refs":
+            refs = manifest.get("refs", {})
+            main = next(
+                (s for s in reversed(snaps) if not s.get("branch")), None
+            )
+            rows = [
+                ("main", "branch", main["snapshot_id"]) if main else None,
+                *[
+                    (name, r["type"], r["snapshot_id"])
+                    for name, r in sorted(refs.items())
+                ],
+            ]
+            rows = [r for r in rows if r is not None]
+            schema = "name string, type string, snapshot_id int"
         else:
             raise ValueError(
                 f"unknown metadata table {kind!r} "
-                "(expected snapshots|files|history|partitions)"
+                "(expected snapshots|files|history|partitions|refs)"
             )
         return self.spark.createDataFrame(rows, schema)
 

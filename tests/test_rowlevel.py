@@ -353,3 +353,13 @@ def test_changelog_same_snapshot_is_empty(spark, cat):
     cat.create_table("db", "t", _batch(spark, 0, 5))
     s1 = cat.current_snapshot("db", "t").snapshot_id
     assert cat.changelog("db", "t", s1, s1).count() == 0
+
+
+def test_refs_metadata_table(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 5))
+    cat.create_tag("db", "t", "v1")
+    cat.append("db", "t", _batch(spark, 5, 9), branch="wip")
+    rows = {r.name: (r.type, r.snapshot_id) for r in cat.metadata_table("db", "t", "refs").collect()}
+    assert rows["main"] == ("branch", 1)
+    assert rows["v1"] == ("tag", 1)
+    assert rows["wip"] == ("branch", 2)
