@@ -328,3 +328,74 @@ def quantize_error_stats(
         ((xx - 2 * xr + rr) / dim).alias("mse"),
         (xr / (F.sqrt(xx) * F.sqrt(rr))).alias("cos_recon"),
     )
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], list[float]]:
+    """Distributed k-means (Lloyd) over the embedding column — the real
+    centroid trainer behind :func:`sample_centroids`' documented stand-in.
+    Returns ``(centroids, inertia_history)``; feed the centroids straight
+    into :func:`ivf_assign` / :func:`ivf_topk`.
+
+    Determinism: init picks the k lowest seeded-md5-hash vectors (stable
+    under partitioning and corpus order); every later step is exact
+    averaging, so the same inputs give the same model on any cluster.
+
+    Scale, per iteration: the assignment is a narrow map (centroid
+    literals are K×dims floats baked into the plan, no join); the update
+    is posexplode → ONE (cell, dim) shuffle, map-side combined to
+    K×dims partials; only K×dims averages ever reach the driver.  An
+    emptied cell keeps its previous centroid (standard Lloyd fallback).
+    Cosine assignment + mean update is spherical k-means on unit-scaled
+    inputs; pass L2-normalized vectors for textbook behavior."""
+    rows = (
+        emb.orderBy(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+        )
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in rows]
+    history: list[float] = []
+    for _ in range(iters):
+        assigned = ivf_assign(
+            emb.select(id_col, vec_col, F.lit(0).alias("label")),
+            centroids,
+            id_col,
+            vec_col,
+        )
+        best_sim = F.array_max(
+            F.array(
+                *[
+                    cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                    for c in centroids
+                ]
+            )
+        )
+        stats = (
+            assigned.withColumn("_sim", best_sim)
+            .select("cell", "_sim", F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.avg("v").alias("mean_v"),
+                # cosine distance inertia, counted once per vector (dim 0)
+                F.sum(F.when(F.col("dim") == 0, 1.0 - F.col("_sim"))).alias("d"),
+            )
+            .collect()
+        )
+        new_c = [list(c) for c in centroids]  # emptied cells keep position
+        inertia = 0.0
+        for r in stats:
+            new_c[r.cell][r.dim] = float(r.mean_v)
+            if r.d is not None:
+                inertia += float(r.d)
+        centroids = new_c
+        history.append(round(inertia, 6))
+    return centroids, history

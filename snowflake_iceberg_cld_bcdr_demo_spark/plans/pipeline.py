@@ -1391,3 +1391,35 @@ def curriculum_bin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         )
     )
+
+
+@_spec("kmeans_cell_profile", None)
+def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (3 Lloyd rounds, K=8, seeded deterministic
+    init) over the embeddings, then the per-cell profile (size, mean
+    cosine to centroid) — the trained-centroid upgrade for the IVF ANN
+    family.  Rows-only by design (iterative refinement has no SQL
+    oracle); determinism and monotone convergence are pytest-asserted
+    (`tests/test_similarity_recall.py`).
+
+    Scale: per round, assignment is a narrow map (centroids are plan
+    literals) and the update is ONE map-side-combined (cell, dim)
+    shuffle; only K×dims floats reach the driver per round."""
+    from ..operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids, _ = similarity.kmeans_centroids(emb, k=8, iters=3)
+    assigned = similarity.ivf_assign(emb, centroids)
+    cvec = [F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    sim_to_own = F.array(*cvec)[F.col("cell")]
+    from ..functions.vectors import cosine
+
+    return (
+        assigned.withColumn("_sim", cosine(F.col("embedding"), sim_to_own))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("_sim"), 4).alias("mean_cos_to_centroid"),
+        )
+        .orderBy("cell")
+    )

@@ -44,6 +44,14 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("hourly_volume_anomalies", 2),  # hourly rollup + calendar-sized window
         ("asof_click_to_view", 1),   # union-then-window: ONE shuffle, no range self-join
         ("cohort_retention", 3),     # first-seen agg + activity distinct + rollup
+        # round-3 additions
+        ("stats_corr_by_flag", 1),   # five decimal co-moments in ONE hash agg
+        ("session_window_rollup", 1),  # one user_id shuffle into MergingSessions
+        ("split_assignment_counts", 1),  # hash_split is a projection; 1 agg shuffle
+        ("curriculum_bin_profile", 1),   # fixed-width bins: projection + 1 agg
+        ("stratified_split_counts", 1),  # ONE stratum-key shuffle serves window+agg
+        ("shuffle_head", 0),         # TakeOrdered: no global sort materialization
+        ("data_quality_report", 3),  # row rules share 1 agg/table; unique+fk add 2
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):

@@ -80,3 +80,19 @@ def test_knn_join_lsh_recall(spark):
         for r in similarity.knn_join_lsh(emb, tables=[[]], k=3).collect()
     }
     assert full == exact
+
+
+def test_kmeans_deterministic_and_monotone(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1, h1 = S.kmeans_centroids(emb, k=4, iters=3)
+    c2, h2 = S.kmeans_centroids(emb.repartition(7), k=4, iters=3)
+    # same seeded init → same trajectory; float averaging may wobble in
+    # the last ulps across partitionings, so compare with tolerance
+    assert all(abs(a - b) < 1e-3 for a, b in zip(h1, h2))
+    assert all(h1[i + 1] <= h1[i] + 1e-6 for i in range(len(h1) - 1))
+    # trained centroids beat the lowest-id sample on inertia
+    sample = S.sample_centroids(emb, k=4)
+    _, h_sample = S.kmeans_centroids(emb, k=4, iters=1)
+    assert h1[-1] <= h_sample[0] + 1e-6
