@@ -132,3 +132,40 @@ def teardown_stack(
     return spark.createDataFrame(
         actions, "object_type string, object_name string, action string, status string"
     )
+
+
+def table_maintenance(
+    cat: LakehouseCatalog,
+    namespace: str,
+    compact_above_dirs: int = 8,
+    keep_snapshots: int = 5,
+    orphan_grace_s: float = 3600.0,
+) -> list[dict]:
+    """Routine lakehouse upkeep for every table in a namespace — the
+    Iceberg maintenance trio (`rewrite_data_files` + `expire_snapshots` +
+    `remove_orphan_files`) as one schedulable job:
+
+    1. compact when the head snapshot references more than
+       ``compact_above_dirs`` data dirs (small-file accumulation from
+       streaming appends),
+    2. expire all but the newest ``keep_snapshots`` snapshots (branch/tag
+       pinned snapshots survive — ref-aware expiry),
+    3. sweep orphan dirs older than the grace period.
+
+    Returns one report dict per table.  Scale: compaction is the only
+    data-moving step and runs per table only when fragmentation crossed
+    the threshold; expiry and the orphan sweep are metadata + unlink."""
+    report = []
+    for tbl in cat.list_tables(namespace):
+        entry: dict = {"table": f"{namespace}.{tbl}", "compacted": False}
+        head = cat.current_snapshot(namespace, tbl)
+        if len(head.data_dirs) > compact_above_dirs:
+            cat.compact(namespace, tbl)
+            entry["compacted"] = True
+        exp = cat.expire_snapshots(namespace, tbl, keep_last=keep_snapshots)
+        orph = cat.remove_orphan_files(namespace, tbl, older_than_s=orphan_grace_s)
+        entry["expired_snapshots"] = len(exp["expired_snapshots"])
+        entry["deleted_dirs"] = len(exp["deleted_dirs"])
+        entry["orphans_deleted"] = len(orph["deleted"])
+        report.append(entry)
+    return report

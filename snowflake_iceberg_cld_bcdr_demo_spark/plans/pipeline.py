@@ -1423,3 +1423,38 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@_spec(
+    "cross_source_dup_matrix",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE}
+    SELECT sa.source AS source_a, sb.source AS source_b,
+           COUNT(*) AS n_pairs
+    FROM pairs p
+    JOIN documents sa ON p.doc_a = sa.doc_id
+    JOIN documents sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources duplicate which: LSH near-dup candidate pairs rolled
+    up by (source_a, source_b) — the provenance matrix that tells a
+    corpus curator whether e.g. the web crawl is re-serving the book
+    corpus (deduplicate cross-source first) or duplication is intra-source
+    (dedup within shards suffices).
+
+    Scale: pairs are LSH-bounded (sub-quadratic); the two provenance
+    joins ship only (doc_id, source) — the rollup is O(sources²) rows."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(dedup.char_shingles(docs, k=8, dedup_shingles=False), 16),
+        16, 4,
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "source_a"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "source_b"), "doc_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -406,3 +406,28 @@ def test_object_inventory_and_data_summary(spark, stack):
     assert summary.n_campaigns == 8
     # metadata-only: counts come from snapshot manifests, and they match a scan
     assert summary.n_impressions == acct.catalog.load(stack["ns"], "impressions").count()
+
+
+def test_table_maintenance_compacts_expires_and_sweeps(spark, tmp_path):
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs.cleanup import table_maintenance
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(20).withColumnRenamed("id", "k")
+    cat.create_table("db", "frag", df)
+    for i in range(10):  # fragment: 11 dirs
+        cat.append("db", "frag", spark.range(i, i + 2).withColumnRenamed("id", "k"))
+    cat.create_table("db", "tidy", df)
+    cat.create_tag("db", "frag", "pin")  # pinned snapshot must survive expiry
+
+    report = {r["table"]: r for r in table_maintenance(cat, "db", keep_snapshots=2,
+                                                      orphan_grace_s=0.0)}
+    assert report["db.frag"]["compacted"] is True
+    assert report["db.tidy"]["compacted"] is False
+    assert report["db.frag"]["expired_snapshots"] > 0
+    # logical content intact after the whole sweep; pinned tag readable
+    assert cat.load("db", "frag").count() == 40
+    assert len(cat.current_snapshot("db", "frag").data_dirs) == 1
+    assert cat.load("db", "frag", ref="pin").count() == 40
