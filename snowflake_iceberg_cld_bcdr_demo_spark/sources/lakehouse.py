@@ -429,7 +429,11 @@ class LakehouseCatalog:
                 r["snapshot_id"] for r in manifest.get("refs", {}).values()
             }
             retained = retained + [s for s in snaps if s["snapshot_id"] in ref_sids]
-            live = {d for s in retained for d in s["data_dirs"]}
+            live = {
+                d
+                for s in retained
+                for d in [*s["data_dirs"], *s.get("delete_dirs", [])]
+            }
             retained_ids = {s["snapshot_id"] for s in retained}
             expired_ids = [
                 s["snapshot_id"]
@@ -437,7 +441,12 @@ class LakehouseCatalog:
                 if not s.get("expired") and s["snapshot_id"] not in retained_ids
             ]
             dead_dirs = sorted(
-                {d for s in snaps for d in s["data_dirs"]} - live
+                {
+                    d
+                    for s in snaps
+                    for d in [*s["data_dirs"], *s.get("delete_dirs", [])]
+                }
+                - live
             )
             candidate = dict(manifest)
             candidate["snapshots"] = [
@@ -452,6 +461,12 @@ class LakehouseCatalog:
             }
             candidate["dir_rows"] = {
                 d: r for d, r in manifest.get("dir_rows", {}).items() if d in live
+            }
+            candidate["delete_dir_cols"] = {
+                d: c for d, c in manifest.get("delete_dir_cols", {}).items() if d in live
+            }
+            candidate["delete_dir_scope"] = {
+                d: s for d, s in manifest.get("delete_dir_scope", {}).items() if d in live
             }
             try:
                 self._publish_manifest(namespace, table, candidate, version=base_version + 1)
@@ -683,6 +698,14 @@ class LakehouseCatalog:
                 "snapshot_id": sid,
                 "committed_at": time.time(),
                 "operation": op,
+                # an append inherits outstanding MoR delete dirs: the new
+                # data dir is outside every delete's scope, so re-inserted
+                # rows survive while old matches stay deleted
+                **(
+                    {"delete_dirs": prev.get("delete_dirs", [])}
+                    if op == "append" and prev is not None and prev.get("delete_dirs")
+                    else {}
+                ),
                 "row_count": (
                     carried_rows + added if op == "rewrite" else prev_total + added
                 ),
@@ -768,13 +791,17 @@ class LakehouseCatalog:
         import shutil
 
         manifest = self._read_manifest(namespace, table)
-        referenced = {d for s in manifest["snapshots"] for d in s["data_dirs"]}
+        referenced = {
+            d
+            for s in manifest["snapshots"]
+            for d in [*s["data_dirs"], *s.get("delete_dirs", [])]
+        }
         base = self._table_path(namespace, table)
         now = time.time()
         deleted, kept_young = [], []
         for entry in sorted(os.listdir(base)):
             path = os.path.join(base, entry)
-            if not os.path.isdir(path) or not entry.startswith("data-"):
+            if not os.path.isdir(path) or not entry.startswith(("data-", "deletes-")):
                 continue
             if entry in referenced:
                 continue
@@ -801,6 +828,11 @@ class LakehouseCatalog:
                 "operation": "rollback",
                 "row_count": target["row_count"],
                 "added_rows": 0,
+                **(
+                    {"delete_dirs": list(target["delete_dirs"])}
+                    if target.get("delete_dirs")
+                    else {}
+                ),
                 "data_dirs": list(target["data_dirs"]),
                 "columns": list(target.get("columns") or manifest.get("columns") or []),
                 "batch_id": None,
@@ -963,6 +995,18 @@ class LakehouseCatalog:
         manifest = self._read_manifest(namespace, table)
         f = self._resolve_snapshot(manifest, namespace, table, from_snapshot_id)
         t = self._resolve_snapshot(manifest, namespace, table, to_snapshot_id)
+        if f.get("delete_dirs", []) != t.get("delete_dirs", []):
+            # merge-on-read deletes changed between the endpoints: dir
+            # identity no longer implies row identity, so diff the two
+            # delete-applied views directly (each side reads only its
+            # snapshot's dirs; the exceptAll is one hash shuffle)
+            a = self.load(namespace, table, snapshot_id=t["snapshot_id"])
+            b = self.load(namespace, table, snapshot_id=f["snapshot_id"])
+            return a.exceptAll(b).withColumn(
+                "_change_type", F.lit("insert")
+            ).unionByName(
+                b.exceptAll(a).withColumn("_change_type", F.lit("delete"))
+            )
         fd, td = set(f["data_dirs"]), set(t["data_dirs"])
         only_f = [d for d in f["data_dirs"] if d not in td]
         only_t = [d for d in t["data_dirs"] if d not in fd]
@@ -1270,6 +1314,12 @@ class LakehouseCatalog:
         the Iceberg file-level CoW planning step, O(dirs) metadata work."""
         manifest = self._read_manifest(namespace, table)
         snap = self._resolve_snapshot(manifest, namespace, table, None)
+        if snap.get("delete_dirs"):
+            raise ValueError(
+                f"{namespace}.{table} has outstanding merge-on-read deletes; "
+                "run compact() to materialize them before a copy-on-write "
+                "rewrite (or keep using delete_where_mor)"
+            )
         pruned = self.prune_preview(
             namespace, table, filters, snap["snapshot_id"]
         )
@@ -1316,6 +1366,107 @@ class LakehouseCatalog:
             namespace, table, manifest, keep, "rewrite",
             carry_dirs=carried, base_snapshot_id=snap["snapshot_id"],
             extra_dir_rows=backfill,
+        )
+
+    def delete_where_mor(
+        self,
+        namespace: str,
+        table: str,
+        filters: list[tuple],
+        equality_cols: list[str] | None = None,
+    ) -> Snapshot:
+        """Row-level DELETE with **merge-on-read** semantics (Iceberg v2
+        equality deletes): instead of rewriting touched data dirs
+        (:meth:`delete_where`'s copy-on-write), the commit writes a tiny
+        *delete dir* holding the distinct ``equality_cols`` tuples of the
+        matched rows; readers anti-join it until :meth:`compact`
+        materializes the deletes and clears them.
+
+        The CoW/MoR trade: MoR makes deletes O(matched keys) writes (a
+        streaming CDC sink's friend at 100 TB — no partition rewrite per
+        trickle delete) and moves the cost to reads (one anti-join per
+        outstanding delete dir, broadcast-sized until compaction).
+        ``equality_cols`` defaults to all columns (full-row equality).
+
+        Scale: the matched-keys scan is manifest-pruned to the dirs that
+        can contain matches; the anti-join key set is distinct-reduced.
+        Run compaction when outstanding delete dirs grow."""
+        manifest = self._read_manifest(namespace, table)
+        snap = self._resolve_snapshot(manifest, namespace, table, None)
+        cols = list(snap.get("columns") or manifest.get("columns") or [])
+        eq = list(equality_cols or cols)
+        unknown = [c for c in eq if c not in cols]
+        if unknown:
+            raise ValueError(f"delete_where_mor: unknown equality cols {unknown}")
+        current = self.load(namespace, table, filters=filters)
+        pred = self._filters_to_column(filters)
+        matched = current.filter(pred.eqNullSafe(F.lit(True)))
+        keys = matched.select(*eq).distinct()
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            head = manifest["snapshots"][-1]
+            if head["snapshot_id"] != snap["snapshot_id"]:
+                raise CommitConflictError(
+                    f"MoR delete on {namespace}.{table} planned at snapshot "
+                    f"{snap['snapshot_id']} but head advanced to "
+                    f"{head['snapshot_id']}; re-plan and retry"
+                )
+            sid = len(manifest["snapshots"]) + 1
+            ddir = f"deletes-{sid:05d}-{uuid.uuid4().hex[:8]}"
+            out = os.path.join(self._table_path(namespace, table), ddir)
+            obs = Observation()
+            keys.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(out)
+            n_keys = int(obs.get["rows"])
+            if n_keys == 0:
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
+                return self.current_snapshot(namespace, table)
+            # exact surviving-row count: one pruned count of rows NOT
+            # matching (cheap relative to the avoided rewrite; still
+            # bounded by the pruned read set)
+            remaining = self.load(namespace, table).join(
+                self.spark.read.parquet(out), eq, "left_anti"
+            ).count()
+            new_snap = {
+                "snapshot_id": sid,
+                "committed_at": time.time(),
+                "operation": "delete",
+                "row_count": remaining,
+                "added_rows": 0,
+                "data_dirs": list(head["data_dirs"]),
+                "delete_dirs": [*head.get("delete_dirs", []), ddir],
+                "columns": list(head.get("columns") or cols),
+                "batch_id": None,
+            }
+            candidate = dict(manifest)
+            candidate["snapshots"] = [*manifest["snapshots"], new_snap]
+            candidate["delete_dir_cols"] = {
+                **manifest.get("delete_dir_cols", {}),
+                ddir: eq,
+            }
+            # Iceberg sequence-number semantics: the delete applies ONLY
+            # to data files that existed when it was committed — a row
+            # re-inserted later must survive.  Record the scope.
+            candidate["delete_dir_scope"] = {
+                **manifest.get("delete_dir_scope", {}),
+                ddir: list(head["data_dirs"]),
+            }
+            try:
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
+            except FileExistsError:
+                import shutil
+
+                shutil.rmtree(out, ignore_errors=True)
+                continue
+            return Snapshot(
+                sid, new_snap["committed_at"], "delete", remaining,
+                tuple(new_snap["data_dirs"]), 0, tuple(new_snap["columns"]), None,
+            )
+        raise CommitConflictError(
+            f"MoR delete on {namespace}.{table} kept losing races"
         )
 
     def update_where(
@@ -1616,6 +1767,38 @@ class LakehouseCatalog:
                 else {"=": c == val, "==": c == val, "<": c < val, "<=": c <= val,
                       ">": c > val, ">=": c >= val}[op]
             )
+        # merge-on-read: anti-join the snapshot's outstanding equality-
+        # delete dirs (written by delete_where_mor, cleared by compact).
+        # Each anti-join is SCOPED to the data dirs that existed when the
+        # delete committed (Iceberg sequence-number semantics: a row
+        # re-inserted afterwards survives) by tagging rows with their
+        # source dir.  Delete sets are key-distinct and broadcast-sized in
+        # practice; AQE picks BroadcastHashJoin from runtime stats.
+        ddc = manifest.get("delete_dir_cols", {})
+        scopes = manifest.get("delete_dir_scope", {})
+        del_dirs = snap.get("delete_dirs", [])
+        if del_dirs:
+            from functools import reduce
+
+            df = df.withColumn(
+                "__dir", F.regexp_extract(F.input_file_name(), r"/(data-[^/]+)/", 1)
+            )
+            for ddir in del_dirs:
+                dpath = os.path.join(self._table_path(namespace, table), ddir)
+                keys = self.spark.read.parquet(dpath)
+                eq = ddc[ddir]
+                keys = keys.select(
+                    *[F.col(c).alias(f"__k_{c}") for c in eq]
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).eqNullSafe(F.col(f"__k_{c}")) for c in eq],
+                )
+                scope = scopes.get(ddir)
+                if scope is not None:
+                    cond = cond & F.col("__dir").isin(scope)
+                df = df.join(keys, cond, "left_anti")
+            df = df.drop("__dir")
         return df
 
     def snapshots(self, namespace: str, table: str) -> list[Snapshot]:

@@ -363,3 +363,73 @@ def test_refs_metadata_table(spark, cat):
     assert rows["main"] == ("branch", 1)
     assert rows["v1"] == ("tag", 1)
     assert rows["wip"] == ("branch", 2)
+
+
+# -- merge-on-read deletes -------------------------------------------------
+
+
+def test_mor_delete_defers_rewrite_and_scopes_to_old_files(spark, cat):
+    """Equality deletes: no data dir rewrites, reads anti-join the delete
+    set, and a row re-inserted AFTER the delete survives (sequence-number
+    scope semantics)."""
+    cat.create_table("db", "t", _batch(spark, 0, 100))
+    dirs_before = cat.current_snapshot("db", "t").data_dirs
+    snap = cat.delete_where_mor("db", "t", [("id", "<", 10)], equality_cols=["id"])
+    assert snap.operation == "delete"
+    assert snap.data_dirs == dirs_before  # no data rewritten
+    assert snap.row_count == 90
+    assert cat.load("db", "t").count() == 90
+    assert cat.load("db", "t").filter("id < 10").count() == 0
+    # re-insert id 3: the old delete must NOT swallow the new row
+    cat.append("db", "t", _batch(spark, 3, 4, tag="reborn"))
+    cur = cat.load("db", "t")
+    assert cur.count() == 91
+    assert cur.filter("id = 3").first().tag == "reborn"
+    # time travel: pre-delete snapshot unaffected
+    assert cat.load("db", "t", snapshot_id=1).count() == 100
+
+
+def test_mor_compact_materializes_deletes(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 50))
+    cat.delete_where_mor("db", "t", [("id", ">=", 40)], equality_cols=["id"])
+    snap = cat.compact("db", "t")
+    assert not [d for d in snap.data_dirs if d.startswith("deletes-")]
+    assert cat.load("db", "t").count() == 40
+    # after compaction CoW rewrites are allowed again
+    cat.delete_where("db", "t", [("id", ">=", 35)])
+    assert cat.load("db", "t").count() == 35
+    # expiry reclaims the dead delete dir from disk
+    import os
+
+    cat.expire_snapshots("db", "t", keep_last=1)
+    on_disk = [e for e in os.listdir(cat._table_path("db", "t")) if e.startswith("deletes-")]
+    assert on_disk == []
+
+
+def test_mor_blocks_cow_rewrite_until_compacted(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 50))
+    cat.delete_where_mor("db", "t", [("id", "=", 5)], equality_cols=["id"])
+    with pytest.raises(ValueError, match="outstanding merge-on-read"):
+        cat.delete_where("db", "t", [("id", "=", 6)])
+    with pytest.raises(ValueError, match="outstanding merge-on-read"):
+        cat.update_where("db", "t", {"tag": F.lit("x")}, [("id", "=", 6)])
+
+
+def test_mor_changelog_and_rollback(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 20))
+    s1 = cat.current_snapshot("db", "t").snapshot_id
+    cat.delete_where_mor("db", "t", [("id", ">=", 15)], equality_cols=["id"])
+    cl = cat.changelog("db", "t", s1).collect()
+    assert {r._change_type for r in cl} == {"delete"}
+    assert {r.id for r in cl} == {15, 16, 17, 18, 19}
+    # rollback to the MoR-delete snapshot from a later state reapplies it
+    cat.append("db", "t", _batch(spark, 100, 105))
+    cat.rollback_to_snapshot("db", "t", 2)
+    assert cat.load("db", "t").count() == 15
+
+
+def test_mor_no_match_is_noop(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    before = cat.current_snapshot("db", "t").snapshot_id
+    snap = cat.delete_where_mor("db", "t", [("id", ">", 999)], equality_cols=["id"])
+    assert snap.snapshot_id == before
