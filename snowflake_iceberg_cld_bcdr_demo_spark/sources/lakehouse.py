@@ -679,7 +679,10 @@ class LakehouseCatalog:
                     )
             if prev is not None:
                 prev_dirs = list(prev["data_dirs"])
-                prev_cols = list(prev.get("columns") or manifest.get("columns") or [])
+                # the manifest's column list is the CURRENT logical schema
+                # (alter_table may have renamed/dropped since the previous
+                # snapshot committed) — prefer it over the snapshot's
+                prev_cols = list(manifest.get("columns") or prev.get("columns") or [])
                 prev_total = prev.get("row_count", 0)
             else:
                 prev_dirs, prev_cols, prev_total = [], [], 0
@@ -973,6 +976,88 @@ class LakehouseCatalog:
 
         self._update_manifest_cas(namespace, table, mutate)
         return self.current_snapshot(namespace, table)
+
+    def alter_table(
+        self,
+        namespace: str,
+        table: str,
+        add_columns: dict[str, str] | None = None,
+        drop_columns: list[str] | None = None,
+        rename_columns: dict[str, str] | None = None,
+    ) -> dict:
+        """Schema-evolution DDL (Iceberg ``ALTER TABLE`` analog) — all
+        three operations are METADATA-ONLY; no data file is touched:
+
+        - ``add_columns``: name → Spark type; existing rows read the new
+          column as NULL until a write fills it.
+        - ``drop_columns``: the column disappears from every read
+          (including historical snapshots' physical files).  Re-adding a
+          dropped name is rejected — without Iceberg's field ids the old
+          physical values would resurrect under the new column.
+        - ``rename_columns``: old → new; files written before the rename
+          are mapped at read time.  Manifest column bounds stay keyed by
+          the physical name, so data skipping on the renamed column
+          resumes with post-rename files (pre-rename dirs are scanned —
+          sound, just unskipped; documented trade of name-based mapping).
+
+        Returns the new logical column list."""
+        add_columns = add_columns or {}
+        drop_columns = drop_columns or []
+        rename_columns = rename_columns or {}
+
+        def mutate(m):
+            cols = list(m.get("columns") or [])
+            dropped = set(m.get("dropped_columns", []))
+            renames = list(m.get("column_renames", []))
+            for old, new in rename_columns.items():
+                if old not in cols:
+                    raise ValueError(f"rename: unknown column {old!r}")
+                if new in cols:
+                    raise ValueError(f"rename: column {new!r} already exists")
+                cols[cols.index(old)] = new
+                renames.append([old, new])
+            for c in drop_columns:
+                if c not in cols:
+                    raise ValueError(f"drop: unknown column {c!r}")
+                cols.remove(c)
+                dropped.add(c)
+            for c, dtype in add_columns.items():
+                if c in cols:
+                    raise ValueError(f"add: column {c!r} already exists")
+                if c in dropped:
+                    raise ValueError(
+                        f"add: {c!r} was previously dropped; re-adding would "
+                        "resurrect old physical values (no field ids) — use "
+                        "a fresh name"
+                    )
+                cols.append(c)
+                m.setdefault("column_types", {})[c] = dtype
+            m["columns"] = cols
+            m["dropped_columns"] = sorted(dropped)
+            m["column_renames"] = renames
+            return m
+
+        out = self._update_manifest_cas(namespace, table, mutate)
+        return {"columns": list(out["columns"])}
+
+    def _apply_schema_evolution(self, df: DataFrame, manifest: dict, cols: list[str]):
+        """Read-time schema resolution: renames (coalescing when files
+        from both eras are in the scan), drops, and null-filled added
+        columns."""
+        for old, new in manifest.get("column_renames", []):
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        dropped = set(manifest.get("dropped_columns", []))
+        keep = [c for c in df.columns if c not in dropped]
+        if len(keep) != len(df.columns):
+            df = df.select(*keep)
+        types = manifest.get("column_types", {})
+        for c in cols:
+            if c not in df.columns and c in types:
+                df = df.withColumn(c, F.lit(None).cast(types[c]))
+        return df
 
     def changelog(
         self,
@@ -1276,9 +1361,14 @@ class LakehouseCatalog:
     def _read_dirs_clean(
         self, namespace: str, table: str, read_dirs: list[str], manifest: dict
     ) -> DataFrame:
-        """:meth:`_read_dir_paths` + strip hidden-partition columns and
-        restore the declared column order — rewrite-op input frames."""
+        """:meth:`_read_dir_paths` + strip hidden-partition columns,
+        apply schema-evolution DDL, and restore the declared column order
+        — rewrite-op input frames (a rewrite thus MATERIALIZES renames/
+        drops/adds into its output dir, like an Iceberg rewrite)."""
         df = self._read_dir_paths(namespace, table, read_dirs, manifest)
+        df = self._apply_schema_evolution(
+            df, manifest, list(manifest.get("columns") or [])
+        )
         spec_fields = parse_partition_spec(manifest["partition_by"])
         derived_names = {f["field"] for f in spec_fields if f["transform"] != "identity"}
         cols = list(manifest.get("columns") or [])
@@ -1700,13 +1790,38 @@ class LakehouseCatalog:
             read_dirs = self.prune_preview(namespace, table, filters, snapshot_id)["kept"]
             if not read_dirs:
                 # every dir pruned: empty frame with the snapshot's schema
-                cols = list(snap.get("columns") or manifest.get("columns") or [])
+                # (the CURRENT logical schema once DDL evolution exists)
+                cols = (
+                    list(manifest.get("columns") or [])
+                    if (
+                        manifest.get("column_renames")
+                        or manifest.get("dropped_columns")
+                        or manifest.get("column_types")
+                    )
+                    else list(snap.get("columns") or manifest.get("columns") or [])
+                )
                 any_dir = os.path.join(
                     self._table_path(namespace, table), snap["data_dirs"][0]
                 )
                 empty = self.spark.read.parquet(any_dir).limit(0)
+                empty = self._apply_schema_evolution(
+                    empty, manifest, list(manifest.get("columns") or [])
+                )
                 return empty.select(*[c for c in cols if c in empty.columns])
         df = self._read_dir_paths(namespace, table, read_dirs, manifest)
+        # Schema-evolution DDL resolution (renames / drops / null-filled
+        # adds) happens FIRST so user-facing filters and column ordering
+        # see the CURRENT logical schema (Iceberg reads every snapshot
+        # through the current schema).  No-op unless alter_table ran.
+        evolved_ddl = bool(
+            manifest.get("column_renames")
+            or manifest.get("dropped_columns")
+            or manifest.get("column_types")
+        )
+        if evolved_ddl:
+            df = self._apply_schema_evolution(
+                df, manifest, list(manifest.get("columns") or [])
+            )
         # Transform-aware partition pruning (hidden partitioning): fold
         # each filter literal through the spec's transform so the derived
         # `_p_…` partition column gets a constant predicate — Spark turns
@@ -1754,7 +1869,11 @@ class LakehouseCatalog:
         # the snapshot's declared column order and strip derived partition
         # fields (hidden partitioning: they never reach the user).
         derived_names = {f["field"] for f in derived.values()}
-        cols = list(snap.get("columns") or manifest.get("columns") or [])
+        cols = (
+            list(manifest.get("columns") or [])
+            if evolved_ddl
+            else list(snap.get("columns") or manifest.get("columns") or [])
+        )
         ordered = [c for c in cols if c in df.columns]
         extras = [c for c in df.columns if c not in cols and c not in derived_names]
         if list(df.columns) != ordered + extras:

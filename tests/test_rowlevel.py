@@ -433,3 +433,45 @@ def test_mor_no_match_is_noop(spark, cat):
     before = cat.current_snapshot("db", "t").snapshot_id
     snap = cat.delete_where_mor("db", "t", [("id", ">", 999)], equality_cols=["id"])
     assert snap.snapshot_id == before
+
+
+# -- schema-evolution DDL --------------------------------------------------
+
+
+def test_alter_table_add_drop_rename(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    cat.alter_table(
+        "db", "t",
+        add_columns={"score": "double"},
+        rename_columns={"tag": "label"},
+    )
+    cur = cat.load("db", "t")
+    assert cur.columns == ["id", "label", "val", "score"]
+    row = cur.filter("id = 3").first()
+    assert row.label == "a" and row.score is None  # old files mapped + null-filled
+    # writes after the DDL use the new schema
+    new = spark.createDataFrame([(100, "b", 5.0, 0.9)],
+                                "id long, label string, val double, score double")
+    cat.append("db", "t", new)
+    cur = cat.load("db", "t")
+    assert cur.count() == 11
+    assert cur.filter("id = 100").first().score == 0.9
+    assert cur.filter("label = 'a'").count() == 10  # filter on renamed col
+    # drop a column: disappears from every read, metadata only
+    cat.alter_table("db", "t", drop_columns=["val"])
+    assert cat.load("db", "t").columns == ["id", "label", "score"]
+    # a CoW rewrite materializes the evolved schema
+    cat.update_where("db", "t", {"score": F.lit(1.0)}, [("id", "=", 3)])
+    assert cat.load("db", "t").filter("id = 3").first().score == 1.0
+    assert cat.load("db", "t").columns == ["id", "label", "score"]
+
+
+def test_alter_table_guards(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 5))
+    with pytest.raises(ValueError, match="unknown column"):
+        cat.alter_table("db", "t", rename_columns={"nope": "x"})
+    with pytest.raises(ValueError, match="already exists"):
+        cat.alter_table("db", "t", add_columns={"tag": "string"})
+    cat.alter_table("db", "t", drop_columns=["val"])
+    with pytest.raises(ValueError, match="previously dropped"):
+        cat.alter_table("db", "t", add_columns={"val": "double"})
