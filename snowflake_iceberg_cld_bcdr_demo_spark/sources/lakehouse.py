@@ -556,33 +556,13 @@ class LakehouseCatalog:
             raise ValueError(f"{namespace}.{table} has no snapshots")
         return main[-1]
 
-    def _commit(
-        self,
-        namespace: str,
-        table: str,
-        manifest: dict,
-        df: DataFrame,
-        op: str,
-        batch_id: int | None = None,
-        carry_dirs: list[str] | None = None,
-        base_snapshot_id: int | None = None,
-        extra_dir_rows: dict[str, int] | None = None,
-        branch: str | None = None,
-    ) -> Snapshot:
-        """Write ``df`` as a new data dir and publish a snapshot.
-
-        ``op='rewrite'`` is file-level copy-on-write (row-level DELETE/
-        UPDATE/MERGE): ``carry_dirs`` are the untouched data dirs carried
-        into the new snapshot by reference — metadata only, no data moves
-        — while ``df`` holds the rewritten content of the touched dirs.
-        ``base_snapshot_id`` pins the snapshot the rewrite was planned
-        against; if a concurrent commit advanced the table past it, the
-        rewrite ABORTS with :class:`CommitConflictError` (Iceberg's
-        serializable validation) instead of silently dropping the
-        concurrent rows — the caller re-plans against the new head."""
-        # 1. write the data exactly once, outside the retry loop; the row
-        # count rides along on the write job itself (no second scan —
-        # `df.observe` attaches a metric to the existing action)
+    def _write_data_dir(
+        self, namespace: str, table: str, manifest: dict, df: DataFrame
+    ) -> tuple[str, int, dict]:
+        """Write ``df`` into a freshly claimed data dir with the table's
+        (hidden) partition layout; returns (dir name, row count, column
+        bounds).  The row count and stats ride the write job itself via
+        ``df.observe`` — no second scan."""
         sid_guess = len(manifest["snapshots"]) + 1
         data_dir = self._claim_data_dir(namespace, table, sid_guess)
         out = os.path.join(self._table_path(namespace, table), data_dir)
@@ -616,6 +596,37 @@ class LakehouseCatalog:
         dir_stats = (
             self._stats_from_metrics(metrics, stat_kinds, dict(df.dtypes)) if added else {}
         )
+        return data_dir, added, dir_stats
+
+    def _commit(
+        self,
+        namespace: str,
+        table: str,
+        manifest: dict,
+        df: DataFrame,
+        op: str,
+        batch_id: int | None = None,
+        carry_dirs: list[str] | None = None,
+        base_snapshot_id: int | None = None,
+        extra_dir_rows: dict[str, int] | None = None,
+        branch: str | None = None,
+    ) -> Snapshot:
+        """Write ``df`` as a new data dir and publish a snapshot.
+
+        ``op='rewrite'`` is file-level copy-on-write (row-level DELETE/
+        UPDATE/MERGE): ``carry_dirs`` are the untouched data dirs carried
+        into the new snapshot by reference — metadata only, no data moves
+        — while ``df`` holds the rewritten content of the touched dirs.
+        ``base_snapshot_id`` pins the snapshot the rewrite was planned
+        against; if a concurrent commit advanced the table past it, the
+        rewrite ABORTS with :class:`CommitConflictError` (Iceberg's
+        serializable validation) instead of silently dropping the
+        concurrent rows — the caller re-plans against the new head."""
+        # 1. write the data exactly once, outside the retry loop; the row
+        # count rides along on the write job itself (no second scan —
+        # `df.observe` attaches a metric to the existing action)
+        data_dir, added, dir_stats = self._write_data_dir(namespace, table, manifest, df)
+        out = os.path.join(self._table_path(namespace, table), data_dir)
         if added == 0:
             # A zero-row partitioned write materializes no partition dirs
             # (and hence no schema-bearing parquet file), which would make
@@ -1557,6 +1568,157 @@ class LakehouseCatalog:
             )
         raise CommitConflictError(
             f"MoR delete on {namespace}.{table} kept losing races"
+        )
+
+    def upsert_mor(
+        self,
+        namespace: str,
+        table: str,
+        source: DataFrame,
+        equality_cols: list[str],
+        delete_condition: object | None = None,
+        batch_id: int | None = None,
+    ) -> Snapshot:
+        """Merge-on-read UPSERT: ONE snapshot referencing an equality-
+        delete dir (every incoming key, scoped to the pre-commit data
+        dirs) plus a new data dir (the incoming rows, minus any matching
+        ``delete_condition`` — CDC delete markers).  Readers see the old
+        version of each key anti-joined away and the new version from the
+        fresh dir; nothing is rewritten.
+
+        This is the streaming-CDC fast path at 100 TB: per batch it
+        writes O(batch) bytes regardless of table size or how many dirs
+        the keys touch (contrast :meth:`merge_into`'s CoW, which rewrites
+        every touched dir); compaction amortizes the read-side merge.
+        ``batch_id`` gives exactly-once under foreachBatch replay.
+
+        The commit ABORTS if the head advanced since planning (the delete
+        scope depends on it) — callers retry the whole upsert."""
+        manifest = self._read_manifest(namespace, table)
+        if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+            return self.current_snapshot(namespace, table)
+        head = self._resolve_snapshot(manifest, namespace, table, None)
+        cols = list(head.get("columns") or manifest.get("columns") or [])
+        unknown = [c for c in equality_cols if c not in cols]
+        if unknown:
+            raise ValueError(f"upsert_mor: unknown equality cols {unknown}")
+        keys = source.select(*equality_cols).distinct()
+        inserts = source
+        if delete_condition is not None:
+            cond = (
+                F.expr(delete_condition)
+                if isinstance(delete_condition, str)
+                else delete_condition
+            )
+            inserts = source.filter(~cond.eqNullSafe(F.lit(True)))
+        tgt_dtypes = dict(self.load(namespace, table).dtypes)
+        inserts = inserts.select(
+            *[
+                (F.col(c) if c in inserts.columns else F.lit(None))
+                .cast(tgt_dtypes.get(c, "string"))
+                .alias(c)
+                for c in cols
+            ]
+        )
+        # exact post-upsert row count: rows the keys displace, counted
+        # with the key-bounds manifest pruning load() provides
+        bounds_row = keys.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in equality_cols],
+            *[F.max(k).alias(f"hi_{k}") for k in equality_cols],
+        ).first()
+        bfilters = []
+        for k in equality_cols:
+            if bounds_row[f"lo_{k}"] is not None:
+                bfilters.append((k, ">=", bounds_row[f"lo_{k}"]))
+            if bounds_row[f"hi_{k}"] is not None:
+                bfilters.append((k, "<=", bounds_row[f"hi_{k}"]))
+        displaced = (
+            self.load(namespace, table, filters=bfilters or None)
+            .join(keys, equality_cols, "left_semi")
+            .count()
+            if bfilters
+            else 0
+        )
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            cur_head = manifest["snapshots"][-1]
+            if cur_head["snapshot_id"] != head["snapshot_id"]:
+                raise CommitConflictError(
+                    f"MoR upsert on {namespace}.{table} planned at snapshot "
+                    f"{head['snapshot_id']} but head advanced to "
+                    f"{cur_head['snapshot_id']}; re-plan and retry"
+                )
+            sid = len(manifest["snapshots"]) + 1
+            data_dir, added, dir_stats = self._write_data_dir(
+                namespace, table, manifest, inserts
+            )
+            ddir = f"deletes-{sid:05d}-{uuid.uuid4().hex[:8]}"
+            dout = os.path.join(self._table_path(namespace, table), ddir)
+            obs = Observation()
+            keys.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(dout)
+            n_keys = int(obs.get["rows"])
+            new_snap = {
+                "snapshot_id": sid,
+                "committed_at": time.time(),
+                "operation": "upsert",
+                "row_count": head["row_count"] - displaced + added,
+                "added_rows": added,
+                "data_dirs": [*head["data_dirs"], *( [data_dir] if added else [] )],
+                "delete_dirs": [
+                    *head.get("delete_dirs", []),
+                    *([ddir] if n_keys else []),
+                ],
+                "columns": cols,
+                "batch_id": batch_id,
+            }
+            candidate = dict(manifest)
+            candidate["snapshots"] = [*manifest["snapshots"], new_snap]
+            if added:
+                candidate["dir_columns"] = {
+                    **manifest.get("dir_columns", {}), data_dir: list(inserts.columns)
+                }
+                candidate["dir_stats"] = {
+                    **manifest.get("dir_stats", {}), data_dir: dir_stats
+                }
+                candidate["dir_rows"] = {
+                    **manifest.get("dir_rows", {}), data_dir: added
+                }
+            if n_keys:
+                candidate["delete_dir_cols"] = {
+                    **manifest.get("delete_dir_cols", {}), ddir: list(equality_cols)
+                }
+                candidate["delete_dir_scope"] = {
+                    **manifest.get("delete_dir_scope", {}),
+                    ddir: list(head["data_dirs"]),
+                }
+            import shutil
+
+            if added == 0:
+                shutil.rmtree(
+                    os.path.join(self._table_path(namespace, table), data_dir),
+                    ignore_errors=True,
+                )
+            if n_keys == 0:
+                shutil.rmtree(dout, ignore_errors=True)
+                if added == 0:
+                    return self.current_snapshot(namespace, table)
+            try:
+                self._publish_manifest(namespace, table, candidate, version=base_version + 1)
+            except FileExistsError:
+                shutil.rmtree(
+                    os.path.join(self._table_path(namespace, table), data_dir),
+                    ignore_errors=True,
+                )
+                shutil.rmtree(dout, ignore_errors=True)
+                continue
+            return Snapshot(
+                sid, new_snap["committed_at"], "upsert", new_snap["row_count"],
+                tuple(new_snap["data_dirs"]), added, tuple(cols), batch_id,
+            )
+        raise CommitConflictError(
+            f"MoR upsert on {namespace}.{table} kept losing races"
         )
 
     def update_where(

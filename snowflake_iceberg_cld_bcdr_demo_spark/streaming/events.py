@@ -230,6 +230,7 @@ def apply_cdc_stream(
     op_col: str = "op",
     seq_col: str = "ts",
     available_now: bool = True,
+    mode: str = "cow",
 ):
     """Apply a change-data-capture stream to a lakehouse table: each
     micro-batch MERGEs into the target — upserts for ``op`` in (I, U),
@@ -242,11 +243,20 @@ def apply_cdc_stream(
     (and the table-create commit on first batch), so a replayed batch
     after a crash-between-merge-and-checkpoint is a no-op.
 
-    Scale: the merge is file-level copy-on-write — target data dirs whose
-    key bounds can't overlap the batch's key range carry by reference, so
-    a trickle of changes against a 100 TB table rewrites only the touched
-    key ranges' dirs, per batch."""
+    Scale — two write strategies, picked by ``mode``:
+
+    - ``"cow"`` (default): copy-on-write MERGE — target data dirs whose
+      key bounds can't overlap the batch's key range carry by reference;
+      a trickle of changes rewrites only the touched key ranges' dirs.
+      Best read performance (no read-side merge).
+    - ``"mor"``: merge-on-read upsert — each batch commits O(batch)
+      bytes (a delete-keys dir + the new rows' dir) regardless of table
+      size; readers anti-join until compaction.  Best for high-frequency
+      small batches against huge tables; schedule ``compact()``."""
     from pyspark.sql import Window
+
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"apply_cdc_stream: unknown mode {mode!r}")
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -260,6 +270,18 @@ def apply_cdc_stream(
         if not catalog.table_exists(namespace, table):
             init = latest.filter(F.col(op_col) != F.lit("D")).drop(op_col)
             catalog.create_table(namespace, table, init, batch_id=batch_id)
+            return
+        if mode == "mor":
+            # the op column never reaches the table: upsert_mor projects
+            # inserts onto the target schema after the delete filter
+            catalog.upsert_mor(
+                namespace,
+                table,
+                latest,
+                equality_cols=key_cols,
+                delete_condition=f"{op_col} = 'D'",
+                batch_id=batch_id,
+            )
             return
         data_cols = [c for c in latest.columns if c != op_col and c not in key_cols]
         catalog.merge_into(

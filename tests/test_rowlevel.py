@@ -475,3 +475,50 @@ def test_alter_table_guards(spark, cat):
     cat.alter_table("db", "t", drop_columns=["val"])
     with pytest.raises(ValueError, match="previously dropped"):
         cat.alter_table("db", "t", add_columns={"val": "double"})
+
+
+def test_upsert_mor_single_snapshot_updates_and_inserts(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 100))
+    dirs_before = cat.current_snapshot("db", "t").data_dirs
+    src = spark.createDataFrame(
+        [(5, "upd", 1.0), (200, "new", 2.0)], "id long, tag string, val double"
+    )
+    snap = cat.upsert_mor("db", "t", src, equality_cols=["id"])
+    assert snap.operation == "upsert"
+    # old dirs untouched; exactly one new data dir
+    assert set(dirs_before) < set(snap.data_dirs)
+    assert len(snap.data_dirs) == len(dirs_before) + 1
+    assert snap.row_count == 101
+    cur = cat.load("db", "t")
+    assert cur.count() == 101
+    assert cur.filter("id = 5").first().tag == "upd"
+    assert cur.filter("id = 200").first().tag == "new"
+    assert cur.filter("id = 6").first().tag == "a"
+    # compaction materializes: row set identical, delete dirs cleared
+    cat.compact("db", "t")
+    assert cat.load("db", "t").count() == 101
+    assert cat.load("db", "t").filter("id = 5").first().tag == "upd"
+
+
+def test_upsert_mor_with_delete_markers_and_idempotence(spark, cat):
+    cat.create_table("db", "t", _batch(spark, 0, 10))
+    src = spark.createDataFrame(
+        [(3, "D", None, None), (11, "I", "x", 1.0)],
+        "id long, op string, tag string, val double",
+    )
+    snap = cat.upsert_mor(
+        "db", "t", src, equality_cols=["id"],
+        delete_condition="op = 'D'", batch_id=7,
+    )
+    cur = cat.load("db", "t")
+    assert cur.count() == 10  # 10 - 1 deleted + 1 inserted
+    assert cur.filter("id = 3").count() == 0
+    assert cur.filter("id = 11").first().tag == "x"
+    assert "op" not in cur.columns
+    # replay with the same batch_id: no-op
+    again = cat.upsert_mor(
+        "db", "t", src, equality_cols=["id"],
+        delete_condition="op = 'D'", batch_id=7,
+    )
+    assert again.snapshot_id == snap.snapshot_id
+    assert cat.load("db", "t").count() == 10

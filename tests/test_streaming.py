@@ -357,3 +357,47 @@ def test_incremental_read_falls_back_to_full_after_rewrite(spark, tmp_path):
     assert delta.count() == 110
     assert delta.select("id").distinct().count() == 110
     assert delta.filter("id < 10").count() == 0
+
+
+def test_apply_cdc_stream_mor_mode(spark, tmp_path):
+    """MoR CDC: each batch commits a delete-keys dir + data dir instead of
+    rewriting; contents match the CoW semantics exactly."""
+    from pyspark.sql.types import StructField, StructType
+
+    cdc_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("op", StringType()),
+            StructField("name", StringType()),
+        ]
+    )
+    src = str(tmp_path / "cdc")
+    ckpt = str(tmp_path / "ckpt")
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    spark.createDataFrame(
+        [(1, t(0), "I", "ann"), (2, t(0), "I", "bob")], cdc_schema
+    ).write.mode("append").parquet(src)
+    q = S.apply_cdc_stream(
+        S.read_file_stream(spark, src, cdc_schema), cat, "db", "u",
+        key_cols=["user_id"], checkpoint_dir=ckpt, mode="mor",
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(1, t(5), "U", "ann2"), (2, t(5), "D", None), (3, t(5), "I", "cat")],
+        cdc_schema,
+    ).write.mode("append").parquet(src)
+    q = S.apply_cdc_stream(
+        S.read_file_stream(spark, src, cdc_schema), cat, "db", "u",
+        key_cols=["user_id"], checkpoint_dir=ckpt, mode="mor",
+    )
+    q.awaitTermination(120)
+    rows = {r.user_id: r.name for r in cat.load("db", "u").collect()}
+    assert rows == {1: "ann2", 3: "cat"}
+    # the second batch was an upsert commit, not a rewrite
+    ops = [s.operation for s in cat.snapshots("db", "u")]
+    assert "upsert" in ops and "rewrite" not in ops
