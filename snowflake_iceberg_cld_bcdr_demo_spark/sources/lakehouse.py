@@ -155,6 +155,54 @@ def transform_expr(transform: str, param: int | None, source, integral: bool = F
 #: hash-based, so only equality/IN prune.
 _MONOTONE_TRANSFORMS = {"years", "months", "days", "hours", "truncate"}
 
+#: column types eligible for a manifest Bloom filter: the filter hashes
+#: ``md5(cast(col as string))``, and only integral/string casts render
+#: identically in Spark (write side) and Python ``str()`` (probe side).
+_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _quantile_bucket(source, cuts: list[float]):
+    """Rank-normalized bucket index of ``source`` against sorted quantile
+    ``cuts``: the count of cutpoints <= value (0..len(cuts)).  Quantile
+    (not uniform-width) buckets make Z-ordering robust to skewed value
+    distributions; NULLs land in bucket 0.  Pure JVM: one scan of a
+    literal array per row, inside whole-stage codegen."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.size(F.filter(arr, lambda c: c <= source.cast("double")))
+
+
+def _zorder_value(buckets: list, bits: int):
+    """Interleave the low ``bits`` bits of each bucket index into one
+    Z-value (Morton code): bit ``i`` of bucket ``j`` becomes output bit
+    ``i * n_cols + j``.  Range-partitioning + sorting by this value
+    co-locates rows that are close in EVERY clustered dimension, so
+    per-file min/max bounds become tight on all of them at once —
+    multi-column data skipping from a single sort order."""
+    terms = []
+    for i in range(bits):
+        for j, b in enumerate(buckets):
+            terms.append(
+                F.shiftright(b, i).bitwiseAND(F.lit(1))
+                * F.lit(1 << (i * len(buckets) + j))
+            )
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def _bloom_probe_positions(value, m: int, k: int) -> list[int]:
+    """The ``k`` bit positions a value sets/probes, from ONE md5 via
+    Kirsch-Mitzenmacher double hashing — computable identically in Spark
+    SQL (write side) and pure Python (manifest probe side)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    h1, h2 = int(h[:8], 16), int(h[8:16], 16)
+    return [(h1 + i * h2) % m for i in range(k)]
+
 
 @dataclass(frozen=True)
 class Snapshot:
@@ -295,10 +343,22 @@ class LakehouseCatalog:
         partition_by: list[str] | None = None,
         mode: str = "error",
         batch_id: int | None = None,
+        bloom_filter_cols: list[str] | None = None,
+        bloom_m: int = 8192,
+        bloom_k: int = 4,
     ) -> Snapshot:
         """Create (or replace with ``mode='overwrite'``) a table from a
         DataFrame — the S5 `CREATE TABLE … USING iceberg PARTITIONED BY`
-        analog (`03_load_iceberg_aws.py:201-260`)."""
+        analog (`03_load_iceberg_aws.py:201-260`).
+
+        ``bloom_filter_cols`` opts the table into per-data-dir Bloom
+        filters (the analog of Iceberg's ``write.parquet.bloom-filter-
+        enabled.column.X`` table property): every commit records an
+        ``m``-bit filter per listed column, and equality/IN scans skip
+        dirs the filter proves cannot contain the probe value — the
+        point-lookup complement to min/max bounds, which cannot prune
+        when dirs have overlapping value ranges (e.g. unordered
+        high-cardinality ids)."""
         if self.table_exists(namespace, table):
             if mode == "error":
                 raise FileExistsError(f"{namespace}.{table} exists")
@@ -319,6 +379,19 @@ class LakehouseCatalog:
             "dir_columns": {},
             "snapshots": [],
         }
+        if bloom_filter_cols:
+            bad = [
+                c
+                for c in bloom_filter_cols
+                if not dict(df.dtypes).get(c, "").startswith(_BLOOM_TYPES)
+            ]
+            if bad:
+                raise ValueError(
+                    f"bloom_filter_cols must be integral/string columns; got {bad}"
+                )
+            manifest["bloom"] = {
+                "cols": list(bloom_filter_cols), "m": bloom_m, "k": bloom_k,
+            }
         return self._commit(namespace, table, manifest, df, "create", batch_id=batch_id)
 
     def append(
@@ -400,17 +473,53 @@ class LakehouseCatalog:
         return self._commit(namespace, table, manifest, merged, "replace")
 
     def compact(
-        self, namespace: str, table: str, target_file_partitions: int | None = None
+        self,
+        namespace: str,
+        table: str,
+        target_file_partitions: int | None = None,
+        cluster_by: list[str] | None = None,
+        zorder_bits: int = 4,
     ) -> Snapshot:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         the current snapshot's accumulated data dirs into one ``replace``
         snapshot.  Logical content unchanged; readers of the new head scan
-        one dir instead of one per historical append."""
+        one dir instead of one per historical append.
+
+        ``cluster_by`` runs the rewrite as a **Z-order clustering**
+        (Iceberg ``rewrite_data_files(strategy => 'sort', sort_order =>
+        'zorder(a, b)')``): each column is rank-normalized into
+        ``2**zorder_bits`` quantile buckets (one driver-sized
+        ``approxQuantile`` pass — skew-proof, unlike uniform-width
+        binning), the bucket bits are Morton-interleaved, and the data is
+        range-partitioned + sorted by the interleaved value.  Per-FILE
+        min/max bounds for the clustered columns are then read from the
+        written parquet footers into the manifest, so a filter on ANY of
+        the clustered dimensions skips most files of the dir —
+        multi-column data skipping from one layout, the standard answer
+        to "which files can hold user_id=X AND day=Y" at 100 TB.
+        Clustered columns must cast to double (numerics); nulls sort
+        into the lowest bucket."""
         df = self.load(namespace, table)
-        if target_file_partitions is not None:
+        file_stats_cols = None
+        if cluster_by:
+            n = target_file_partitions or self.spark.sparkContext.defaultParallelism
+            nb = 1 << zorder_bits
+            probs = [i / nb for i in range(1, nb)]
+            quantiles = df.approxQuantile(list(cluster_by), probs, 1.0 / (4 * nb))
+            buckets = [
+                _quantile_bucket(F.col(c), sorted(set(cs)))
+                for c, cs in zip(cluster_by, quantiles)
+            ]
+            z = _zorder_value(buckets, zorder_bits)
+            df = df.repartitionByRange(n, z).sortWithinPartitions(z)
+            file_stats_cols = list(cluster_by)
+        elif target_file_partitions is not None:
             df = df.repartition(target_file_partitions)
         manifest = self._read_manifest(namespace, table)
-        return self._commit(namespace, table, manifest, df, "replace")
+        return self._commit(
+            namespace, table, manifest, df, "replace",
+            file_stats_cols=file_stats_cols,
+        )
 
     def expire_snapshots(self, namespace: str, table: str, keep_last: int = 1) -> dict:
         """Iceberg ``expire_snapshots``: mark all but the newest
@@ -461,6 +570,12 @@ class LakehouseCatalog:
             }
             candidate["dir_rows"] = {
                 d: r for d, r in manifest.get("dir_rows", {}).items() if d in live
+            }
+            candidate["file_stats"] = {
+                d: s for d, s in manifest.get("file_stats", {}).items() if d in live
+            }
+            candidate["dir_blooms"] = {
+                d: b for d, b in manifest.get("dir_blooms", {}).items() if d in live
             }
             candidate["delete_dir_cols"] = {
                 d: c for d, c in manifest.get("delete_dir_cols", {}).items() if d in live
@@ -598,6 +713,106 @@ class LakehouseCatalog:
         )
         return data_dir, added, dir_stats
 
+    def _collect_file_stats(self, out_path: str, cols: list[str]) -> dict:
+        """Per-file min/max bounds for ``cols`` from the just-written
+        parquet FOOTERS (pyarrow metadata read — no data scan; this is
+        exactly where Iceberg writers get their file-level metrics).
+        Bounds land in the manifest normalized to the same domain as
+        :meth:`_stats_exprs` (temporal → epoch integers, strings
+        Iceberg-truncated), so :meth:`_dir_survives` evaluates dir- and
+        file-level entries with one code path."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        want = set(cols)
+        for fp in sorted(
+            _glob.glob(os.path.join(out_path, "**", "*.parquet"), recursive=True)
+        ):
+            md = pq.ParquetFile(fp).metadata
+            per: dict[str, list | None] = {}
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    cmd = row.column(ci)
+                    name = cmd.path_in_schema
+                    if name not in want or per.get(name, 0) is None:
+                        continue
+                    st = cmd.statistics
+                    if st is None or not st.has_min_max:
+                        per[name] = None  # unknowable → no bounds for col
+                        continue
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, bytes):
+                        try:
+                            lo, hi = lo.decode(), hi.decode()
+                        except UnicodeDecodeError:
+                            per[name] = None
+                            continue
+                    cur = per.get(name)
+                    per[name] = (
+                        [min(cur[0], lo), max(cur[1], hi)]
+                        if isinstance(cur, list)
+                        else [lo, hi]
+                    )
+            entry = {}
+            for name, v in per.items():
+                if not isinstance(v, list):
+                    continue
+                lo, hi = self._norm_filter_value(v[0]), self._norm_filter_value(v[1])
+                if isinstance(lo, str):
+                    b = _truncated_bounds(lo, hi)
+                    if b is None:
+                        continue
+                    lo, hi = b
+                entry[name] = [lo, hi]
+            if entry:
+                stats[os.path.relpath(fp, out_path)] = entry
+        return stats
+
+    def _build_dir_blooms(self, out_path: str, bcfg: dict, dtypes: dict) -> dict:
+        """Build one Bloom filter per configured column over the rows of a
+        just-written data dir: a column-pruned scan of only the indexed
+        columns computes the k distinct bit positions per value
+        (md5-based double hashing, :func:`_bloom_probe_positions`), and
+        the driver packs them into an m-bit bitset (m/8 bytes per column
+        per dir in the manifest).  Columns absent from this commit's
+        schema or of non-integral/string type are skipped (their absence
+        reads as "always survive" — sound)."""
+        import base64
+
+        m, k = bcfg.get("m", 8192), bcfg.get("k", 4)
+        cols = [
+            c
+            for c in bcfg.get("cols", [])
+            if dtypes.get(c, "").startswith(_BLOOM_TYPES)
+        ]
+        if not cols:
+            return {}
+        written = self.spark.read.parquet(out_path)
+        cols = [c for c in cols if c in written.columns]
+        aggs = []
+        for c in cols:
+            s = F.md5(F.col(c).cast("string"))
+            h1 = F.conv(F.substring(s, 1, 8), 16, 10).cast("long")
+            h2 = F.conv(F.substring(s, 9, 8), 16, 10).cast("long")
+            for i in range(k):
+                aggs.append(
+                    F.collect_set(F.pmod(h1 + F.lit(i) * h2, F.lit(m))).alias(
+                        f"{c}__{i}"
+                    )
+                )
+        if not aggs:
+            return {}
+        row = written.agg(*aggs).collect()[0]
+        out = {}
+        for c in cols:
+            bits = 0
+            for i in range(k):
+                for p in row[f"{c}__{i}"]:
+                    bits |= 1 << int(p)
+            out[c] = base64.b64encode(bits.to_bytes((m + 7) // 8, "big")).decode()
+        return out
+
     def _commit(
         self,
         namespace: str,
@@ -610,8 +825,15 @@ class LakehouseCatalog:
         base_snapshot_id: int | None = None,
         extra_dir_rows: dict[str, int] | None = None,
         branch: str | None = None,
+        file_stats_cols: list[str] | None = None,
     ) -> Snapshot:
         """Write ``df`` as a new data dir and publish a snapshot.
+
+        ``file_stats_cols`` additionally records per-FILE min/max bounds
+        for the named columns (read from the just-written parquet footers
+        — metadata only, no data scan), enabling file-granularity skipping
+        inside the dir; clustered rewrites (:meth:`compact` with
+        ``cluster_by``) use it so the sort order actually pays off.
 
         ``op='rewrite'`` is file-level copy-on-write (row-level DELETE/
         UPDATE/MERGE): ``carry_dirs`` are the untouched data dirs carried
@@ -627,6 +849,16 @@ class LakehouseCatalog:
         # `df.observe` attaches a metric to the existing action)
         data_dir, added, dir_stats = self._write_data_dir(namespace, table, manifest, df)
         out = os.path.join(self._table_path(namespace, table), data_dir)
+        file_stats = (
+            self._collect_file_stats(out, file_stats_cols)
+            if file_stats_cols and added
+            else None
+        )
+        dir_blooms = (
+            self._build_dir_blooms(out, manifest["bloom"], dict(df.dtypes))
+            if manifest.get("bloom") and added
+            else None
+        )
         if added == 0:
             # A zero-row partitioned write materializes no partition dirs
             # (and hence no schema-bearing parquet file), which would make
@@ -759,6 +991,14 @@ class LakehouseCatalog:
                     **(extra_dir_rows or {}),
                     data_dir: added,
                 }
+                if file_stats:
+                    candidate["file_stats"] = {
+                        **manifest.get("file_stats", {}), data_dir: file_stats,
+                    }
+                if dir_blooms:
+                    candidate["dir_blooms"] = {
+                        **manifest.get("dir_blooms", {}), data_dir: dir_blooms,
+                    }
             elif extra_dir_rows:
                 candidate["dir_rows"] = {
                     **manifest.get("dir_rows", {}),
@@ -1272,18 +1512,68 @@ class LakehouseCatalog:
         snapshot_id: int | None = None,
     ) -> dict:
         """Which data dirs a filtered scan would read vs skip — the
-        EXPLAIN-side of manifest pruning, for tests and ops visibility."""
+        EXPLAIN-side of manifest pruning, for tests and ops visibility.
+
+        Three skipping tiers, most → least coarse: (1) per-dir min/max
+        bounds, (2) per-dir Bloom filters for =/IN probes on indexed
+        columns, (3) per-file min/max bounds where a clustered rewrite
+        recorded them (``kept_files``/``skipped_files``, keyed by dir;
+        dirs without file stats read whole)."""
         manifest = self._read_manifest(namespace, table)
         snap = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
         dir_stats = manifest.get("dir_stats", {})
+        blooms = manifest.get("dir_blooms", {})
+        bcfg = manifest.get("bloom", {})
+        fstats = manifest.get("file_stats", {})
         kept, skipped = [], []
+        kept_files: dict[str, list[str]] = {}
+        skipped_files: dict[str, list[str]] = {}
         for d in snap["data_dirs"]:
             ok = all(
                 self._dir_survives(dir_stats.get(d, {}), col, op, val)
                 for col, op, val in filters
-            )
-            (kept if ok else skipped).append(d)
-        return {"kept": kept, "skipped": skipped}
+            ) and self._bloom_survives(blooms.get(d, {}), bcfg, filters)
+            if not ok:
+                skipped.append(d)
+                continue
+            kept.append(d)
+            if d in fstats:
+                kf, sf = [], []
+                for rel, st in sorted(fstats[d].items()):
+                    f_ok = all(
+                        self._dir_survives(st, col, op, val)
+                        for col, op, val in filters
+                    )
+                    (kf if f_ok else sf).append(rel)
+                kept_files[d], skipped_files[d] = kf, sf
+        return {
+            "kept": kept,
+            "skipped": skipped,
+            "kept_files": kept_files,
+            "skipped_files": skipped_files,
+        }
+
+    @staticmethod
+    def _bloom_survives(dir_blooms: dict, bcfg: dict, filters: list[tuple]) -> bool:
+        """False only when a dir's Bloom filter PROVES an =/IN probe value
+        set cannot occur in the dir (no false negatives by construction);
+        dirs/columns without a filter always survive."""
+        if not dir_blooms:
+            return True
+        import base64
+
+        m, k = bcfg.get("m", 8192), bcfg.get("k", 4)
+        for col, op, val in filters:
+            if op not in ("=", "==", "in") or col not in dir_blooms:
+                continue
+            bits = int.from_bytes(base64.b64decode(dir_blooms[col]), "big")
+            vals = list(val) if op == "in" else [val]
+            if not any(
+                all((bits >> p) & 1 for p in _bloom_probe_positions(v, m, k))
+                for v in vals
+            ):
+                return False
+        return True
 
     def _resolve_snapshot(
         self,
@@ -1335,16 +1625,28 @@ class LakehouseCatalog:
         return snap
 
     def _read_dir_paths(
-        self, namespace: str, table: str, read_dirs: list[str], manifest: dict
+        self,
+        namespace: str,
+        table: str,
+        read_dirs: list[str],
+        manifest: dict,
+        file_lists: dict[str, list[str]] | None = None,
     ) -> DataFrame:
         """Read an explicit list of data dirs with read-time schema merge
-        (shared by :meth:`load` and the row-level rewrite ops)."""
-        paths = [
-            os.path.join(self._table_path(namespace, table), d) for d in read_dirs
-        ]
+        (shared by :meth:`load` and the row-level rewrite ops).
+        ``file_lists`` narrows a dir to an explicit surviving-file subset
+        (file-level data skipping after a clustered rewrite)."""
+        tpath = self._table_path(namespace, table)
+
+        def paths_for(d: str) -> list[str]:
+            p = os.path.join(tpath, d)
+            if file_lists and d in file_lists:
+                return [os.path.join(p, rel) for rel in file_lists[d]]
+            return [p]
+
         dir_cols = manifest.get("dir_columns", {})
         schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
-        if manifest["partition_by"] and len(paths) > 1:
+        if manifest["partition_by"] and (len(read_dirs) > 1 or file_lists):
             # Hive-partitioned dirs can't share one basePath across
             # multiple snapshot roots (Spark's partition discovery rejects
             # the non-partition data-dir level: CONFLICTING_DIRECTORY_
@@ -1354,7 +1656,10 @@ class LakehouseCatalog:
             from functools import reduce
 
             parts = [
-                self.spark.read.option("basePath", p).parquet(p) for p in paths
+                self.spark.read.option(
+                    "basePath", os.path.join(tpath, d)
+                ).parquet(*paths_for(d))
+                for d in read_dirs
             ]
             return reduce(
                 lambda a, b: a.unionByName(b, allowMissingColumns=len(schemas) > 1),
@@ -1364,7 +1669,8 @@ class LakehouseCatalog:
         # single file index, so pruning/pushdown span all snapshots.
         # mergeSchema only when dirs actually differ — it costs extra
         # footer reads at planning time; don't pay it on the common path.
-        reader = self.spark.read.option("basePath", self._table_path(namespace, table))
+        paths = [p for d in read_dirs for p in paths_for(d)]
+        reader = self.spark.read.option("basePath", tpath)
         if len(schemas) > 1:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
@@ -1948,8 +2254,18 @@ class LakehouseCatalog:
         )
         snapshot_id = snap["snapshot_id"]
         read_dirs = list(snap["data_dirs"])
+        file_lists: dict[str, list[str]] | None = None
         if filters:
-            read_dirs = self.prune_preview(namespace, table, filters, snapshot_id)["kept"]
+            preview = self.prune_preview(namespace, table, filters, snapshot_id)
+            # file-granularity skipping: a kept dir with per-file stats
+            # reads only its surviving files; a dir whose every file is
+            # pruned drops out entirely
+            file_lists = {d: fl for d, fl in preview["kept_files"].items() if fl}
+            read_dirs = [
+                d
+                for d in preview["kept"]
+                if d not in preview["kept_files"] or preview["kept_files"][d]
+            ]
             if not read_dirs:
                 # every dir pruned: empty frame with the snapshot's schema
                 # (the CURRENT logical schema once DDL evolution exists)
@@ -1970,7 +2286,7 @@ class LakehouseCatalog:
                     empty, manifest, list(manifest.get("columns") or [])
                 )
                 return empty.select(*[c for c in cols if c in empty.columns])
-        df = self._read_dir_paths(namespace, table, read_dirs, manifest)
+        df = self._read_dir_paths(namespace, table, read_dirs, manifest, file_lists)
         # Schema-evolution DDL resolution (renames / drops / null-filled
         # adds) happens FIRST so user-facing filters and column ordering
         # see the CURRENT logical schema (Iceberg reads every snapshot

@@ -1,0 +1,154 @@
+"""Z-order clustered compaction (file-level data skipping) and per-dir
+Bloom filters (point-lookup skipping) — the two manifest-pruning tiers a
+100 TB scan relies on when min/max dir bounds alone can't prune
+(overlapping ranges, unordered high-cardinality keys)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+    LakehouseCatalog,
+    _bloom_probe_positions,
+)
+
+
+@pytest.fixture()
+def cat(spark, tmp_path):
+    return LakehouseCatalog(spark, str(tmp_path / "wh"), name="cld")
+
+
+def _two_dim_frame(spark, n=4000, seed_mod=9973):
+    # two independent pseudo-random dimensions: neither is correlated
+    # with insertion order, so per-dir bounds are useless before
+    # clustering (every dir spans ~the full range of both columns)
+    return spark.range(n).select(
+        F.col("id").alias("row_id"),
+        F.pmod(F.col("id") * 2654435761, F.lit(seed_mod)).alias("x"),
+        F.pmod(F.col("id") * 40503 + 17, F.lit(seed_mod)).alias("y"),
+    )
+
+
+def test_zorder_compact_skips_files_on_both_dimensions(spark, cat):
+    df = _two_dim_frame(spark)
+    cat.create_table("lake", "points", df.filter("row_id % 2 = 0"))
+    cat.append("lake", "points", df.filter("row_id % 2 = 1"))
+
+    before = cat.prune_preview("lake", "points", [("x", "<", 500)])
+    assert before["skipped"] == []  # bounds overlap: nothing dir-prunable
+
+    cat.compact("lake", "points", target_file_partitions=16, cluster_by=["x", "y"])
+    manifest = cat._read_manifest("lake", "points")
+    fstats = manifest["file_stats"]
+    assert len(fstats) == 1
+    files = next(iter(fstats.values()))
+    assert len(files) == 16
+    assert all(set(st) == {"x", "y"} for st in files.values())
+
+    # a narrow filter on EITHER clustered dimension skips most files
+    for col in ("x", "y"):
+        pv = cat.prune_preview("lake", "points", [(col, "<", 500)])
+        (d,) = pv["kept"]
+        assert len(pv["skipped_files"][d]) >= len(pv["kept_files"][d])
+
+    # correctness: file-pruned reads return exactly the full-scan answer
+    full = cat.load("lake", "points")
+    for filters in ([("x", "<", 500)], [("y", ">=", 9000)], [("x", "<", 500), ("y", ">", 2000)]):
+        got = sorted(cat.load("lake", "points", filters=filters).collect())
+        cond = " AND ".join(
+            f"{c} {'=' if op == '==' else op} {v}" for c, op, v in filters
+        )
+        want = sorted(full.filter(cond).collect())
+        assert got == want and got
+
+
+def test_zorder_all_files_pruned_returns_empty_with_schema(spark, cat):
+    cat.create_table("lake", "pts", _two_dim_frame(spark, n=500))
+    cat.compact("lake", "pts", target_file_partitions=4, cluster_by=["x"])
+    out = cat.load("lake", "pts", filters=[("x", ">", 10**9)])
+    assert out.count() == 0
+    assert out.columns == ["row_id", "x", "y"]
+
+
+def test_zorder_on_partitioned_table(spark, cat):
+    df = _two_dim_frame(spark, n=2000).withColumn(
+        "bucket", (F.col("row_id") % 4).cast("string")
+    )
+    cat.create_table("lake", "ppts", df, partition_by=["bucket"])
+    cat.compact("lake", "ppts", target_file_partitions=8, cluster_by=["x", "y"])
+    got = sorted(
+        cat.load("lake", "ppts", filters=[("x", "<", 300)]).collect()
+    )
+    want = sorted(df.filter("x < 300").collect())
+    assert got == want and got
+    pv = cat.prune_preview("lake", "ppts", [("x", "<", 300)])
+    (d,) = pv["kept"]
+    assert pv["skipped_files"][d]
+
+
+def test_bloom_skips_point_lookups_bounds_cannot(spark, cat):
+    # even/odd doc ids: every dir spans the full id range (bounds overlap
+    # completely) but each holds a disjoint value set — exactly the shape
+    # where only a Bloom filter can prune
+    ids = spark.range(3000).select((F.col("id") * 2).alias("doc_id"))
+    cat.create_table("lake", "docs", ids, bloom_filter_cols=["doc_id"])
+    cat.append("lake", "docs", ids.select((F.col("doc_id") + 1).alias("doc_id")))
+
+    manifest = cat._read_manifest("lake", "docs")
+    assert len(manifest["dir_blooms"]) == 2
+
+    hit = cat.prune_preview("lake", "docs", [("doc_id", "=", 1234)])
+    miss_dir = cat.prune_preview("lake", "docs", [("doc_id", "=", 1235)])
+    assert len(hit["kept"]) == 1 and len(hit["skipped"]) == 1
+    assert hit["kept"] != miss_dir["kept"]
+
+    absent = cat.prune_preview("lake", "docs", [("doc_id", "=", 99999)])
+    assert absent["kept"] == []  # value in-range for bounds, absent in both blooms
+    assert cat.load("lake", "docs", filters=[("doc_id", "=", 99999)]).count() == 0
+    assert cat.load("lake", "docs", filters=[("doc_id", "=", 1234)]).collect() == [
+        (1234,)
+    ]
+
+    # IN probe: survives iff ANY member might be present
+    pv = cat.prune_preview("lake", "docs", [("doc_id", "in", [1234, 99999])])
+    assert pv["kept"] == hit["kept"]
+    pv_empty = cat.prune_preview("lake", "docs", [("doc_id", "in", [])])
+    assert pv_empty["kept"] == []
+
+
+def test_bloom_has_no_false_negatives_and_survives_append_schema_gap(spark, cat):
+    vals = spark.range(1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("tag")
+    )
+    cat.create_table("lake", "kv", vals, bloom_filter_cols=["k", "tag"])
+    manifest = cat._read_manifest("lake", "kv")
+    # every present value must probe positive (no false negatives)
+    for probe in (0, 1, 499, 999):
+        assert cat.prune_preview("lake", "kv", [("k", "=", probe)])["kept"]
+        assert cat.prune_preview("lake", "kv", [("tag", "=", f"v{probe}")])["kept"]
+    # a dir written without the indexed column has no bloom entry for it
+    cat.append(
+        "lake", "kv", spark.range(5).select((F.col("id") + 5000).alias("k"))
+    )
+    manifest = cat._read_manifest("lake", "kv")
+    d2 = manifest["snapshots"][-1]["data_dirs"][-1]
+    assert "tag" not in manifest["dir_blooms"][d2]
+    # probing tag still sound: the new dir survives (no filter ⇒ keep)
+    pv = cat.prune_preview("lake", "kv", [("tag", "=", "v1")])
+    assert d2 in pv["kept"]
+
+
+def test_bloom_probe_positions_match_spark_md5(spark):
+    # the Python probe and the Spark write-side hash must agree bit-for-bit
+    rows = spark.range(50).select(
+        F.col("id").cast("string").alias("s"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h1"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        .alias("h2"),
+    ).collect()
+    for r in rows:
+        expect = [(r.h1 + i * r.h2) % 8192 for i in range(4)]
+        assert _bloom_probe_positions(int(r.s), 8192, 4) == expect
