@@ -193,6 +193,20 @@ def _zorder_value(buckets: list, bits: int):
     return z
 
 
+def _all_spec_fields(manifest: dict) -> list[dict]:
+    """Partition fields of the CURRENT spec plus every retired spec
+    (partition-spec evolution): reads must strip the derived ``_p_…``
+    columns of all eras, not just the current one."""
+    fields = parse_partition_spec(manifest["partition_by"])
+    seen = {f["field"] for f in fields}
+    for h in manifest.get("partition_specs", []):
+        for f in parse_partition_spec(h.get("spec", [])):
+            if f["field"] not in seen:
+                seen.add(f["field"])
+                fields.append(f)
+    return fields
+
+
 def _bloom_probe_positions(value, m: int, k: int) -> list[int]:
     """The ``k`` bit positions a value sets/probes, from ONE md5 via
     Kirsch-Mitzenmacher double hashing — computable identically in Spark
@@ -1291,6 +1305,44 @@ class LakehouseCatalog:
         out = self._update_manifest_cas(namespace, table, mutate)
         return {"columns": list(out["columns"])}
 
+    def alter_partition_spec(
+        self, namespace: str, table: str, partition_by: list[str]
+    ) -> dict:
+        """Partition-spec evolution (Iceberg ``ALTER TABLE … ADD/DROP
+        PARTITION FIELD``) — METADATA-ONLY: no existing data file is
+        rewritten.  Dirs written before the change keep their old
+        physical layout (each data dir is self-describing); commits from
+        now on use the new spec; reads union the eras, resolving layout
+        differences exactly like schema evolution.  Hidden-partition
+        predicate folding stays sound across eras: on a multi-spec table
+        the fold relaxes to ``field IS NULL OR field = …`` so rows from
+        dirs without the derived field pass through to the row-level
+        filter, while new-era hive dirs still prune.
+
+        At 100 TB this is the feature that lets a table move from daily
+        to hourly partitioning as it grows without a petabyte rewrite."""
+        parse_partition_spec(partition_by)  # validate before committing
+
+        def mutate(m):
+            if list(m.get("partition_by", [])) == list(partition_by):
+                return m
+            hist = list(m.get("partition_specs", []))
+            hist.append(
+                {
+                    "spec": list(m.get("partition_by", [])),
+                    "until_snapshot": len(m["snapshots"]),
+                }
+            )
+            m["partition_specs"] = hist
+            m["partition_by"] = list(partition_by)
+            return m
+
+        out = self._update_manifest_cas(namespace, table, mutate)
+        return {
+            "partition_by": list(out["partition_by"]),
+            "n_specs": len(out.get("partition_specs", [])) + 1,
+        }
+
     def _apply_schema_evolution(self, df: DataFrame, manifest: dict, cols: list[str]):
         """Read-time schema resolution: renames (coalescing when files
         from both eras are in the scan), drops, and null-filled added
@@ -1429,11 +1481,19 @@ class LakehouseCatalog:
             ]
             schema = "made_current_at double, snapshot_id int, is_current boolean"
         elif kind == "partitions":
-            rows = [
-                (f["field"], f["transform"], f["col"], f["param"])
-                for f in parse_partition_spec(manifest["partition_by"])
+            specs = [
+                *[h.get("spec", []) for h in manifest.get("partition_specs", [])],
+                manifest["partition_by"],
             ]
-            schema = "field string, transform string, source_column string, param int"
+            rows = [
+                (i, f["field"], f["transform"], f["col"], f["param"], i == len(specs) - 1)
+                for i, spec in enumerate(specs)
+                for f in parse_partition_spec(spec)
+            ]
+            schema = (
+                "spec_id int, field string, transform string, "
+                "source_column string, param int, is_current boolean"
+            )
         elif kind == "refs":
             refs = manifest.get("refs", {})
             main = next(
@@ -1646,7 +1706,12 @@ class LakehouseCatalog:
 
         dir_cols = manifest.get("dir_columns", {})
         schemas = {tuple(dir_cols[d]) for d in read_dirs if d in dir_cols}
-        if manifest["partition_by"] and (len(read_dirs) > 1 or file_lists):
+        # partition-spec evolution: dirs written under a RETIRED non-empty
+        # spec still have hive layout even when the current spec is empty
+        partitioned_any = bool(manifest["partition_by"]) or any(
+            h.get("spec") for h in manifest.get("partition_specs", [])
+        )
+        if partitioned_any and (len(read_dirs) > 1 or file_lists):
             # Hive-partitioned dirs can't share one basePath across
             # multiple snapshot roots (Spark's partition discovery rejects
             # the non-partition data-dir level: CONFLICTING_DIRECTORY_
@@ -1661,8 +1726,11 @@ class LakehouseCatalog:
                 ).parquet(*paths_for(d))
                 for d in read_dirs
             ]
+            # spec evolution also makes physical frames differ (derived
+            # `_p_…` columns exist only in their own era's dirs)
+            allow_missing = len(schemas) > 1 or bool(manifest.get("partition_specs"))
             return reduce(
-                lambda a, b: a.unionByName(b, allowMissingColumns=len(schemas) > 1),
+                lambda a, b: a.unionByName(b, allowMissingColumns=allow_missing),
                 parts,
             )
         # One multi-path read (not a unionAll chain): Spark builds a
@@ -1686,8 +1754,11 @@ class LakehouseCatalog:
         df = self._apply_schema_evolution(
             df, manifest, list(manifest.get("columns") or [])
         )
-        spec_fields = parse_partition_spec(manifest["partition_by"])
-        derived_names = {f["field"] for f in spec_fields if f["transform"] != "identity"}
+        derived_names = {
+            f["field"]
+            for f in _all_spec_fields(manifest)
+            if f["transform"] != "identity"
+        }
         cols = list(manifest.get("columns") or [])
         ordered = [c for c in cols if c in df.columns]
         extras = [
@@ -2308,6 +2379,11 @@ class LakehouseCatalog:
         # coarse <= / >=); bucket is hash-based, so only = / IN prune.
         spec_fields = parse_partition_spec(manifest["partition_by"])
         derived = {f["col"]: f for f in spec_fields if f["transform"] != "identity"}
+        # multi-spec table (partition evolution): dirs from other eras
+        # carry NULL in this era's derived field after the union — the
+        # fold must let those rows through (the row-level filter below
+        # still applies), while new-era hive dirs prune as usual
+        multi_spec = bool(manifest.get("partition_specs"))
         for col, op, val in filters or []:
             fld = derived.get(col)
             if fld is None or fld["field"] not in df.columns:
@@ -2326,27 +2402,36 @@ class LakehouseCatalog:
 
             field = F.col(fld["field"])
             mono = fld["transform"] in _MONOTONE_TRANSFORMS
+
+            def fold(cond):
+                return (field.isNull() | cond) if multi_spec else cond
+
             if op in ("=", "=="):
-                df = df.filter(field == tv(val))
+                df = df.filter(fold(field == tv(val)))
             elif op == "in":
                 from functools import reduce as _reduce
 
                 if val:
                     df = df.filter(
-                        _reduce(lambda a, b: a | b, [field == tv(v) for v in val])
+                        fold(_reduce(lambda a, b: a | b, [field == tv(v) for v in val]))
                     )
-                else:
+                elif not multi_spec:
                     # empty IN list prunes everything, matching the
                     # row-level isin([]) path below
                     df = df.filter(F.lit(False))
             elif mono and op in ("<", "<="):
-                df = df.filter(field <= tv(val))
+                df = df.filter(fold(field <= tv(val)))
             elif mono and op in (">", ">="):
-                df = df.filter(field >= tv(val))
+                df = df.filter(fold(field >= tv(val)))
         # partitionBy moves partition columns to the end on read; restore
         # the snapshot's declared column order and strip derived partition
-        # fields (hidden partitioning: they never reach the user).
-        derived_names = {f["field"] for f in derived.values()}
+        # fields of EVERY spec era (hidden partitioning: they never reach
+        # the user).
+        derived_names = {
+            f["field"]
+            for f in _all_spec_fields(manifest)
+            if f["transform"] != "identity"
+        }
         cols = (
             list(manifest.get("columns") or [])
             if evolved_ddl
