@@ -1,0 +1,124 @@
+"""Text extraction for raw web-ish corpora: HTML → clean text and
+template/boilerplate detection.
+
+The reference corpus (`/root/reference/scripts/03_load_iceberg_aws.py`
+documents table loads) assumes pre-cleaned text; a real 100 TB training
+pipeline starts one step earlier, at markup-laden crawl output.  Both
+operators here are pure built-in column expressions (regexp_replace /
+array ops) — zero Python in the row path, fully inside whole-stage
+codegen, and narrow until the single aggregation each needs.
+
+Regex dialect note: every pattern is written in the RE2-compatible
+subset (no backreferences, no lookaround) so the DuckDB oracle runs the
+byte-identical expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: decode order: named entities first, ``&amp;`` LAST — the standard
+#: single-pass decode (``&amp;lt;`` → ``&lt;`` as text, not ``<``).
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Strip HTML to whitespace-normalized text: drop script/style/comment
+    blocks (content included), drop tags, decode the common entities,
+    collapse whitespace.  A deterministic, heuristic extractor — the
+    trafilatura/jusText role in a pipeline, expressed as five
+    ``regexp_replace`` passes that Catalyst fuses into one projection."""
+    s = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES:
+        s = F.regexp_replace(s, ent, ch)
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+def html_extract(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document extraction record: cleaned text plus audit counts
+    (markup size, tags and entities removed) — the columns a crawl-
+    ingest job persists so downstream quality filters can gate on
+    markup density."""
+    html = F.col(html_col)
+    clean = html_to_text(html)
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.length(html).alias("html_chars"),
+        F.length(clean).alias("text_chars"),
+        F.regexp_count(html, F.lit(r"<[^>]*>")).alias("n_tags"),
+        F.regexp_count(html, F.lit(r"&(amp|lt|gt|quot|nbsp|#39);")).alias(
+            "n_entities"
+        ),
+    )
+
+
+def boilerplate_share(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Template/boilerplate detection (the CCNet shared-line idea lifted
+    to word ``n``-grams, since crawl 'lines' don't survive text
+    normalization): an n-gram is boilerplate within a source when it
+    appears in at least ``min_docs`` distinct documents of that source;
+    each document reports what fraction of its distinct n-grams are
+    boilerplate — headers, navigation, legal footers score high.
+
+    Scale: grams are deduped ROW-LOCALLY (``array_distinct`` before the
+    explode, so count(*) per (source, gram) IS the distinct-doc count —
+    no countDistinct expand), then ONE shuffle on (source, gram) serves
+    both the frequency count and the join back to grams (AQE reuses the
+    partitioning); the final doc rollup is O(docs)."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+    ).alias("_toks")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("_toks"), i + j) for j in range(n)]
+            ),
+        )
+    )
+    grams = (
+        docs.select(id_col, group_col, toks)
+        .filter(F.size("_toks") >= n)
+        .select(id_col, group_col, F.explode(grams_arr).alias("gram"))
+    )
+    counts = grams.groupBy(group_col, "gram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    ratio = F.col("n_boiler").cast("double") / F.col("n_grams")
+    return (
+        grams.join(counts, [group_col, "gram"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_grams",
+            "n_boiler",
+            ratio.alias("boiler_ratio"),
+            (ratio >= 0.5).alias("is_templated"),
+        )
+    )

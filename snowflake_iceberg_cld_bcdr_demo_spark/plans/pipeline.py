@@ -1458,3 +1458,124 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# -- text extraction (operators/extract.py) -----------------------------
+
+#: deterministic markup wrap applied IDENTICALLY on both engines, so the
+#: extractor runs over real tag/entity/script structure with a byte-exact
+#: oracle (the testdata documents ship pre-cleaned text)
+_WRAP_HEAD = '<html><head><title>Doc '
+_WRAP_MID = (
+    '</title><style>h1 {color: red;}</style></head><body><h1>Doc '
+)
+_WRAP_P = '</h1><p class="main">'
+_WRAP_TAIL = (
+    ' &amp; more &lt;tags&gt; &nbsp;&quot;quoted&quot;</p>'
+    '<script type="text/javascript">var x = 1 < 2;</script>'
+    '<!-- hidden comment --></body></html>'
+)
+
+_STRIP_SQL = (
+    "trim(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace("
+    "html"
+    ", '(?is)<script[^>]*>.*?</script>', ' ', 'g')"
+    ", '(?is)<style[^>]*>.*?</style>', ' ', 'g')"
+    ", '(?s)<!--.*?-->', ' ', 'g')"
+    ", '<[^>]*>', ' ', 'g')"
+    ", '&lt;', '<', 'g')"
+    ", '&gt;', '>', 'g')"
+    ", '&quot;', '\"', 'g')"
+    ", '&#39;', '''', 'g')"
+    ", '&nbsp;', ' ', 'g')"
+    ", '&amp;', '&', 'g')"
+    ", '\\s+', ' ', 'g'))"
+)
+
+
+@_spec(
+    "html_extract_stats",
+    f"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               '{_WRAP_HEAD}' || CAST(doc_id AS VARCHAR)
+               || '{_WRAP_MID}' || CAST(doc_id AS VARCHAR)
+               || '{_WRAP_P}' || text || '{_WRAP_TAIL}' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           {_STRIP_SQL} AS clean_text,
+           length(html) AS html_chars,
+           length({_STRIP_SQL}) AS text_chars,
+           len(regexp_extract_all(html, '<[^>]*>')) AS n_tags,
+           len(regexp_extract_all(html, '&(amp|lt|gt|quot|nbsp|#39);'))
+               AS n_entities
+    FROM wrapped
+    """,
+)
+def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over markup-wrapped documents: script/style/
+    comment blocks dropped with their content, tags stripped, entities
+    decoded, whitespace collapsed — plus the audit counts an ingest job
+    persists.  The oracle hash covers the FULL cleaned strings, so the
+    extractor's regex semantics are verified byte-for-byte.
+
+    Scale: five regexp passes fused into one narrow projection (zero
+    shuffles, whole-stage codegen); at 100 TB this is scan-bound."""
+    from ..operators import extract
+
+    docs = table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_WRAP_HEAD), sid, F.lit(_WRAP_MID), sid,
+            F.lit(_WRAP_P), F.col("text"), F.lit(_WRAP_TAIL),
+        ).alias("html"),
+    )
+    return extract.html_extract(wrapped, html_col="html")
+
+
+@_spec(
+    "boilerplate_ngram_share",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, source,
+               unnest(list_transform(range(1, len(t) - 3),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3] || ' ' || t[i+4])) AS gram
+        FROM toks WHERE len(t) >= 5
+    ),
+    c AS (SELECT source, gram, count(*) AS n_docs FROM g GROUP BY source, gram)
+    SELECT g.doc_id, g.source,
+           count(*) AS n_grams,
+           sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS boiler_ratio,
+           (CAST(sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*)) >= 0.5 AS is_templated
+    FROM g JOIN c USING (source, gram)
+    GROUP BY g.doc_id, g.source
+    """,
+)
+def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate share: the fraction of a doc's distinct
+    word 5-grams appearing in >= 3 documents of the same source (CCNet's
+    shared-line template detection lifted to n-grams).  Navigation,
+    headers, and legal footers make this ratio spike.
+
+    Scale: row-local gram dedup (no distinct shuffle); ONE (source, gram)
+    shuffle serves both the frequency count and the join back; final
+    rollup is O(docs)."""
+    from ..operators import extract
+
+    return extract.boilerplate_share(
+        table(spark, sf_dir, "documents"), n=5, min_docs=3
+    )

@@ -1,0 +1,69 @@
+"""Unit tests for operators/extract.py (HTML → text, boilerplate
+detection) — the oracle queries cover parity; these cover semantics."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import extract
+
+
+def test_html_to_text_semantics(spark):
+    cases = [
+        # script/style content (incl. stray '<') dropped entirely
+        ("<p>a</p><script>if (1 < 2) alert('x')</script>b", "a b"),
+        ("<style>p {color: red}</style><b>bold</b>", "bold"),
+        ("<!-- note -->keep", "keep"),
+        # single-pass entity decode: &amp;lt; is the TEXT "&lt;", not "<"
+        ("x &amp;lt; y", "x &lt; y"),
+        ("&lt;tag&gt; &quot;q&quot; &#39;a&#39;&nbsp;z", "<tag> \"q\" 'a' z"),
+        ("  <br/>  spaced   <hr>  ", "spaced"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(cases, "html string, want string")
+    out = df.select("want", extract.html_to_text(F.col("html")).alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
+
+
+def test_html_extract_counts(spark):
+    df = spark.createDataFrame(
+        [(1, '<p class="x">hi &amp; bye</p>')], "doc_id long, html string"
+    )
+    row = extract.html_extract(df).collect()[0]
+    assert row.clean_text == "hi & bye"
+    assert row.n_tags == 2 and row.n_entities == 1
+    assert row.html_chars == len('<p class="x">hi &amp; bye</p>')
+    assert row.text_chars == len("hi & bye")
+
+
+def test_boilerplate_share_flags_templated_docs(spark):
+    header = "terms of service apply to all users"
+    uniq = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "one two three four five six seven eight",
+        "red green blue cyan magenta yellow black white",
+    ]
+    rows = [(i, f"{header} {u}", "web") for i, u in enumerate(uniq)]
+    rows.append((99, "totally unrelated text with many distinct words here", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in extract.boilerplate_share(docs, n=5, min_docs=3).collect()}
+    # the header's 3 five-grams appear in 3 docs -> boilerplate for 0..2
+    for i in range(3):
+        assert out[i].n_boiler == 3 and out[i].n_grams > 3
+        assert not out[i].is_templated  # unique tail keeps ratio < 0.5
+    assert out[99].n_boiler == 0 and not out[99].is_templated
+    # a doc that is ONLY the shared header is fully templated
+    docs2 = docs.unionByName(
+        spark.createDataFrame([(100, header, "web")], "doc_id long, text string, source string")
+    )
+    out2 = {r.doc_id: r for r in extract.boilerplate_share(docs2, n=5, min_docs=3).collect()}
+    assert out2[100].boiler_ratio == 1.0 and out2[100].is_templated
+
+
+def test_boilerplate_share_scoped_per_source(spark):
+    text = "shared header line for the source pages here"
+    rows = [(1, text, "a"), (2, text, "a"), (3, text, "a"), (4, text, "b")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in extract.boilerplate_share(docs, n=5, min_docs=3).collect()}
+    assert out[1].is_templated and out[3].is_templated
+    assert not out[4].is_templated  # only 1 doc in source b
