@@ -634,7 +634,15 @@ class LakehouseCatalog:
             else:
                 continue  # arrays/maps/structs/binary/boolean: no bounds
             kinds[name] = kind
-            exprs += [lo.alias(f"lo__{name}"), hi.alias(f"hi__{name}")]
+            exprs += [
+                lo.alias(f"lo__{name}"),
+                hi.alias(f"hi__{name}"),
+                # null count makes bounds usable for PROOFS OF FULL MATCH
+                # (metadata-only aggregates): [lo, hi] describes only the
+                # non-null rows, so "every row satisfies col >= v" needs
+                # nulls == 0 on top of lo >= v
+                F.sum(c.isNull().cast("long")).alias(f"nulls__{name}"),
+            ]
         return exprs, kinds
 
     @staticmethod
@@ -656,7 +664,11 @@ class LakehouseCatalog:
             elif dtypes.get(name, "").startswith("decimal"):
                 lo = math.nextafter(float(lo), -math.inf)
                 hi = math.nextafter(float(hi), math.inf)
-            stats[name] = [lo, hi]
+            entry = [lo, hi]
+            nulls = metrics.get(f"nulls__{name}")
+            if nulls is not None:
+                entry.append(int(nulls))
+            stats[name] = entry
         return stats
 
     @staticmethod
@@ -1543,7 +1555,7 @@ class LakehouseCatalog:
         satisfy ``col op value`` — missing stats always survive (sound)."""
         if col not in stats:
             return True
-        lo, hi = stats[col]
+        lo, hi = stats[col][:2]
         vals = [cls._norm_filter_value(x) for x in value] if op == "in" else [
             cls._norm_filter_value(value)
         ]
@@ -1612,6 +1624,89 @@ class LakehouseCatalog:
             "kept_files": kept_files,
             "skipped_files": skipped_files,
         }
+
+    @classmethod
+    def _dir_full_match(cls, stats: dict, col: str, op: str, value) -> bool:
+        """True only when the dir's bounds PROVE every row satisfies
+        ``col op value`` — the dual of :meth:`_dir_survives`, used for
+        metadata-only aggregates.  Requires a recorded null count of zero
+        (bounds describe only non-null rows); entries without one (written
+        before null tracking) can never prove a full match — sound.
+        String-truncated bounds stay sound: the stored lower is a prefix
+        (<= true min) and the stored upper is bumped (>= true max), so
+        ``lo >= v`` / ``hi <= v`` comparisons only under-claim."""
+        entry = stats.get(col)
+        if not entry or len(entry) < 3 or entry[2] != 0:
+            return False
+        lo, hi = entry[:2]
+        vals = (
+            [cls._norm_filter_value(x) for x in value]
+            if op == "in"
+            else [cls._norm_filter_value(value)]
+        )
+        str_bounds = isinstance(lo, str)
+        if any(isinstance(v, str) != str_bounds for v in vals):
+            return False
+        if op in ("=", "=="):
+            return lo == hi == vals[0]
+        if op == "in":
+            return lo == hi and lo in vals
+        v = vals[0]
+        return {">=": lo >= v, ">": lo > v, "<=": hi <= v, "<": hi < v}[op]
+
+    def count_where(
+        self,
+        namespace: str,
+        table: str,
+        filters: list[tuple] | None = None,
+        snapshot_id: int | None = None,
+    ) -> dict:
+        """Metadata-accelerated ``COUNT(*) WHERE …`` (Iceberg's
+        aggregate-pushdown-to-manifest): each visible dir is classified as
+        *no-match* (pruned — contributes 0), *full-match* (bounds prove
+        every row qualifies — contributes its manifest row count, NO
+        scan), or *boundary* (scanned with the residual filter).  On a
+        range predicate over sorted/partitioned data only the two edge
+        dirs are read; at 100 TB that's the difference between a count
+        answered in milliseconds from metadata and a full scan.
+
+        Returns ``{"count", "metadata_dirs", "scanned_dirs"}``.  Tables
+        with outstanding merge-on-read deletes fall back to a full
+        filtered scan (delete applications are row-level)."""
+        manifest = self._read_manifest(namespace, table)
+        snap = self._resolve_snapshot(manifest, namespace, table, snapshot_id)
+        filters = list(filters or [])
+        if snap.get("delete_dirs"):
+            n = self.load(
+                namespace, table, snapshot_id=snap["snapshot_id"], filters=filters
+            ).count()
+            return {
+                "count": n, "metadata_dirs": [],
+                "scanned_dirs": list(snap["data_dirs"]),
+            }
+        if not filters:
+            return {
+                "count": snap["row_count"],
+                "metadata_dirs": list(snap["data_dirs"]),
+                "scanned_dirs": [],
+            }
+        dir_stats = manifest.get("dir_stats", {})
+        dir_rows = manifest.get("dir_rows", {})
+        preview = self.prune_preview(namespace, table, filters, snap["snapshot_id"])
+        meta_dirs, scan_dirs, total = [], [], 0
+        for d in preview["kept"]:
+            if d in dir_rows and all(
+                self._dir_full_match(dir_stats.get(d, {}), c, op, v)
+                for c, op, v in filters
+            ):
+                meta_dirs.append(d)
+                total += dir_rows[d]
+            else:
+                scan_dirs.append(d)
+        if scan_dirs:
+            df = self._read_dirs_clean(namespace, table, scan_dirs, manifest)
+            total += df.filter(self._filters_to_column(filters)).count()
+        return {"count": total, "metadata_dirs": meta_dirs, "scanned_dirs": scan_dirs}
 
     @staticmethod
     def _bloom_survives(dir_blooms: dict, bcfg: dict, filters: list[tuple]) -> bool:

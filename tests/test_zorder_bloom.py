@@ -152,3 +152,47 @@ def test_bloom_probe_positions_match_spark_md5(spark):
     for r in rows:
         expect = [(r.h1 + i * r.h2) % 8192 for i in range(4)]
         assert _bloom_probe_positions(int(r.s), 8192, 4) == expect
+
+
+def test_count_where_metadata_only(spark, cat):
+    """Range counts over range-partitioned appends: interior dirs are
+    answered from the manifest, only boundary dirs scan."""
+    for start in (0, 100, 200, 300):
+        df = spark.range(start, start + 100).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        if start == 0:
+            cat.create_table("lake", "cnt", df)
+        else:
+            cat.append("lake", "cnt", df)
+
+    out = cat.count_where("lake", "cnt", [("id", ">=", 150)])
+    assert out["count"] == 250
+    # dirs [200,300) and [300,400) are proven full matches; [100,200) is
+    # the boundary scan; [0,100) is pruned outright
+    assert len(out["metadata_dirs"]) == 2 and len(out["scanned_dirs"]) == 1
+
+    assert cat.count_where("lake", "cnt", [])["scanned_dirs"] == []
+    assert cat.count_where("lake", "cnt", [])["count"] == 400
+    assert cat.count_where("lake", "cnt", [("id", "<", 0)])["count"] == 0
+    eq = cat.count_where("lake", "cnt", [("id", "=", 250)])
+    assert eq["count"] == 1 and len(eq["scanned_dirs"]) == 1
+
+    # null rows break full-match proofs but never correctness
+    withnull = spark.createDataFrame(
+        [(None, 1), (500, 1)], "id long, v long"
+    )
+    cat.append("lake", "cnt", withnull)
+    out2 = cat.count_where("lake", "cnt", [("id", ">=", 150)])
+    assert out2["count"] == 251
+
+
+def test_count_where_mor_deletes_fall_back(spark, cat):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    cat.create_table("lake", "morc", df)
+    cat.delete_where_mor("lake", "morc", [("v", "=", 0)])
+    out = cat.count_where("lake", "morc", [("id", "<", 50)])
+    assert out["metadata_dirs"] == []
+    assert out["count"] == spark.createDataFrame(
+        [r for r in df.collect() if r.v != 0 and r.id < 50]
+    ).count()
