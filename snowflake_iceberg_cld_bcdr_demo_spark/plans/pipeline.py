@@ -1579,3 +1579,78 @@ def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.boilerplate_share(
         table(spark, sf_dir, "documents"), n=5, min_docs=3
     )
+
+
+@_spec(
+    "resample_linear_daily",
+    """
+    WITH obs AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n
+        FROM orders
+        WHERE day(CAST(o_orderdate AS DATE)) IN (1, 11, 21)
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-07-01'
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT priority, min(day) AS t0, max(day) AS t1 FROM obs GROUP BY 1),
+    spine AS (
+        SELECT priority,
+               CAST(unnest(generate_series(t0, t1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM bounds
+    ),
+    j AS (
+        SELECT s.priority, s.day, o.n,
+               last_value(o.n IGNORE NULLS) OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN o.n IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               first_value(o.n IGNORE NULLS) OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN o.n IS NOT NULL THEN s.day END IGNORE NULLS) OVER
+                   (PARTITION BY s.priority ORDER BY s.day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM spine s LEFT JOIN obs o USING (priority, day)
+    )
+    SELECT priority, day, n AS observed,
+           CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                WHEN pt IS NULL THEN CAST(nv AS DOUBLE)
+                WHEN nt IS NULL THEN CAST(pv AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                       * (CAST(datediff('day', pt, day) AS DOUBLE)
+                          / CAST(datediff('day', pt, nt) AS DOUBLE))
+           END AS filled,
+           (n IS NULL) AS imputed
+    FROM j
+    """,
+)
+def resample_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse → dense time-series regularization: per-priority order
+    counts observed only on the 1st/11th/21st are resampled onto the full
+    daily calendar with linear interpolation (`operators/timeseries.py`).
+    The oracle replays the identical window formulation, so the
+    interpolation arithmetic is verified bit-for-bit.
+
+    Scale: spine generated per group from its own range, one group-hash
+    shuffle serves the join and both imputation windows."""
+    from ..operators import timeseries
+
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-07-01")
+    )
+    obs = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .filter(F.dayofmonth("day").isin(1, 11, 21))
+        .groupBy("priority", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return timeseries.resample(
+        obs, ts_col="day", value_col="n", group_cols=["priority"], method="linear"
+    )
