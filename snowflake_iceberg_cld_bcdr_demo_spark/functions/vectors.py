@@ -28,3 +28,14 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-scale a vector (zero vectors pass through unchanged).  On unit
+    vectors squared-L2 and cosine rank identically (||a-b||² = 2 − 2cosθ),
+    which is what lets L2-trained quantizers (PQ/IVF) serve cosine
+    retrieval."""
+    n = norm(a)
+    return F.when(n == 0, a).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )

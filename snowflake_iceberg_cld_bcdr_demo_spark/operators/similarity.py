@@ -399,3 +399,171 @@ def kmeans_centroids(
         centroids = new_c
         history.append(round(inertia, 6))
     return centroids, history
+
+
+# -- product quantization (the 100 TB embedding-store compression) -------
+
+def _l2_argmin(sub_col, codewords: list[list[float]]):
+    """Index of the nearest codeword to ``sub_col`` by squared L2 —
+    ``array_min`` over (dist, idx) structs, pure Catalyst (ties break to
+    the lowest index via struct ordering)."""
+    cands = []
+    for i, c in enumerate(codewords):
+        cvec = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(sub_col, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cands.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
+    return F.array_min(F.array(*cands))["idx"]
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split the D-dim space into
+    ``m`` subspaces and run L2 Lloyd iterations per subspace (init = the
+    k lowest seeded-md5-hash sub-vectors, so the model is deterministic
+    under any partitioning).  Returns ``m`` codebooks of ``k`` codewords.
+
+    Scale: each iteration is one narrow assignment map (codeword
+    literals in the plan) plus ONE (code, dim) map-side-combined shuffle
+    reducing to k×(D/m) partial means — the classic distributed PQ
+    trainer.  The model is m×k×(D/m) = D×k floats total, driver-trivial.
+    """
+    first = emb.select(vec_col).first()
+    dim = len(first[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    codebooks = []
+    for j in range(m):
+        sv = emb.select(
+            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
+        )
+        rows = (
+            sv.orderBy(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(f"{seed}:{j}"), F.col(id_col).cast("string")
+                    )
+                )
+            )
+            .limit(k)
+            .select("_sv")
+            .collect()
+        )
+        cents = [[float(x) for x in r[0]] for r in rows]
+        for _ in range(iters):
+            stats = (
+                sv.withColumn("_code", _l2_argmin(F.col("_sv"), cents))
+                .select("_code", F.posexplode("_sv").alias("dim", "v"))
+                .groupBy("_code", "dim")
+                .agg(F.avg("v").alias("mean_v"))
+                .collect()
+            )
+            new_c = [list(c) for c in cents]  # emptied codes keep position
+            for r in stats:
+                new_c[r._code][r.dim] = float(r.mean_v)
+            cents = new_c
+        codebooks.append(cents)
+    return codebooks
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` codeword indices (m bytes at k<=256 —
+    a 64-dim float32 embedding compresses 32× at m=8/k=16).  Pure
+    Catalyst: per-subspace argmin over literal codewords, zero shuffles.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = F.array(
+        *[
+            _l2_argmin(F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    keep = [c for c in emb.columns if c != vec_col]
+    return emb.select(*keep, codes.alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): the
+    query stays full-precision, every corpus vector is its PQ code, and
+    the distance is a per-subspace table lookup.
+
+    Scale: the m×k lookup table is computed driver-side from the 1-row
+    query and baked into the plan as a literal array; scoring is ONE
+    ``element_at`` sum over the codes array per row (no vector math on
+    the corpus side at all — this is why PQ serves billion-vector
+    stores), then TakeOrderedAndProject.  Ranking is ascending ADC
+    distance; ties break by id.
+
+    ``rerank > k`` adds the standard refine stage (FAISS
+    ``IndexRefineFlat``): the ADC shortlist of that size is joined back
+    to the full-precision vectors (a broadcast of ``rerank`` ids) and
+    re-scored with exact cosine — recall approaches the shortlist's
+    coverage while the corpus-wide scan still never touches a float.
+    Output schema gains ``cosine_sim`` in that mode."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if q is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    qv = [float(x) for x in q[0]]
+    lut: list[float] = []
+    for j in range(m):
+        qs = qv[j * sub : (j + 1) * sub]
+        for c in codebooks[j]:
+            lut.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
+    lut_lit = F.array(*[F.lit(v) for v in lut])
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(lut_lit, F.element_at(F.col("codes"), j + 1) + j * kk + 1),
+    )
+    shortlist = (
+        encoded.filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), F.col("label"), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if rerank <= k:
+        return shortlist.limit(k)
+    qvec = F.array(*[F.lit(x) for x in qv])
+    return (
+        emb.join(
+            F.broadcast(shortlist.select(id_col, "adc_dist")), id_col
+        )
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qvec).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )

@@ -1654,3 +1654,24 @@ def resample_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.resample(
         obs, ts_col="day", value_col="n", group_cols=["priority"], method="linear"
     )
+
+
+@_spec("ann_pq_topk", None)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 by asymmetric distance (ADC):
+    corpus vectors are m=8 codeword indices, the query's m×k lookup
+    table is a plan literal, and scoring is a pure table-lookup sum —
+    no vector math touches the corpus at query time; a 100-wide ADC
+    shortlist is then reranked with exact cosine (the FAISS refine
+    pattern).  Approximate; recall vs the brute-force baseline is
+    asserted in tests, no SQL oracle."""
+    from ..functions.vectors import l2_normalize
+
+    emb = table(spark, sf_dir, "embeddings")
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    )
+    books = similarity.pq_train(unit, m=8, k=16, iters=2)
+    return similarity.pq_topk(
+        unit, query_vec_id=0, codebooks=books, k=10, rerank=100
+    )

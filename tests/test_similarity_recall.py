@@ -96,3 +96,52 @@ def test_kmeans_deterministic_and_monotone(spark):
     sample = S.sample_centroids(emb, k=4)
     _, h_sample = S.kmeans_centroids(emb, k=4, iters=1)
     assert h1[-1] <= h_sample[0] + 1e-6
+
+
+def test_pq_encode_roundtrip_and_determinism(spark, emb):
+    books = similarity.pq_train(emb, m=8, k=8, iters=2)
+    assert len(books) == 8 and all(len(b) == 8 and len(b[0]) == 8 for b in books)
+    # deterministic across retrains (seeded init + exact means)
+    books2 = similarity.pq_train(emb, m=8, k=8, iters=2)
+    assert books == books2
+    codes = similarity.pq_encode(emb, books).select("codes").collect()
+    assert all(0 <= c < 8 for r in codes for c in r.codes)
+    assert all(len(r.codes) == 8 for r in codes)
+
+
+def test_pq_topk_recall_vs_exact(spark, emb, exact_top10):
+    # L2-normalize so ADC's L2 ranking serves the cosine contract
+    # (||a-b||^2 = 2 - 2cos on unit vectors); cosine itself is
+    # scale-invariant, so the exact baseline is unchanged
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    )
+    books = similarity.pq_train(unit, m=8, k=16, iters=2)
+    exact = set(exact_top10)
+    approx = {
+        r.vec_id
+        for r in similarity.pq_topk(unit, query_vec_id=0, codebooks=books, k=10).collect()
+    }
+    assert len(approx) == 10
+    # pure ADC on 32x-compressed codes of near-random vectors: weak but
+    # nontrivial (the sf0.001 corpus has razor-thin similarity margins)
+    assert len(exact & approx) >= 1, (exact, approx)
+    # the production shape — ADC shortlist + exact rerank (FAISS refine):
+    # recall tracks shortlist coverage
+    rr = {
+        r.vec_id
+        for r in similarity.pq_topk(
+            unit, query_vec_id=0, codebooks=books, k=10, rerank=100
+        ).collect()
+    }
+    assert len(rr) == 10
+    assert len(exact & rr) >= 6, (exact, rr)
+
+
+def test_pq_train_rejects_indivisible_dim(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=7)
