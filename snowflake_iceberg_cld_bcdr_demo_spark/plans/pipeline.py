@@ -1670,8 +1670,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     unit = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
-    )
-    books = similarity.pq_train(unit, m=8, k=16, iters=2)
+    ).persist()
+    # one Lloyd pass here: the registry entry exercises the plumbing at
+    # driver cadence; tests train deeper and assert recall
+    books = similarity.pq_train(unit, m=8, k=16, iters=1)
     return similarity.pq_topk(
         unit, query_vec_id=0, codebooks=books, k=10, rerank=100
     )
