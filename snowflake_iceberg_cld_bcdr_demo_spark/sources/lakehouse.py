@@ -360,6 +360,7 @@ class LakehouseCatalog:
         bloom_filter_cols: list[str] | None = None,
         bloom_m: int = 8192,
         bloom_k: int = 4,
+        write_distribution: str | None = None,
     ) -> Snapshot:
         """Create (or replace with ``mode='overwrite'``) a table from a
         DataFrame — the S5 `CREATE TABLE … USING iceberg PARTITIONED BY`
@@ -372,7 +373,13 @@ class LakehouseCatalog:
         dirs the filter proves cannot contain the probe value — the
         point-lookup complement to min/max bounds, which cannot prune
         when dirs have overlapping value ranges (e.g. unordered
-        high-cardinality ids)."""
+        high-cardinality ids).
+
+        ``write_distribution='hash'`` (Iceberg
+        ``write.distribution-mode``) shuffles each commit's rows onto
+        their partition values before the write, so P partitions get P
+        files instead of writer-tasks × P — the small-file guard for
+        wide clusters writing many-partition tables."""
         if self.table_exists(namespace, table):
             if mode == "error":
                 raise FileExistsError(f"{namespace}.{table} exists")
@@ -393,6 +400,13 @@ class LakehouseCatalog:
             "dir_columns": {},
             "snapshots": [],
         }
+        if write_distribution is not None:
+            if write_distribution not in ("hash",):
+                raise ValueError(
+                    f"unknown write_distribution {write_distribution!r} "
+                    "(supported: 'hash')"
+                )
+            manifest["write_distribution"] = write_distribution
         if bloom_filter_cols:
             bad = [
                 c
@@ -728,6 +742,13 @@ class LakehouseCatalog:
                     ),
                 )
                 pcols.append(fld["field"])
+        if pcols and manifest.get("write_distribution") == "hash":
+            # Iceberg write.distribution-mode=hash: co-locate each
+            # partition value into one task before the write, so a
+            # P-partition commit from W writer tasks produces P files,
+            # not W×P small files — THE small-file guard at 100 TB
+            # (one extra hash shuffle per commit, bought deliberately).
+            observed = observed.repartition(*[F.col(c) for c in pcols])
         writer = observed.write.mode("overwrite")
         if pcols:
             writer = writer.partitionBy(*pcols)

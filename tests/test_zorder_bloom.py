@@ -196,3 +196,29 @@ def test_count_where_mor_deletes_fall_back(spark, cat):
     assert out["count"] == spark.createDataFrame(
         [r for r in df.collect() if r.v != 0 and r.id < 50]
     ).count()
+
+
+def test_write_distribution_hash_yields_one_file_per_partition(spark, cat):
+    df = spark.range(0, 3000, 1, 8).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("pkey")
+    )
+    cat.create_table(
+        "lake", "dist", df, partition_by=["pkey"], write_distribution="hash"
+    )
+    cat.append("lake", "dist", df)
+    import glob as g
+    import os
+
+    t = os.path.join(cat.warehouse, "lake", "dist")
+    for ddir in ("data-00001", "data-00002"):
+        for pv in range(3):
+            files = g.glob(os.path.join(t, ddir, f"pkey={pv}", "*.parquet"))
+            assert len(files) == 1, (ddir, pv, files)
+    # default mode: writer-tasks x partitions files (the problem case)
+    cat.create_table("lake", "nodist", df, partition_by=["pkey"])
+    many = g.glob(os.path.join(t, "..", "nodist", "data-00001", "pkey=0", "*.parquet"))
+    assert len(many) > 1
+    assert cat.load("lake", "dist").count() == 6000
+
+    with pytest.raises(ValueError, match="unknown write_distribution"):
+        cat.create_table("lake", "bad", df, write_distribution="range")
