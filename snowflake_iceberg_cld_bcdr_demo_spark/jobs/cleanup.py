@@ -140,6 +140,7 @@ def table_maintenance(
     compact_above_dirs: int = 8,
     keep_snapshots: int = 5,
     orphan_grace_s: float = 3600.0,
+    cluster_by: dict[str, list[str]] | None = None,
 ) -> list[dict]:
     """Routine lakehouse upkeep for every table in a namespace — the
     Iceberg maintenance trio (`rewrite_data_files` + `expire_snapshots` +
@@ -152,6 +153,11 @@ def table_maintenance(
        pinned snapshots survive — ref-aware expiry),
     3. sweep orphan dirs older than the grace period.
 
+    ``cluster_by`` maps table name → Z-order columns: those tables'
+    threshold compactions run as clustered rewrites (sorted layout +
+    per-file bounds), so scheduled maintenance keeps restoring the
+    data-skipping layout as streaming appends fragment it.
+
     Returns one report dict per table.  Scale: compaction is the only
     data-moving step and runs per table only when fragmentation crossed
     the threshold; expiry and the orphan sweep are metadata + unlink."""
@@ -160,8 +166,10 @@ def table_maintenance(
         entry: dict = {"table": f"{namespace}.{tbl}", "compacted": False}
         head = cat.current_snapshot(namespace, tbl)
         if len(head.data_dirs) > compact_above_dirs:
-            cat.compact(namespace, tbl)
+            cols = (cluster_by or {}).get(tbl)
+            cat.compact(namespace, tbl, cluster_by=cols)
             entry["compacted"] = True
+            entry["clustered_by"] = cols
         exp = cat.expire_snapshots(namespace, tbl, keep_last=keep_snapshots)
         orph = cat.remove_orphan_files(namespace, tbl, older_than_s=orphan_grace_s)
         entry["expired_snapshots"] = len(exp["expired_snapshots"])

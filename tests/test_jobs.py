@@ -431,3 +431,28 @@ def test_table_maintenance_compacts_expires_and_sweeps(spark, tmp_path):
     assert cat.load("db", "frag").count() == 40
     assert len(cat.current_snapshot("db", "frag").data_dirs) == 1
     assert cat.load("db", "frag", ref="pin").count() == 40
+
+
+def test_table_maintenance_clustered_compaction(spark, tmp_path):
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs.cleanup import table_maintenance
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    df = spark.range(2000).select(
+        F.col("id"), F.pmod(F.col("id") * 2654435761, F.lit(9973)).alias("x")
+    )
+    cat.create_table("db", "zfrag", df)
+    for i in range(9):
+        cat.append("db", "zfrag", df.filter(F.col("id") % 9 == i).limit(50))
+
+    report = {r["table"]: r for r in table_maintenance(
+        cat, "db", cluster_by={"zfrag": ["x"]}, orphan_grace_s=0.0
+    )}
+    assert report["db.zfrag"]["compacted"] and report["db.zfrag"]["clustered_by"] == ["x"]
+    # the clustered rewrite recorded per-file bounds → file-level skipping
+    pv = cat.prune_preview("db", "zfrag", [("x", "<", 400)])
+    (d,) = pv["kept"]
+    assert pv["skipped_files"][d]
+    assert cat.load("db", "zfrag").count() == 2450
