@@ -52,6 +52,9 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("stratified_split_counts", 1),  # ONE stratum-key shuffle serves window+agg
         ("shuffle_head", 0),         # TakeOrdered: no global sort materialization
         ("data_quality_report", 3),  # row rules share 1 agg/table; unique+fk add 2
+        ("html_extract_stats", 0),   # five regexp passes fused, scan-bound
+        ("boilerplate_ngram_share", 2),  # ONE (source, gram) shuffle + doc rollup
+        ("resample_linear_daily", 2),  # obs rollup + group-hash spine/join/windows
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
