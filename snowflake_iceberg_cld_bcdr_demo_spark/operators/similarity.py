@@ -567,3 +567,118 @@ def pq_topk(
         .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its IVF cell and subtract that cell's
+    centroid (the FAISS IVFPQ residual): PQ codebooks trained on
+    residuals are much tighter than on raw vectors because each cell's
+    residual cloud is centered at the origin.  Pure Catalyst — the
+    centroid table is a literal array-of-arrays indexed by cell."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    cents = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cents, F.col("cell") + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+    return assigned.select(
+        F.col(id_col), F.col("label"), F.col("cell"), res.alias("residual")
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_vec_id: int,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ composed (the FAISS ``IVFPQ`` index — the standard
+    billion-vector serving shape): vectors live in IVF cells as m-byte
+    PQ codes of their CELL RESIDUALS; a query probes its ``nprobe``
+    nearest cells and scores codes by ADC against a PER-CELL lookup
+    table built from (query − centroid).
+
+    Scale: the scan prunes to nprobe/K of the corpus (cell partition
+    pruning once the encoded table is written partitioned by cell), the
+    probed rows cost one table-lookup sum each, and only the optional
+    ``rerank`` shortlist ever touches a full-precision vector."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    q = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if q is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    qv = [float(x) for x in q[0]]
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(centroids)), key=lambda c: (-_cos(qv, centroids[c]), c))
+    probed = order[:nprobe]
+    # per-cell ADC tables over the query residual, flat-indexed by
+    # (cell, subspace, code); unprobed cells are filtered out before
+    # scoring so their slots never evaluate
+    lut: list[float] = [0.0] * (len(centroids) * m * kk)
+    for c in probed:
+        qr = [a - b for a, b in zip(qv, centroids[c])]
+        for j in range(m):
+            qs = qr[j * sub : (j + 1) * sub]
+            for ci, cw in enumerate(codebooks[j]):
+                lut[(c * m + j) * kk + ci] = sum(
+                    (a - b) * (a - b) for a, b in zip(qs, cw)
+                )
+    lut_lit = F.array(*[F.lit(v) for v in lut])
+    encoded = pq_encode(
+        ivf_residuals(emb, centroids, id_col, vec_col),
+        codebooks,
+        id_col,
+        vec_col="residual",
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            lut_lit,
+            (F.col("cell") * m + j) * kk + F.element_at(F.col("codes"), j + 1) + 1,
+        ),
+    )
+    shortlist = (
+        encoded.filter(
+            F.col("cell").isin([int(c) for c in probed])
+            & (F.col(id_col) != query_vec_id)
+        )
+        .select(F.col(id_col), F.col("label"), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if rerank <= k:
+        return shortlist.limit(k)
+    qvec = F.array(*[F.lit(x) for x in qv])
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col, "adc_dist")), id_col)
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qvec).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )

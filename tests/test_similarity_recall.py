@@ -145,3 +145,92 @@ def test_pq_topk_recall_vs_exact(spark, emb, exact_top10):
 def test_pq_train_rejects_indivisible_dim(spark, emb):
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=7)
+
+
+def test_ivfpq_full_probe_rerank_tracks_exact(spark, emb, exact_top10):
+    """nprobe = K with a wide rerank: every cell probed, shortlist
+    re-scored exactly — isolates IVFPQ bookkeeping from recall loss."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    ).cache()
+    cents = similarity.sample_centroids(unit, k=4)
+    books = similarity.pq_train(
+        similarity.ivf_residuals(unit, cents), m=8, k=16, iters=2,
+        vec_col="residual",
+    )
+    full = [
+        r.vec_id
+        for r in similarity.ivfpq_topk(
+            unit, 0, cents, books, k=10, nprobe=4, rerank=100
+        ).collect()
+    ]
+    assert len(full) == 10
+    assert len(set(full) & set(exact_top10)) >= 6
+
+    # partial probe stays within the probed cells and returns k rows
+    part = similarity.ivfpq_topk(unit, 0, cents, books, k=10, nprobe=2, rerank=50)
+    rows = part.collect()
+    assert len(rows) == 10
+    assigned = {
+        r.vec_id: r.cell for r in similarity.ivf_assign(unit, cents).collect()
+    }
+    probed_cells = {assigned[r.vec_id] for r in rows}
+    assert len(probed_cells) <= 2
+
+
+def test_ivfpq_residual_encoding_beats_raw_on_reconstruction(spark):
+    """Residual PQ's reason to exist: on CLUSTERED data, quantizing
+    (vector − centroid) reconstructs better than quantizing the raw
+    vector with the same budget (on near-orthogonal random data the
+    residual is no smaller — so this asserts on synthetic clusters).
+    Mean ADC self-distance is the quantization-error proxy."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    true_c = rng.standard_normal((4, 16)) * 2.0
+    vecs = [
+        (int(i), [float(x) for x in true_c[i % 4] + rng.standard_normal(16) * 0.15], int(i % 4))
+        for i in range(400)
+    ]
+    frame = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).cache()
+    cents = similarity.sample_centroids(frame, k=4)
+    res = similarity.ivf_residuals(frame, cents)
+    books_res = similarity.pq_train(res, m=4, k=8, iters=2, vec_col="residual")
+    books_raw = similarity.pq_train(frame, m=4, k=8, iters=2)
+
+    def recon_err(fr, books, vcol):
+        enc = similarity.pq_encode(fr, books, vec_col=vcol)
+        dec = enc.join(fr.select("vec_id", vcol), "vec_id")
+        m = len(books)
+        sub = len(books[0][0])
+        kk = len(books[0])
+        flat_lit = F.array(
+            *[F.lit(float(x)) for book in books for cw in book for x in cw]
+        )
+        err = F.aggregate(
+            F.sequence(F.lit(0), F.lit(m * sub - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at(F.col(vcol), i + 1)
+                - F.element_at(
+                    flat_lit,
+                    ((i / sub).cast("int") * kk
+                     + F.element_at(F.col("codes"), (i / sub).cast("int") + 1))
+                    * sub + F.pmod(i, sub) + 1,
+                )
+            )
+            ** 2,
+        )
+        return dec.select(F.avg(err).alias("e")).collect()[0].e
+
+    e_res = recon_err(res, books_res, "residual")
+    e_raw = recon_err(frame, books_raw, "embedding")
+    assert e_res < e_raw, (e_res, e_raw)
