@@ -40,6 +40,8 @@ HEADLINE = [
     "corpus_pipeline_report",
     "stats_corr_by_flag",
     "session_window_rollup",
+    "html_extract_stats",
+    "resample_linear_daily",
 ]
 
 

@@ -82,6 +82,24 @@ def main() -> None:
     pruned = cat.load("ops", "tx", filters=[("event_date", ">=", "2024-03-01")])
     report["march_rows"] = pruned.count()
 
+    # 8. round-3 scale features on a second table: Z-order clustering,
+    # Bloom point-lookup skipping, metadata-only counts, spec evolution
+    pts = spark.range(4000).select(
+        F.col("id"),
+        F.pmod(F.col("id") * 2654435761, F.lit(9973)).alias("x"),
+        F.pmod(F.col("id") * 40503 + 17, F.lit(9973)).alias("y"),
+    )
+    cat.create_table("ops", "pts", pts, bloom_filter_cols=["id"])
+    cat.append("ops", "pts", pts.select((F.col("id") + 10000).alias("id"), "x", "y"))
+    cat.compact("ops", "pts", target_file_partitions=16, cluster_by=["x", "y"])
+    pv = cat.prune_preview("ops", "pts", [("x", "<", 500)])
+    report["zorder_files_skipped"] = sum(len(v) for v in pv["skipped_files"].values())
+    report["zorder_files_kept"] = sum(len(v) for v in pv["kept_files"].values())
+    report["count_where"] = cat.count_where("ops", "pts", [("x", ">=", 0)])["count"]
+    cat.alter_partition_spec("ops", "pts", ["bucket(8, id)"])
+    cat.append("ops", "pts", pts.select((F.col("id") + 20000).alias("id"), "x", "y"))
+    report["rows_after_spec_evolution"] = cat.load("ops", "pts").count()
+
     print(json.dumps(report, indent=2, default=str))
 
 
