@@ -204,3 +204,72 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
         )
     )
+
+
+def build_vocab(docs: DataFrame, max_size: int = 1000, min_count: int = 1) -> DataFrame:
+    """Frequency-ranked token vocabulary: ``(token, token_id, n_occurrences)``
+    with ids assigned by (count DESC, token ASC) — the deterministic
+    word-level tokenizer-training step (BPE merges layer on top of
+    exactly this table).
+
+    Scale: ONE map-side-combined token count shuffle reduces the corpus
+    to O(distinct tokens); the ranking window runs over that reduced
+    table.  ``max_size``/``min_count`` bound the vocabulary like any
+    tokenizer trainer."""
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .filter(F.col("token_id") < max_size)
+        .select("token", "token_id", "n_occurrences")
+    )
+
+
+def encode_tokens(docs: DataFrame, vocab: DataFrame, unk_id: int = -1) -> DataFrame:
+    """Encode each document's token stream as an ``array<int>`` of vocab
+    ids (out-of-vocabulary tokens → ``unk_id``) — the corpus-side half of
+    tokenization, order-preserving.
+
+    Scale: tokens explode WITH position, the vocab join is a broadcast
+    (vocabularies are bounded by construction), and each document
+    reassembles row-locally via ``sort_array`` of (pos, id) structs —
+    one doc_id shuffle, no global sort.  The ranking window inside
+    :func:`build_vocab` never touches the corpus."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+        ).alias("pos", "token"),
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), tid.alias("tid")))
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids")
+        )
+        .select(
+            "doc_id",
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+            F.size(F.filter(F.col("token_ids"), lambda t: t == unk_id)).alias(
+                "n_unk"
+            ),
+        )
+    )

@@ -1677,3 +1677,52 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         unit, query_vec_id=0, codebooks=books, k=10, rerank=100
     )
+
+
+@_spec(
+    "encode_tokens_smallvocab",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    counts AS (SELECT token, count(*) AS n FROM flat GROUP BY token),
+    vocab AS (
+        SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        FROM counts
+        QUALIFY token_id < 50
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM toks
+    ),
+    tok AS (SELECT doc_id, pos, t[pos] AS token FROM pos),
+    enc AS (
+        SELECT tok.doc_id, tok.pos, coalesce(v.token_id, -1) AS tid
+        FROM tok LEFT JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           list(tid ORDER BY pos) AS token_ids,
+           count(*) AS n_tokens,
+           sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk
+    FROM enc
+    GROUP BY doc_id
+    """,
+)
+def encode_tokens_smallvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level tokenization end-to-end: train a 50-token frequency-
+    ranked vocabulary (ids by count DESC, token ASC) and encode every
+    document as an order-preserving ``array<int>`` with OOV → −1.  The
+    oracle hash covers the full id arrays, so ranking, join, and order
+    reassembly are all verified exactly.
+
+    Scale: vocab ranking runs over the count-reduced table only; the
+    corpus-side encode is a broadcast join + one doc_id shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    vocab = textops.build_vocab(docs, max_size=50)
+    enc = textops.encode_tokens(docs, vocab)
+    return enc.select(
+        "doc_id",
+        "token_ids",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_unk").cast("long").alias("n_unk"),
+    )

@@ -67,3 +67,43 @@ def test_boilerplate_share_scoped_per_source(spark):
     out = {r.doc_id: r for r in extract.boilerplate_share(docs, n=5, min_docs=3).collect()}
     assert out[1].is_templated and out[3].is_templated
     assert not out[4].is_templated  # only 1 doc in source b
+
+
+def test_build_vocab_and_encode_tokens(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog sat"),
+            (3, "rare words here"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.token: r for r in textops.build_vocab(docs, max_size=4).collect()}
+    assert len(vocab) == 4
+    assert vocab["the"].token_id == 0 and vocab["the"].n_occurrences == 3
+    assert vocab["sat"].token_id == 1  # count 2
+    # count-1 ties broken alphabetically: cat, dog fill the last two slots
+    assert vocab["cat"].token_id == 2 and vocab["dog"].token_id == 3
+
+    enc = {
+        r.doc_id: r
+        for r in textops.encode_tokens(
+            docs, textops.build_vocab(docs, max_size=4)
+        ).collect()
+    }
+    assert enc[1].token_ids == [0, 2, 1, -1, 0, -1]
+    assert enc[1].n_tokens == 6 and enc[1].n_unk == 2
+    assert enc[2].token_ids == [0, 3, 1] and enc[2].n_unk == 0
+    assert enc[3].token_ids == [-1, -1, -1] and enc[3].n_unk == 3
+
+
+def test_build_vocab_min_count(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    vocab = [r.token for r in textops.build_vocab(docs, min_count=2).collect()]
+    assert vocab == ["a", "b"]
