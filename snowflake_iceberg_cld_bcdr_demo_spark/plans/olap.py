@@ -625,3 +625,58 @@ def session_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@_spec(
+    "listagg_customers_per_priority",
+    """
+    WITH top_cust AS (
+        SELECT o_orderpriority AS priority, CAST(o_custkey AS VARCHAR) AS cust,
+               count(*) AS n_orders,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY count(*) DESC, CAST(o_custkey AS VARCHAR)) AS rk
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT priority,
+           string_agg(cust, ',' ORDER BY rk) AS top_customers,
+           CAST(sum(n_orders) AS BIGINT) AS covered_orders
+    FROM top_cust
+    WHERE rk <= 5
+    GROUP BY priority
+    """,
+)
+def listagg_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg with deterministic ordering: the five
+    busiest customers per priority, concatenated busiest-first (ties by
+    customer key rendered as text).  Spark has no ordered string_agg — the row-local
+    equivalent is ``sort_array(collect_list(struct(rank, clerk)))`` →
+    transform → ``concat_ws``, which reassembles the ordered list
+    WITHOUT a global sort.
+
+    Scale: the (priority, customer) pre-aggregation bounds everything
+    downstream to O(priorities × customers); one shuffle serves the
+    window and the final per-priority fold."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("priority").orderBy(
+        F.col("n_orders").desc(), F.col("cust")
+    )
+    per_cust = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_custkey").cast("string").alias("cust"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+    return per_cust.groupBy("priority").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rk", "cust"))),
+                lambda s: s["cust"],
+            ),
+        ).alias("top_customers"),
+        F.sum("n_orders").alias("covered_orders"),
+    )
