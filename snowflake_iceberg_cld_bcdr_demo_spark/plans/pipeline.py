@@ -1726,3 +1726,54 @@ def encode_tokens_smallvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_unk").cast("long").alias("n_unk"),
     )
+
+
+# -- unicode hygiene (operators/textclean.py) ---------------------------
+
+#: deterministic denormalized suffix appended on BOTH engines: 'e' +
+#: COMBINING ACUTE (NFC-folds to U+00E9) plus a C0 control char to strip
+_DENORM_SUFFIX = " caf" + chr(101) + chr(769) + chr(7) + "ok"
+_CTRL_CLASS = "[\\x00-\\x08\\x0b-\\x1f\\x7f]"
+
+
+@_spec(
+    "unicode_clean_stats",
+    f"""
+    WITH denorm AS (
+        SELECT doc_id, text || '{_DENORM_SUFFIX}' AS t FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                '{_CTRL_CLASS}', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_text,
+           length(t) AS n_chars_raw,
+           length(trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                '{_CTRL_CLASS}', ' ', 'g'), '\\s+', ' ', 'g'))) AS n_chars_clean,
+           (nfc_normalize(t) != t) AS was_denormalized
+    FROM denorm
+    """,
+)
+def unicode_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene end-to-end: documents get a deterministic
+    denormalized suffix (combining accent + control char), then NFC
+    normalization, control stripping, and whitespace collapse — Python
+    ``unicodedata`` (Arrow-batched ``mapInPandas``) vs DuckDB
+    ``nfc_normalize``, hash-compared on the full cleaned strings, so the
+    two engines' Unicode tables are verified to agree.
+
+    Scale: one narrow Arrow stage, zero shuffles."""
+    from ..operators import textclean
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.col("text"), F.lit(_DENORM_SUFFIX)).alias("text")
+    )
+    return textclean.unicode_clean(docs)
+
+
+@_spec("compression_quality_signals", None)
+def compression_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio + character entropy per document (the
+    cheap junk detectors; rows-only — zlib has no SQL twin, semantics
+    unit-tested against hand-computed values)."""
+    from ..operators import textclean
+
+    return textclean.compression_signals(table(spark, sf_dir, "documents"))

@@ -107,3 +107,43 @@ def test_build_vocab_min_count(spark):
     )
     vocab = [r.token for r in textops.build_vocab(docs, min_count=2).collect()]
     assert vocab == ["a", "b"]
+
+
+def test_unicode_clean_semantics(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textclean
+
+    rows = [
+        (1, "café time"),          # NFC folds to é
+        (2, "a\x00b\x07c"),               # control chars -> spaces
+        (3, "  already   clean  "),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textclean.unicode_clean(docs).collect()}
+    assert out[1].clean_text == "caf\u00e9 time" and out[1].was_denormalized
+    assert out[1].n_chars_raw == 10 and out[1].n_chars_clean == 9
+    assert out[2].clean_text == "a b c" and not out[2].was_denormalized
+    assert out[3].clean_text == "already clean"
+    assert out[4].clean_text == "" and out[4].n_chars_raw == 0
+
+
+def test_compression_signals_rank_junk(spark):
+    import math
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textclean
+
+    rows = [
+        (1, "a" * 400),                                  # ultra-compressible
+        (2, "the quick brown fox jumps over the lazy dog " * 10),
+        (3, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in textclean.compression_signals(docs).collect()}
+    assert out[1].compression_ratio < out[2].compression_ratio
+    assert out[1].char_entropy == 0.0  # single symbol
+    assert out[3].compression_ratio == 1.0 and out[3].char_entropy == 0.0
+    # hand-computed entropy for 'aab': 2/3,1/3 split
+    one = spark.createDataFrame([(9, "aab")], "doc_id long, text string")
+    r = textclean.compression_signals(one).collect()[0]
+    want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
+    assert abs(r.char_entropy - want) < 1e-12
