@@ -222,3 +222,29 @@ def test_write_distribution_hash_yields_one_file_per_partition(spark, cat):
 
     with pytest.raises(ValueError, match="unknown write_distribution"):
         cat.create_table("lake", "bad", df, write_distribution="range")
+
+
+def test_dynamic_partition_pruning_fires_on_lakehouse_join(spark, cat):
+    """Star-join DPP: a selective dim filter must inject a runtime
+    dynamicpruning subquery into the partitioned fact scan — at 100 TB
+    the fact read shrinks to the dim-selected partitions without any
+    static predicate."""
+    fact = spark.range(20000).select(
+        F.col("id"),
+        (F.col("id") % 50).cast("string").alias("date_key"),
+        (F.col("id") % 7).alias("v"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").cast("string").alias("date_key"), (F.col("id") % 5).alias("region")
+    )
+    cat.create_table("lake", "fact", fact, partition_by=["date_key"])
+    cat.create_table("lake", "dim", dim)
+    j = (
+        cat.load("lake", "fact")
+        .join(cat.load("lake", "dim").filter(F.col("region") == 1), "date_key")
+        .groupBy("region")
+        .count()
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert j.collect()[0]["count"] == 4000
