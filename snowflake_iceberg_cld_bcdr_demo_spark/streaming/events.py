@@ -70,6 +70,42 @@ def windowed_event_counts(
     )
 
 
+def stream_session_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native streaming session windows (``session_window`` + watermark):
+    per-user sessions close after ``gap`` of inactivity; the watermark
+    finalizes and EVICTS sessions whose end fell behind max(event time)
+    − watermark, so state is O(open sessions) — the built-in
+    MergingSessionsExec alternative to the custom
+    ``applyInPandasWithState`` sessionizer in ``operators/sessions.py``
+    (same semantics, engine-managed state).  Update-mode unsupported for
+    session windows; emit with append mode once sessions finalize."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def stream_dedup(
     events: DataFrame,
     key_cols: list[str],

@@ -401,3 +401,40 @@ def test_apply_cdc_stream_mor_mode(spark, tmp_path):
     # the second batch was an upsert commit, not a rewrite
     ops = [s.operation for s in cat.snapshots("db", "u")]
     assert "upsert" in ops and "rewrite" not in ops
+
+
+def test_stream_session_rollup_native(spark, tmp_path):
+    """Native streaming session windows: 10-min-spaced events merge into
+    one session per user; a 2-hour silence splits a new session."""
+    src = str(tmp_path / "src")
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    for i in range(6):  # user 1: one 6-event session (10-min spacing)
+        rows.append((i, base + dt.timedelta(minutes=10 * i), "view", 1.0))
+    rows.append((100, base + dt.timedelta(hours=4), "view", 1.0))  # new session
+    ev = spark.createDataFrame(
+        [(eid, ts, et, v) for eid, ts, et, v in rows], SCHEMA
+    ).withColumn("user_id", F.lit(1))
+    ev.write.mode("append").parquet(src)
+
+    schema_with_user = StructType([*SCHEMA.fields, StructField("user_id", LongType())])
+    sess = S.stream_session_rollup(
+        S.read_file_stream(spark, src, schema_with_user),
+        gap="30 minutes",
+        watermark="10 hours",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = sorted(
+        spark.table("sess_out").collect(), key=lambda r: r.session_start
+    )
+    assert len(out) == 2
+    assert out[0].n_events == 6 and out[1].n_events == 1
+    # session end = last event + gap
+    assert (out[0].session_end - out[0].session_start) == dt.timedelta(minutes=80)
