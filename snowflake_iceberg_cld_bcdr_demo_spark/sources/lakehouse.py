@@ -161,6 +161,17 @@ _MONOTONE_TRANSFORMS = {"years", "months", "days", "hours", "truncate"}
 _BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
 
 
+def _string_rank_projection(col):
+    """Order-preserving numeric projection of a string: its first 6
+    UTF-8 bytes as an integer (UTF-8 byte order IS codepoint order, and
+    right-padding keeps prefixes below their extensions), so quantile
+    bucketing on the projection clusters lexicographically.  48 bits
+    fits a double exactly."""
+    return F.conv(F.rpad(F.substring(F.hex(col), 1, 12), 12, "0"), 16, 10).cast(
+        "double"
+    )
+
+
 def _quantile_bucket(source, cuts: list[float]):
     """Rank-normalized bucket index of ``source`` against sorted quantile
     ``cuts``: the count of cutpoints <= value (0..len(cuts)).  Quantile
@@ -525,17 +536,33 @@ class LakehouseCatalog:
         the clustered dimensions skips most files of the dir —
         multi-column data skipping from one layout, the standard answer
         to "which files can hold user_id=X AND day=Y" at 100 TB.
-        Clustered columns must cast to double (numerics); nulls sort
-        into the lowest bucket."""
+        Numeric/date/timestamp columns bucket on their values; string
+        columns bucket on an order-preserving 7-byte prefix projection
+        (lexicographic order survives, so range predicates still prune).
+        Nulls sort into the lowest bucket."""
         df = self.load(namespace, table)
         file_stats_cols = None
         if cluster_by:
             n = target_file_partitions or self.spark.sparkContext.defaultParallelism
             nb = 1 << zorder_bits
             probs = [i / nb for i in range(1, nb)]
-            quantiles = df.approxQuantile(list(cluster_by), probs, 1.0 / (4 * nb))
+            dtypes = dict(df.dtypes)
+            proj = {
+                c: (
+                    _string_rank_projection(F.col(c))
+                    if dtypes.get(c) == "string"
+                    else F.col(c).cast("double")
+                )
+                for c in cluster_by
+            }
+            ranked = df.select(
+                *[proj[c].alias(f"_zr_{i}") for i, c in enumerate(cluster_by)]
+            )
+            quantiles = ranked.approxQuantile(
+                [f"_zr_{i}" for i in range(len(cluster_by))], probs, 1.0 / (4 * nb)
+            )
             buckets = [
-                _quantile_bucket(F.col(c), sorted(set(cs)))
+                _quantile_bucket(proj[c], sorted(set(cs)))
                 for c, cs in zip(cluster_by, quantiles)
             ]
             z = _zorder_value(buckets, zorder_bits)

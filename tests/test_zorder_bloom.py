@@ -248,3 +248,27 @@ def test_dynamic_partition_pruning_fires_on_lakehouse_join(spark, cat):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert j.collect()[0]["count"] == 4000
+
+
+def test_zorder_on_string_column(spark, cat):
+    """String cluster columns bucket on an order-preserving byte-prefix
+    projection — range predicates on the string still skip files."""
+    df = spark.range(4000).select(
+        F.col("id").alias("row_id"),
+        F.concat(
+            F.lit("user-"),
+            F.lpad(F.pmod(F.col("id") * 2654435761, F.lit(9973)).cast("string"), 4, "0"),
+        ).alias("name"),
+        F.pmod(F.col("id") * 40503, F.lit(9973)).alias("x"),
+    )
+    cat.create_table("lake", "spts", df)
+    cat.compact("lake", "spts", target_file_partitions=16, cluster_by=["name", "x"])
+    pv = cat.prune_preview("lake", "spts", [("name", "<", "user-2000")])
+    (d,) = pv["kept"]
+    assert len(pv["skipped_files"][d]) >= len(pv["kept_files"][d])
+    got = sorted(cat.load("lake", "spts", filters=[("name", "<", "user-2000")]).collect())
+    want = sorted(df.filter(F.col("name") < "user-2000").collect())
+    assert got == want and got
+    # the second (numeric) dimension skips too
+    pv2 = cat.prune_preview("lake", "spts", [("x", "<", 500)])
+    assert pv2["skipped_files"][d]
