@@ -7,6 +7,21 @@ brute-force ANN) — Pandas UDFs appear only where semantics genuinely require
 sequential or byte-level work (greedy packing, prefix-sum cumsum, multimodal
 decode — the latter stubbed in this container)."""
 
-from . import asof, corpus, dedup, sessions, similarity, skew, textops
+from . import (
+    asof,
+    corpus,
+    dedup,
+    extract,
+    quality,
+    sessions,
+    similarity,
+    skew,
+    textclean,
+    textops,
+    timeseries,
+)
 
-__all__ = ["asof", "corpus", "dedup", "sessions", "similarity", "skew", "textops"]
+__all__ = [
+    "asof", "corpus", "dedup", "extract", "quality", "sessions",
+    "similarity", "skew", "textclean", "textops", "timeseries",
+]

@@ -37,6 +37,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     prefix: str = "asof_",
     strict: bool = False,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     ``right_ts <= left_ts`` (``<`` when ``strict``) within the same key —
@@ -47,6 +48,11 @@ def asof_join(
     resolved by the union ordering: non-strict sorts right rows before
     left rows at equal ts (so an equal-ts right row matches), strict sorts
     them after (so it does not).
+
+    ``tolerance`` (pandas ``merge_asof`` parity) rejects matches too far
+    in the past: seconds for timestamp keys, raw units for numeric keys
+    — stale quotes read NULL instead of silently joining.  Same single
+    shuffle; the staleness check is one more window column.
     """
     right_cols = right_cols or [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c) for c in right_cols])
@@ -75,6 +81,24 @@ def asof_join(
     merged = r.unionByName(l).withColumn(
         "__match", F.last("__payload", ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        merged = merged.withColumn(
+            "__match_ts",
+            F.last(
+                F.when(F.col("__side") == right_side, F.col("__ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        if dict(left.dtypes).get(left_ts, "").startswith("timestamp"):
+            gap = (
+                F.unix_micros(F.col("__ts").cast("timestamp"))
+                - F.unix_micros(F.col("__match_ts").cast("timestamp"))
+            ) / 1_000_000.0
+        else:
+            gap = F.col("__ts") - F.col("__match_ts")
+        merged = merged.withColumn(
+            "__match", F.when(gap <= F.lit(tolerance), F.col("__match"))
+        )
     out_left = [F.col(f"__left.{c}").alias(c) for c in left.columns]
     out_right = [F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_cols]
     return merged.filter(F.col("__side") == left_side).select(*out_left, *out_right)
