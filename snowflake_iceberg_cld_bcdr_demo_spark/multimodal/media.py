@@ -31,6 +31,7 @@ from pyspark.sql.types import (
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -608,4 +609,115 @@ def audio_segment_plan(
             start.alias("start_s"),
             F.least(start + segment_s, F.col("_dur")).alias("end_s"),
         )
+    )
+
+
+MEDIA_SIMHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("media_type", StringType()),
+        StructField("simhash", LongType()),
+        StructField("n_windows", IntegerType()),
+    ]
+)
+
+
+def media_simhash(df: DataFrame, window: int = 8) -> DataFrame:
+    """64-bit SimHash over rolling byte windows — near-dup fingerprints
+    for media that need NO decoder: re-muxed/metadata-tweaked copies of
+    the same payload share most windows, so their fingerprints sit a few
+    bits apart while unrelated assets are ~32 bits apart.
+
+    Compute: vectorized numpy per Arrow batch (sliding windows → FNV-1a
+    per window → per-bit majority vote); bytes never leave the worker."""
+    import numpy as np
+
+    def fingerprint(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_hash, out_n = [], []
+            for b in pdf["content"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size < window:
+                    out_hash.append(0)
+                    out_n.append(0)
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(arr, window)
+                # vectorized FNV-1a over each window
+                h = np.full(win.shape[0], 1469598103934665603, dtype=np.uint64)
+                for j in range(window):
+                    h = (h ^ win[:, j].astype(np.uint64)) * np.uint64(
+                        1099511628211
+                    )
+                bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes = bits.sum(axis=0)
+                sim = int(
+                    ((votes * 2 > win.shape[0]).astype(np.uint64)
+                     << np.arange(64, dtype=np.uint64)).sum()
+                )
+                out_hash.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
+                out_n.append(int(win.shape[0]))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "simhash": pd.Series(out_hash, dtype="int64"),
+                    "n_windows": pd.Series(out_n, dtype="int32"),
+                }
+            )
+
+    return df.select("asset_id", "media_type", "content").mapInPandas(
+        fingerprint, MEDIA_SIMHASH_SCHEMA
+    )
+
+
+def media_neardup_pairs(
+    fingerprints: DataFrame, max_hamming: int = 4, bands: int = 4
+) -> DataFrame:
+    """Near-dup asset pairs from SimHash fingerprints: candidates form
+    only when at least one 16-bit band matches exactly (pigeonhole: any
+    pair within ``bands − 1`` differing bits MUST share a band, and 4
+    bands cover max_hamming ≤ 3 exactly / ≥ 4 with high recall), then the
+    exact Hamming distance filters via ``bit_count(xor)`` — all JVM.
+
+    Scale: the join key is (band index, band value) — sub-quadratic
+    exactly like MinHash LSH banding; no all-pairs stage exists."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fingerprints.select(
+        "asset_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", "simhash", F.col("bv.band"), F.col("bv.val"))
+    a = banded.select(
+        F.col("band"), F.col("val"),
+        F.col("asset_id").alias("asset_a"), F.col("simhash").alias("sim_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("val"),
+        F.col("asset_id").alias("asset_b"), F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("asset_a") < F.col("asset_b"))
+        .select(
+            "asset_a",
+            "asset_b",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -237,3 +237,42 @@ def test_image_dimensions_pure_catalyst(spark, assets):
         for r in assets.filter(F.col("media_type") == "image").collect()
     }
     assert {r.asset_id: (r.format, r.width, r.height) for r in rows} == want
+
+
+def test_media_simhash_neardup_pairs(spark):
+    """Byte-flipped copies of the same payload land a few Hamming bits
+    apart; unrelated assets don't pair."""
+    import random
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    rng = random.Random(11)
+    base = bytes(rng.randrange(256) for _ in range(4000))
+    tweaked = bytearray(base)
+    for pos in rng.sample(range(4000), 3):  # 3 byte flips
+        tweaked[pos] ^= 0xFF
+    other = bytes(rng.randrange(256) for _ in range(4000))
+    df = spark.createDataFrame(
+        [
+            ("a", "image", base),
+            ("a2", "image", bytes(tweaked)),
+            ("b", "image", other),
+        ],
+        "asset_id string, media_type string, content binary",
+    )
+    fp = M.media_simhash(df)
+    rows = {r.asset_id: r for r in fp.collect()}
+    assert rows["a"].n_windows == 4000 - 7
+    assert rows["a"].simhash != rows["b"].simhash
+
+    pairs = M.media_neardup_pairs(fp, max_hamming=8).collect()
+    assert [(p.asset_a, p.asset_b) for p in pairs] == [("a", "a2")]
+    assert pairs[0].hamming <= 8
+
+    # determinism: identical content -> identical fingerprint, hamming 0
+    dup = spark.createDataFrame(
+        [("x", "image", base), ("y", "image", base)],
+        "asset_id string, media_type string, content binary",
+    )
+    p2 = M.media_neardup_pairs(M.media_simhash(dup), max_hamming=0).collect()
+    assert [(p.asset_a, p.asset_b, p.hamming) for p in p2] == [("x", "y", 0)]
