@@ -680,3 +680,31 @@ def listagg_customers_per_priority(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("top_customers"),
         F.sum("n_orders").alias("covered_orders"),
     )
+
+
+_ROLLING_SQL = """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day, CAST(n AS BIGINT) AS n,
+           CAST(sum(n) OVER (PARTITION BY priority ORDER BY day
+                RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_7day
+    FROM daily
+"""
+
+
+@_spec("rolling_7day_order_counts", _ROLLING_SQL)
+def rolling_7day_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aware rolling window: per-priority 7-day trailing order
+    counts via a RANGE BETWEEN INTERVAL frame (time-based, not row-based
+    — gaps in the calendar shrink the frame, which a ROWS frame gets
+    wrong).  The identical SQL text runs on both engines.
+
+    Scale: one shuffle on priority serves the daily rollup re-use and
+    the window; the frame is bounded by value, so state per partition is
+    O(days in 7-day horizon)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_ROLLING_SQL)
