@@ -1777,3 +1777,97 @@ def compression_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textclean
 
     return textclean.compression_signals(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "source_length_psi",
+    """
+    WITH bins AS (
+        SELECT source, CAST(least(floor(n_chars / 100), 9) AS INTEGER) AS bin,
+               count(*) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(n) AS t FROM bins GROUP BY 1),
+    spine AS (
+        SELECT DISTINCT source, b.bin
+        FROM bins, (SELECT unnest(range(0, 10)) AS bin) b
+    ),
+    p AS (
+        SELECT s.source, s.bin,
+               coalesce(CAST(bins.n AS DOUBLE) / tot.t, 0.000001) AS frac
+        FROM spine s
+        JOIN tot USING (source)
+        LEFT JOIN bins ON bins.source = s.source AND bins.bin = s.bin
+    ),
+    base AS (SELECT bin, frac AS base_frac FROM p WHERE source = 'src0')
+    SELECT p.source,
+           round(sum((p.frac - base.base_frac) * ln(p.frac / base.base_frac)
+                     ORDER BY p.bin), 8) AS psi,
+           (round(sum((p.frac - base.base_frac) * ln(p.frac / base.base_frac)
+                      ORDER BY p.bin), 8) > 0.2) AS drifted
+    FROM p JOIN base USING (bin)
+    WHERE p.source != 'src0'
+    GROUP BY p.source
+    """,
+)
+def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the document-length distribution,
+    each source vs the 'src0' baseline — THE standard ML-monitoring
+    drift metric (PSI > 0.2 = actionable shift).  Lengths bucket into
+    ten 100-char bins; missing bins get the conventional 1e-6 floor.
+
+    Float determinism: PSI is a sum of log terms, so both engines sum
+    contributions in EXPLICIT bin order — Spark folds a sorted collected
+    array (`F.aggregate`), DuckDB uses an ordered aggregate — making the
+    doubles bit-identical before the final round.
+
+    Scale: the corpus reduces to O(sources × 10) rows in one shuffle;
+    everything after is metadata-sized."""
+    docs = table(spark, sf_dir, "documents")
+    bins = (
+        docs.select(
+            "source",
+            F.least(F.floor(F.col("n_chars") / 100), F.lit(9)).cast("int").alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = bins.groupBy("source").agg(F.sum("n").alias("t"))
+    spine = (
+        bins.select("source").distinct()
+        .crossJoin(spark.range(10).select(F.col("id").cast("int").alias("bin")))
+    )
+    p = (
+        spine.join(tot, "source")
+        .join(bins, ["source", "bin"], "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce(F.col("n").cast("double") / F.col("t"), F.lit(0.000001)).alias(
+                "frac"
+            ),
+        )
+    )
+    base = p.filter(F.col("source") == "src0").select(
+        "bin", F.col("frac").alias("base_frac")
+    )
+    contrib = (F.col("frac") - F.col("base_frac")) * F.log(
+        F.col("frac") / F.col("base_frac")
+    )
+    psi = F.round(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("bin"), contrib.alias("c")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ),
+        8,
+    )
+    return (
+        p.filter(F.col("source") != "src0")
+        .join(F.broadcast(base), "bin")
+        .groupBy("source")
+        .agg(psi.alias("psi"))
+        .select("source", "psi", (F.col("psi") > 0.2).alias("drifted"))
+    )
