@@ -315,3 +315,61 @@ def dedup_corpus(
     return docs.join(clusters, on=id_col).withColumn(
         "is_canonical", (F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring-duplication profile (the ExactSubstr dedup signal,
+    "Deduplicating Training Data Makes Language Models Better"): slide a
+    ``window``-char window every ``stride`` chars over the normalized
+    text, hash each window, and flag windows whose hash occurs in MORE
+    THAN ONE document.  Per doc: sampled window count, how many are
+    cross-doc duplicated, and the duplicated fraction — the gate for
+    "this doc is largely copied prose" that near-dup (whole-doc) signals
+    miss when only a long passage is shared.
+
+    Scale: windows are built row-locally then exploded (narrow); the
+    ONLY shuffle is the (hash → distinct-doc count) aggregation, and the
+    join back rides the same hash partitioning (AQE reuse).  Stride
+    trades recall for cost exactly like winnowing; md5 collisions at
+    128 bits are negligible."""
+    norm = normalized_text(F.col(text_col))
+    win = (
+        docs.select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .filter(F.length("nt") >= window)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(nt) - {window - 1}, {stride}),"
+                    f" i -> md5(substring(nt, i, {window})))"
+                )
+            ).alias("h"),
+        )
+    )
+    cross = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return (
+        win.join(cross, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.col("n_docs")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(frac, 6).alias("dup_fraction"),
+            (frac >= 0.5).alias("mostly_duplicated"),
+        )
+    )

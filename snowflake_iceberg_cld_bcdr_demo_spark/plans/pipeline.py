@@ -1871,3 +1871,36 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(psi.alias("psi"))
         .select("source", "psi", (F.col("psi") > 0.2).alias("drifted"))
     )
+
+
+@_spec(
+    "duplicate_spans_profile",
+    """
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    win AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, length(nt) - 48, 10),
+                      i -> md5(substring(nt, CAST(i AS INTEGER), 50)))) AS h
+        FROM norm WHERE length(nt) >= 50
+    ),
+    cross_h AS (
+        SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT w.doc_id, count(*) AS n_windows,
+           count(c.h) AS n_dup_windows,
+           round(CAST(count(c.h) AS DOUBLE) / count(*), 6) AS dup_fraction,
+           (CAST(count(c.h) AS DOUBLE) / count(*)) >= 0.5 AS mostly_duplicated
+    FROM win w LEFT JOIN cross_h c USING (h)
+    GROUP BY w.doc_id
+    """,
+)
+def duplicate_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication profile (ExactSubstr dedup signal):
+    50-char windows sampled every 10 chars, hashed, flagged when the
+    hash spans more than one document — catches long copied passages
+    that whole-doc near-dup misses.  See
+    :func:`operators.dedup.duplicate_spans`."""
+    return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
