@@ -1012,3 +1012,38 @@ def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_orders").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+_NOT_IN_SQL = """
+    WITH probe AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        UNION ALL SELECT NULL
+    ),
+    safe AS (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+          AND c_custkey IS NOT NULL
+    )
+    SELECT
+        (SELECT COUNT(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM probe)) AS notin_with_null,
+        (SELECT COUNT(*) FROM orders
+         WHERE o_custkey NOT IN (SELECT c_custkey FROM safe)) AS notin_null_safe,
+        (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM probe p
+                           WHERE p.c_custkey = o.o_custkey)) AS not_exists
+"""
+
+
+@_spec("not_in_null_semantics", _NOT_IN_SQL)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, proven on both engines with one row: a NULL
+    in the subquery makes ``NOT IN`` return zero rows (three-valued
+    logic — every comparison is UNKNOWN), while the null-filtered
+    variant and ``NOT EXISTS`` (which ignores NULL non-matches) return
+    the real complement.  The identical SQL text runs on both engines —
+    a migrating user's most common silent-wrong-answer shape.
+
+    Scale: Spark plans NOT IN as NullAwareAntiJoin (broadcast of the
+    probe side); NOT EXISTS as a plain left-anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_IN_SQL)

@@ -576,17 +576,33 @@ class LakehouseCatalog:
             file_stats_cols=file_stats_cols,
         )
 
-    def expire_snapshots(self, namespace: str, table: str, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self,
+        namespace: str,
+        table: str,
+        keep_last: int = 1,
+        older_than: float | None = None,
+    ) -> dict:
         """Iceberg ``expire_snapshots``: mark all but the newest
         ``keep_last`` snapshots expired and delete data dirs no retained
         snapshot references.  Snapshot ids stay stable (history is marked,
-        not renumbered); time travel to an expired id raises clearly."""
+        not renumbered); time travel to an expired id raises clearly.
+
+        ``older_than`` (epoch seconds — Iceberg's ``older_than``
+        timestamp) additionally RETAINS every snapshot committed at or
+        after it, regardless of ``keep_last``: age is the retention
+        contract ops teams actually set ("keep 7 days"), count is the
+        floor."""
         import shutil
 
         for _ in range(COMMIT_RETRIES):
             manifest, base_version = self._read_manifest_versioned(namespace, table)
             snaps = manifest["snapshots"]
             retained = snaps[-keep_last:] if keep_last > 0 else []
+            if older_than is not None:
+                retained = retained + [
+                    s for s in snaps if s["committed_at"] >= older_than
+                ]
             # snapshots pinned by a branch/tag ref stay live regardless of
             # the retention window (Iceberg ref-aware expiry)
             ref_sids = {

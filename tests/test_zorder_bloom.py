@@ -272,3 +272,22 @@ def test_zorder_on_string_column(spark, cat):
     # the second (numeric) dimension skips too
     pv2 = cat.prune_preview("lake", "spts", [("x", "<", 500)])
     assert pv2["skipped_files"][d]
+
+
+def test_expire_snapshots_older_than_retains_recent(spark, cat):
+    import time
+
+    df = spark.range(10).select(F.col("id"))
+    cat.create_table("lake", "age", df)
+    cat.append("lake", "age", df)
+    cutoff = time.time()  # snapshots 1-2 are older than this
+    time.sleep(0.01)
+    cat.append("lake", "age", df)
+    cat.append("lake", "age", df)
+
+    out = cat.expire_snapshots("lake", "age", keep_last=1, older_than=cutoff)
+    # snapshots 3 and 4 are age-retained even though keep_last=1
+    assert out["expired_snapshots"] == [1, 2]
+    assert cat.load("lake", "age", snapshot_id=3).count() == 30
+    with pytest.raises(ValueError):
+        cat.load("lake", "age", snapshot_id=1)
