@@ -1196,6 +1196,149 @@ class LakehouseCatalog:
             f"rollback of {namespace}.{table} lost {COMMIT_RETRIES} commit races"
         )
 
+    def purge_rows(
+        self, namespace: str, table: str, filters: list[tuple]
+    ) -> dict:
+        """Right-to-be-forgotten purge: physically remove every row
+        matching ``filters`` from EVERY live snapshot — including
+        history, so time travel can no longer resurrect the data (the
+        gap ordinary DELETE leaves open: copy-on-write only rewrites the
+        head; old snapshots still reference the original files).
+
+        Mechanics: every dir referenced by a non-expired snapshot whose
+        bounds cannot RULE OUT a match is rewritten without the matching
+        rows (rows where the predicate is NULL are kept); bounds-cleared
+        dirs are untouched.  All snapshots are remapped to the rewritten
+        dirs and their row counts adjusted; the purge is recorded in the
+        manifest's ``purges`` audit list; old dirs are deleted after the
+        CAS publish.  Run quiesced — a concurrent commit aborts the
+        purge with :class:`CommitConflictError` (no partial state: the
+        rewritten dirs are cleaned up).
+
+        Scale: bounds skip untouched dirs entirely; each affected dir is
+        one read + filtered write, embarrassingly parallel across dirs."""
+        import shutil
+
+        manifest, base_version = self._read_manifest_versioned(namespace, table)
+        snaps = manifest["snapshots"]
+        if not snaps:
+            raise ValueError(f"{namespace}.{table} has no snapshots")
+        if any(s.get("delete_dirs") for s in snaps if not s.get("expired")):
+            raise ValueError(
+                "purge requires materialized MoR deletes — run compact() first"
+            )
+        head_id = snaps[-1]["snapshot_id"]
+        live = sorted(
+            {d for s in snaps if not s.get("expired") for d in s["data_dirs"]}
+        )
+        dir_stats = manifest.get("dir_stats", {})
+        dir_rows = manifest.get("dir_rows", {})
+        cond = self._filters_to_column(filters)
+        keep = ~F.coalesce(cond, F.lit(False))
+        mapping: dict[str, str] = {}
+        new_rows: dict[str, int] = {}
+        removed: dict[str, int] = {}
+        new_stats: dict[str, dict] = {}
+        new_cols: dict[str, list[str]] = {}
+        new_blooms: dict[str, dict] = {}
+        tpath = self._table_path(namespace, table)
+        for d in live:
+            if not all(
+                self._dir_survives(dir_stats.get(d, {}), c, op, v)
+                for c, op, v in filters
+            ):
+                continue  # bounds prove no row matches: untouched
+            df = self._read_dirs_clean(namespace, table, [d], manifest)
+            old_n = dir_rows.get(d)
+            if old_n is None:
+                old_n = df.count()
+            nd, added, stats = self._write_data_dir(
+                namespace, table, manifest, df.filter(keep)
+            )
+            if added == old_n:
+                shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
+                continue  # nothing matched in this dir
+            if added == 0:
+                # empty rewrite: keep an explicit empty schema-bearing file
+                shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
+                os.makedirs(os.path.join(tpath, nd), exist_ok=True)
+                self.spark.createDataFrame([], df.schema).repartition(
+                    1
+                ).write.mode("overwrite").parquet(os.path.join(tpath, nd))
+            mapping[d] = nd
+            new_rows[d] = added
+            removed[d] = old_n - added
+            new_stats[d] = stats
+            new_cols[d] = list(df.columns)
+            if manifest.get("bloom") and added:
+                new_blooms[d] = self._build_dir_blooms(
+                    os.path.join(tpath, nd), manifest["bloom"], dict(df.dtypes)
+                )
+        if not mapping:
+            return {"removed_rows": 0, "rewritten_dirs": 0, "unchanged_dirs": len(live)}
+
+        fresh, fresh_version = self._read_manifest_versioned(namespace, table)
+        if fresh["snapshots"][-1]["snapshot_id"] != head_id:
+            for nd in mapping.values():
+                shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
+            raise CommitConflictError(
+                f"purge of {namespace}.{table} raced a concurrent commit; re-run"
+            )
+        candidate = dict(fresh)
+        candidate["snapshots"] = [
+            {
+                **s,
+                "data_dirs": [mapping.get(d, d) for d in s["data_dirs"]],
+                "row_count": s["row_count"]
+                - sum(removed.get(d, 0) for d in s["data_dirs"]),
+            }
+            for s in fresh["snapshots"]
+        ]
+        for family, extra in (
+            ("dir_columns", new_cols),
+            ("dir_stats", new_stats),
+            ("dir_rows", new_rows),
+            ("dir_blooms", new_blooms),
+        ):
+            fam = {
+                mapping.get(d, d): v
+                for d, v in fresh.get(family, {}).items()
+                if d not in mapping
+            }
+            fam.update({mapping[d]: extra[d] for d in mapping if d in extra})
+            candidate[family] = fam
+        # rewritten dirs lose their file-level stats (sound: files changed)
+        candidate["file_stats"] = {
+            d: s for d, s in fresh.get("file_stats", {}).items() if d not in mapping
+        }
+        total = sum(removed.values())
+        candidate["purges"] = [
+            *fresh.get("purges", []),
+            {
+                "at": time.time(),
+                "filters": [[c, op, v] for c, op, v in filters],
+                "removed_rows": total,
+                "rewritten_dirs": len(mapping),
+            },
+        ]
+        try:
+            self._publish_manifest(
+                namespace, table, candidate, version=fresh_version + 1
+            )
+        except FileExistsError:
+            for nd in mapping.values():
+                shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
+            raise CommitConflictError(
+                f"purge of {namespace}.{table} lost the manifest CAS; re-run"
+            ) from None
+        for d in mapping:
+            shutil.rmtree(os.path.join(tpath, d), ignore_errors=True)
+        return {
+            "removed_rows": total,
+            "rewritten_dirs": len(mapping),
+            "unchanged_dirs": len(live) - len(mapping),
+        }
+
     # -- branches / tags / write-audit-publish (Iceberg refs analog) ------
     def _update_manifest_cas(self, namespace: str, table: str, mutate) -> dict:
         """Apply a metadata-only manifest mutation under the optimistic

@@ -291,3 +291,45 @@ def test_expire_snapshots_older_than_retains_recent(spark, cat):
     assert cat.load("lake", "age", snapshot_id=3).count() == 30
     with pytest.raises(ValueError):
         cat.load("lake", "age", snapshot_id=1)
+
+
+def test_purge_rows_scrubs_history(spark, cat):
+    """GDPR purge: the key disappears from EVERY snapshot (time travel
+    cannot resurrect it), untouched dirs stay untouched, counts adjust."""
+    df1 = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    df2 = spark.range(100, 200).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    cat.create_table("lake", "pii", df1)
+    cat.append("lake", "pii", df2)
+
+    out = cat.purge_rows("lake", "pii", [("id", "=", 42)])
+    assert out == {"removed_rows": 1, "rewritten_dirs": 1, "unchanged_dirs": 1}
+
+    # head AND historical snapshots no longer contain the key
+    assert cat.load("lake", "pii").filter("id = 42").count() == 0
+    assert cat.load("lake", "pii", snapshot_id=1).filter("id = 42").count() == 0
+    assert cat.load("lake", "pii", snapshot_id=1).count() == 99
+    assert cat.load("lake", "pii").count() == 199
+    # everything else intact
+    assert cat.load("lake", "pii").filter("id = 41").count() == 1
+
+    # audit trail recorded
+    man = cat._read_manifest("lake", "pii")
+    assert man["purges"][0]["removed_rows"] == 1
+    # the second dir (bounds [100,200)) was never rewritten
+    assert any(d.startswith("data-00002") for s in man["snapshots"] for d in s["data_dirs"])
+
+
+def test_purge_rows_range_and_noop(spark, cat):
+    df = spark.range(50).select(F.col("id"), F.col("id").alias("k"))
+    cat.create_table("lake", "pii2", df)
+    noop = cat.purge_rows("lake", "pii2", [("id", ">", 1000)])
+    assert noop["removed_rows"] == 0 and noop["rewritten_dirs"] == 0
+    out = cat.purge_rows("lake", "pii2", [("id", ">=", 40)])
+    assert out["removed_rows"] == 10
+    assert cat.load("lake", "pii2").count() == 40
+
+    # MoR deletes block the purge until compacted
+    cat.append("lake", "pii2", df.filter("id < 5"))
+    cat.delete_where_mor("lake", "pii2", [("id", "=", 1)])
+    with pytest.raises(ValueError, match="materialized MoR"):
+        cat.purge_rows("lake", "pii2", [("id", "=", 2)])
