@@ -273,3 +273,120 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame, unk_id: int = -1) -> DataFr
             ),
         )
     )
+
+
+def _merge_pair_in_array(syms, a: str, b: str):
+    """Replace every adjacent (a, b) occurrence in a symbol array with
+    the merged symbol ``a+b`` — one left-to-right ``aggregate`` fold
+    (non-overlapping, leftmost-first: 'aaa' with (a,a) → ['aa','a'],
+    matching standard BPE)."""
+    merged = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b))
+            # guard: the last element must not itself be a fresh merge
+            # result that CONSUMED the 'a' we think we're pairing with —
+            # slicing off and re-appending the merged symbol handles it
+            ,
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge rules, trained distributedly the way
+    production tokenizer trainers actually scale: the corpus first
+    reduces to its WORD VOCABULARY with counts (one shuffle — the only
+    corpus-sized stage), then each merge iteration counts weighted
+    adjacent symbol pairs over the vocab-sized table and folds the
+    winning pair into the symbol arrays.  Ties break (count DESC, pair
+    ASC) so the rules are deterministic on any cluster.
+
+    Scale: iterations cost O(vocab) each, independent of corpus size —
+    a 100 TB corpus with a 10M-word vocabulary trains at 10M-row speed.
+    The per-iteration driver traffic is ONE (pair, count) row."""
+    words = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.split(F.col("w"), "").alias("syms"),
+            F.col("n"),
+        )
+    )
+    words = words.persist()
+    words.count()
+    merges: list[tuple[str, str]] = []
+    cur = words
+    for _ in range(n_merges):
+        pairs = (
+            cur.filter(F.size("syms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) as a, "
+                        "element_at(syms, i + 1) as b))"
+                    )
+                ).alias("p"),
+                F.col("n"),
+            )
+            .groupBy("p")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        best = pairs[0]
+        a, b = best.p.a, best.p.b
+        merges.append((a, b))
+        nxt = cur.select(
+            _merge_pair_in_array(F.col("syms"), a, b).alias("syms"), F.col("n")
+        ).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merge rules to each document: words split to
+    characters, every rule folds in training order, output is the
+    per-doc subword sequence plus its length — pure Catalyst (the rules
+    become ``n_merges`` chained array folds inside one projection)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    word_syms = F.transform(toks, lambda w: F.split(w, ""))
+
+    def apply_rule(a: str, b: str):
+        # closure factory: pyspark reads the lambda's arity, so default-
+        # arg capture would look like a 3-arg higher-order function
+        return lambda s: _merge_pair_in_array(s, a, b)
+
+    for a, b in merges:
+        word_syms = F.transform(word_syms, apply_rule(a, b))
+    subwords = F.flatten(word_syms)
+    return docs.select(
+        id_col,
+        subwords.alias("subwords"),
+        F.size(subwords).alias("n_subwords"),
+    )

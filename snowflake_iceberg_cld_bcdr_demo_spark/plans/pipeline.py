@@ -1904,3 +1904,17 @@ def duplicate_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     that whole-doc near-dup misses.  See
     :func:`operators.dedup.duplicate_spans`."""
     return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
+
+
+@_spec("bpe_train_small", None)
+def bpe_train_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (8 merges) over the corpus —
+    the corpus reduces to its word vocabulary once (the only
+    corpus-sized shuffle); each merge iteration is vocab-sized.
+    Rows-only by design (iterative; determinism and merge semantics are
+    unit-tested); returns the learned rules in training order."""
+    merges = textops.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string, merged string",
+    )

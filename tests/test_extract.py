@@ -147,3 +147,29 @@ def test_compression_signals_rank_junk(spark):
     r = textclean.compression_signals(one).collect()[0]
     want = -(2 / 3 * math.log2(2 / 3) + 1 / 3 * math.log2(1 / 3))
     assert abs(r.char_entropy - want) < 1e-12
+
+
+def test_bpe_train_and_encode(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    merges = textops.bpe_train(docs, n_merges=4)
+    # counts: (l,o)=5 ties (o,w)=5 -> lexicographic; then lo+w, low+e,
+    # then (lowe,r) vs (lowe,s) tie -> b ascending
+    assert merges == [("l", "o"), ("lo", "w"), ("low", "e"), ("lowe", "r")]
+
+    enc = textops.bpe_encode(
+        spark.createDataFrame([(9, "low lowest")], "doc_id long, text string"),
+        merges,
+    ).collect()[0]
+    assert enc.subwords == ["low", "lowe", "s", "t"]
+    assert enc.n_subwords == 4
+
+    # determinism across retrains
+    assert textops.bpe_train(docs, n_merges=4) == merges
+    # more merges than pairs: trainer stops early without error
+    tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    m2 = textops.bpe_train(tiny, n_merges=10)
+    assert m2[0] == ("a", "b") and len(m2) <= 10
