@@ -66,6 +66,31 @@ def main() -> None:
     greedy = corpus.pack_greedy(survivors, budget_tokens=512, num_shards=16)
     report["greedy_bins"] = greedy.select("bin_id").distinct().count()
 
+    # 7. round-3 additions: tokenizer training, markup extraction,
+    # unicode hygiene, substring-dup + drift governance
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import (
+        dedup as dd,
+        extract,
+        textclean,
+        textops,
+    )
+
+    merges = textops.bpe_train(survivors, n_merges=6)
+    report["bpe_merges"] = ["".join(m) for m in merges]
+    vocab = textops.build_vocab(survivors, max_size=100)
+    enc = textops.encode_tokens(survivors, vocab)
+    report["oov_rate"] = round(
+        enc.agg(F.sum("n_unk") / F.sum("n_tokens")).collect()[0][0], 4
+    )
+    report["boilerplate_docs"] = (
+        extract.boilerplate_share(docs).filter("is_templated").count()
+    )
+    report["denormalized_docs"] = (
+        textclean.unicode_clean(docs).filter("was_denormalized").count()
+    )
+    spans = dd.duplicate_spans(docs)
+    report["mostly_duplicated_docs"] = spans.filter("mostly_duplicated").count()
+
     print(json.dumps(report, indent=2, default=int))
 
 
