@@ -270,6 +270,10 @@ class LakehouseCatalog:
         # date_key as STRING, `03:59-60`); without this Spark would
         # re-infer "2024-01-03" partition dirs as DATE on read.
         spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        # Iceberg forbids INT96: micros-encoded timestamps carry real
+        # parquet column statistics (INT96 has none), which file-level
+        # skipping and footer-derived metrics depend on.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
     # -- paths -----------------------------------------------------------
     def _table_path(self, namespace: str, table: str) -> str:
@@ -547,14 +551,18 @@ class LakehouseCatalog:
             nb = 1 << zorder_bits
             probs = [i / nb for i in range(1, nb)]
             dtypes = dict(df.dtypes)
-            proj = {
-                c: (
-                    _string_rank_projection(F.col(c))
-                    if dtypes.get(c) == "string"
-                    else F.col(c).cast("double")
-                )
-                for c in cluster_by
-            }
+
+            def _proj(c: str):
+                t = dtypes.get(c, "")
+                if t == "string":
+                    return _string_rank_projection(F.col(c))
+                if t.startswith("timestamp"):
+                    return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+                if t == "date":
+                    return F.unix_date(F.col(c)).cast("double")
+                return F.col(c).cast("double")
+
+            proj = {c: _proj(c) for c in cluster_by}
             ranked = df.select(
                 *[proj[c].alias(f"_zr_{i}") for i, c in enumerate(cluster_by)]
             )

@@ -333,3 +333,24 @@ def test_purge_rows_range_and_noop(spark, cat):
     cat.delete_where_mor("lake", "pii2", [("id", "=", 1)])
     with pytest.raises(ValueError, match="materialized MoR"):
         cat.purge_rows("lake", "pii2", [("id", "=", 2)])
+
+
+def test_zorder_on_timestamp_column(spark, cat):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    df = spark.range(3000).select(
+        F.col("id"),
+        (F.lit(base) + F.make_interval(mins=F.pmod(F.col("id") * 7919, F.lit(10000))))
+        .alias("ts"),
+        F.pmod(F.col("id") * 104729, F.lit(9973)).alias("x"),
+    )
+    cat.create_table("lake", "tpts", df)
+    cat.compact("lake", "tpts", target_file_partitions=12, cluster_by=["ts", "x"])
+    cutoff = base + dt.timedelta(minutes=2000)
+    pv = cat.prune_preview("lake", "tpts", [("ts", "<", cutoff)])
+    (d,) = pv["kept"]
+    assert pv["skipped_files"][d]
+    got = cat.load("lake", "tpts", filters=[("ts", "<", cutoff)]).count()
+    want = df.filter(F.col("ts") < F.lit(cutoff)).count()
+    assert got == want and got > 0
