@@ -430,7 +430,7 @@ def test_stream_session_rollup_native(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination(300)  # generous: suite runs can share the machine
     out = sorted(
         spark.table("sess_out").collect(), key=lambda r: r.session_start
     )
