@@ -456,3 +456,41 @@ def test_table_maintenance_clustered_compaction(spark, tmp_path):
     (d,) = pv["kept"]
     assert pv["skipped_files"][d]
     assert cat.load("db", "zfrag").count() == 2450
+
+
+def test_lineage_pin_and_snapshot_psi(spark, tmp_path):
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import lineage
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    base = spark.range(1000).select(F.col("id"), (F.col("id") % 100).alias("score"))
+    cat.create_table("db", "corpus", base)
+    pin = lineage.pin_inputs(cat, [("db", "corpus")])
+    assert pin["inputs"]["db.corpus"] == {
+        "snapshot_id": 1,
+        "table_uuid": cat.table_uuid("db", "corpus"),
+        "row_count": 1000,
+    }
+
+    # later ingest shifts the distribution; the pinned read is unchanged
+    shifted = spark.range(4000).select(
+        F.col("id") + 10000, (F.col("id") % 20 + 80).alias("score")
+    ).toDF("id", "score")
+    cat.append("db", "corpus", shifted)
+    assert lineage.load_pinned(cat, pin, "db", "corpus").count() == 1000
+    assert cat.load("db", "corpus").count() == 5000
+
+    drift = lineage.snapshot_psi(cat, "db", "corpus", "score", 1)
+    assert drift["drifted"] and drift["psi"] > 0.2
+    assert drift["baseline_rows"] == 1000 and drift["current_rows"] == 5000
+    same = lineage.snapshot_psi(cat, "db", "corpus", "score", 1, 1)
+    assert same["psi"] == 0.0 and not same["drifted"]
+
+    # re-created table: pinned reads refuse (uuid mismatch)
+    cat.create_table("db", "corpus", base, mode="overwrite")
+    with pytest.raises(ValueError, match="re-created"):
+        lineage.load_pinned(cat, pin, "db", "corpus")
+    with pytest.raises(KeyError):
+        lineage.load_pinned(cat, pin, "db", "other")
