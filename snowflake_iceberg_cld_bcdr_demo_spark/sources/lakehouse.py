@@ -522,6 +522,7 @@ class LakehouseCatalog:
         target_file_partitions: int | None = None,
         cluster_by: list[str] | None = None,
         zorder_bits: int = 4,
+        target_file_mb: int | None = None,
     ) -> Snapshot:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         the current snapshot's accumulated data dirs into one ``replace``
@@ -543,8 +544,27 @@ class LakehouseCatalog:
         Numeric/date/timestamp columns bucket on their values; string
         columns bucket on an order-preserving 7-byte prefix projection
         (lexicographic order survives, so range predicates still prune).
-        Nulls sort into the lowest bucket."""
+        Nulls sort into the lowest bucket.
+
+        ``target_file_mb`` sizes the rewrite from the snapshot's actual
+        on-disk bytes (Iceberg ``target-file-size-bytes``): output
+        partitions = ceil(current bytes / target) — the ops-friendly
+        alternative to guessing a partition count."""
         df = self.load(namespace, table)
+        if target_file_mb is not None and target_file_partitions is None:
+            snap = self.current_snapshot(namespace, table)
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for d in snap.data_dirs
+                for root, _, files in os.walk(
+                    os.path.join(self._table_path(namespace, table), d)
+                )
+                for f in files
+                if f.endswith(".parquet")
+            )
+            target_file_partitions = max(
+                1, -(-total // (target_file_mb * 1024 * 1024))
+            )
         file_stats_cols = None
         if cluster_by:
             n = target_file_partitions or self.spark.sparkContext.defaultParallelism

@@ -354,3 +354,27 @@ def test_zorder_on_timestamp_column(spark, cat):
     got = cat.load("lake", "tpts", filters=[("ts", "<", cutoff)]).count()
     want = df.filter(F.col("ts") < F.lit(cutoff)).count()
     assert got == want and got > 0
+
+
+def test_compact_target_file_mb(spark, cat):
+    df = spark.range(50000).select(
+        F.col("id"), F.concat(F.lit("payload-"), F.col("id")).alias("s")
+    )
+    cat.create_table("lake", "sized", df)
+    cat.append("lake", "sized", df)
+    # tiny target forces multiple output files; huge target forces one
+    snap = cat.compact("lake", "sized", target_file_mb=1)
+    import glob as g
+    import os
+
+    files = g.glob(
+        os.path.join(cat.warehouse, "lake", "sized", snap.data_dirs[-1], "*.parquet")
+    )
+    assert len(files) >= 1
+    cat.compact("lake", "sized", target_file_mb=10_000)
+    snap2 = cat.current_snapshot("lake", "sized")
+    files2 = g.glob(
+        os.path.join(cat.warehouse, "lake", "sized", snap2.data_dirs[-1], "*.parquet")
+    )
+    assert len(files2) == 1
+    assert cat.load("lake", "sized").count() == 100000
