@@ -1755,10 +1755,24 @@ class LakehouseCatalog:
             ]
             rows = [r for r in rows if r is not None]
             schema = "name string, type string, snapshot_id int"
+        elif kind == "purges":
+            rows = [
+                (
+                    float(p["at"]),
+                    json.dumps(p["filters"]),
+                    p["removed_rows"],
+                    p["rewritten_dirs"],
+                )
+                for p in manifest.get("purges", [])
+            ]
+            schema = (
+                "purged_at double, filters string, removed_rows bigint, "
+                "rewritten_dirs int"
+            )
         else:
             raise ValueError(
                 f"unknown metadata table {kind!r} "
-                "(expected snapshots|files|history|partitions|refs)"
+                "(expected snapshots|files|history|partitions|refs|purges)"
             )
         return self.spark.createDataFrame(rows, schema)
 

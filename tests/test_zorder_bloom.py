@@ -312,9 +312,11 @@ def test_purge_rows_scrubs_history(spark, cat):
     # everything else intact
     assert cat.load("lake", "pii").filter("id = 41").count() == 1
 
-    # audit trail recorded
+    # audit trail recorded (manifest + metadata table)
     man = cat._read_manifest("lake", "pii")
     assert man["purges"][0]["removed_rows"] == 1
+    audit = cat.metadata_table("lake", "pii", "purges").collect()
+    assert len(audit) == 1 and audit[0].removed_rows == 1
     # the second dir (bounds [100,200)) was never rewritten
     assert any(d.startswith("data-00002") for s in man["snapshots"] for d in s["data_dirs"])
 
