@@ -390,3 +390,31 @@ def bpe_encode(
         subwords.alias("subwords"),
         F.size(subwords).alias("n_subwords"),
     )
+
+
+def blocklist_hits(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist screening (the NSFW/spam gate every corpus runs):
+    per document, total case-insensitive WHOLE-WORD occurrences across
+    the blocklist and a keep/drop flag (``n_hits <= max_hits`` keeps).
+
+    Scale: the blocklist compiles into ONE alternation regex evaluated
+    by ``regexp_count`` — a single codegen'd scan pass, zero shuffles,
+    regardless of list size (regex engines handle thousand-term unions;
+    beyond that, tokenize + broadcast-join a term table instead)."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist is empty")
+    pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    hits = F.regexp_count(F.col(text_col), F.lit(pat))
+    return docs.select(
+        id_col,
+        hits.alias("n_hits"),
+        (hits <= max_hits).alias("keep"),
+    )

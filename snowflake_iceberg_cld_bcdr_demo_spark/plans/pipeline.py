@@ -1918,3 +1918,73 @@ def bpe_train_small(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "merge_idx int, left string, right string, merged string",
     )
+
+
+@_spec(
+    "blocklist_screen",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '(?i)\\b(spark|shuffle|broadcast)\\b')) AS INTEGER) AS n_hits,
+           (len(regexp_extract_all(text,
+                '(?i)\\b(spark|shuffle|broadcast)\\b')) <= 2) AS keep
+    FROM documents
+    """,
+)
+def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening with a 3-term demo list (whole-word,
+    case-insensitive): per-doc hit counts and the keep gate at
+    ``max_hits=2``.  One alternation regex, one scan pass, zero
+    shuffles; see :func:`operators.textops.blocklist_hits`."""
+    return textops.blocklist_hits(
+        table(spark, sf_dir, "documents"),
+        terms=["spark", "shuffle", "broadcast"],
+        max_hits=2,
+    )
+
+
+@_spec(
+    "corpus_summary",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, lang,
+               len(regexp_extract_all(lower(text), '\\S+')) AS n_toks,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    vocab AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks))
+    SELECT count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(min(n_toks) AS BIGINT) AS min_tokens,
+           CAST(max(n_toks) AS BIGINT) AS max_tokens,
+           (SELECT v FROM vocab) AS vocab_size
+    FROM toks
+    """,
+)
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus factsheet: document/source/language counts, token
+    totals and extremes, distinct-token vocabulary size — the header of
+    every dataset card.
+
+    Scale: per-doc token counts are row-local; the vocabulary distinct
+    is the one corpus shuffle (token strings, map-side combined)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"\S+"), 0)
+    per = docs.select(
+        "source", "lang", F.size(toks).alias("n_toks"), toks.alias("t")
+    )
+    vocab = per.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    summary = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.min("n_toks").cast("long").alias("min_tokens"),
+        F.max("n_toks").cast("long").alias("max_tokens"),
+    )
+    return summary.crossJoin(vocab.withColumnRenamed("v", "vocab_size"))
