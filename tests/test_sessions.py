@@ -69,6 +69,8 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+    q.stop()  # stateful availableNow can idle awaiting timeouts — don't
+    # leak an active query (a later same-name registration would fail)
     closed = spark.table("sess_out").collect()
     # one batch → the first (gap-closed) session per user is emitted;
     # the trailing session stays open in state awaiting timeout

@@ -425,14 +425,15 @@ def test_stream_session_rollup_native(spark, tmp_path):
     )
     q = (
         sess.writeStream.format("memory")
-        .queryName("sess_out")
+        .queryName("native_sess_out")
         .outputMode("complete")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)  # generous: suite runs can share the machine
+    q.stop()
     out = sorted(
-        spark.table("sess_out").collect(), key=lambda r: r.session_start
+        spark.table("native_sess_out").collect(), key=lambda r: r.session_start
     )
     assert len(out) == 2
     assert out[0].n_events == 6 and out[1].n_events == 1
