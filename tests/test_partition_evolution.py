@@ -125,3 +125,24 @@ def test_rewrite_materializes_current_spec(spark, cat):
     layout = os.listdir(os.path.join(cat.warehouse, "db", "rw", last_dir))
     assert any(d.startswith("_p_days_event_date=") for d in layout)
     assert not any(d.startswith("_p_months_") for d in layout)
+
+
+def test_purge_across_spec_eras(spark, cat):
+    """A purge on a spec-evolved table rewrites affected dirs of BOTH
+    eras correctly (retired derived columns stripped, current layout
+    materialized) and history stays scrubbed."""
+    cat.create_table(
+        "db", "pev", _events(spark, 30), partition_by=["months(event_date)"]
+    )
+    cat.alter_partition_spec("db", "pev", ["days(event_date)"])
+    cat.append("db", "pev", _events(spark, 30, start=100))
+
+    out = cat.purge_rows("db", "pev", [("id", "in", [5, 105])])
+    assert out["removed_rows"] == 2 and out["rewritten_dirs"] == 2
+    assert cat.load("db", "pev").count() == 58
+    assert cat.load("db", "pev", snapshot_id=1).filter("id = 5").count() == 0
+    assert set(cat.load("db", "pev").columns) == {"id", "event_date", "val"}
+    # filters on the partition source column still correct post-purge
+    got = cat.load("db", "pev", filters=[("event_date", "=", "2024-02-15")]).count()
+    want = cat.load("db", "pev").filter("event_date = '2024-02-15'").count()
+    assert got == want
