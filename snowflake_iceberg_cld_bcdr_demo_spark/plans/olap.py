@@ -708,3 +708,38 @@ def rolling_7day_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days in 7-day horizon)."""
     register_views(spark, sf_dir)
     return spark.sql(_ROLLING_SQL)
+
+
+@_spec(
+    "latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS latest_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    """,
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduplicate-to-latest (the CDC/upsert compaction shape): one row
+    per customer, their most recent order, ties broken by key.  DuckDB
+    states it as QUALIFY; Spark as a window + filter — same plan
+    (WindowGroupLimit pushes the rank-1 cut below the full sort).
+
+    Scale: one shuffle on the entity key; per-partition state is the
+    running top-1, not the history."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.to_date("o_orderdate").alias("latest_orderdate"),
+            F.col("o_totalprice").cast("double").alias("latest_totalprice"),
+        )
+    )
