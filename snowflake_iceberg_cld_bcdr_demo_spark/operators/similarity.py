@@ -656,7 +656,11 @@ def ivfpq_topk(
         lambda acc, j: acc
         + F.element_at(
             lut_lit,
-            (F.col("cell") * m + j) * kk + F.element_at(F.col("codes"), j + 1) + 1,
+            (
+                (F.col("cell") * m + j) * kk
+                + F.element_at(F.col("codes"), j + 1)
+                + 1
+            ).cast("int"),
         ),
     )
     shortlist = (
@@ -664,6 +668,149 @@ def ivfpq_topk(
             F.col("cell").isin([int(c) for c in probed])
             & (F.col(id_col) != query_vec_id)
         )
+        .select(F.col(id_col), F.col("label"), adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col))
+        .limit(max(k, rerank))
+    )
+    if rerank <= k:
+        return shortlist.limit(k)
+    qvec = F.array(*[F.lit(x) for x in qv])
+    return (
+        emb.join(F.broadcast(shortlist.select(id_col, "adc_dist")), id_col)
+        .select(
+            F.col(id_col),
+            F.col("label"),
+            F.col("adc_dist"),
+            cosine(F.col(vec_col), qvec).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# -- index lifecycle (build once in the lakehouse, serve many queries) ---
+
+def build_ivfpq_index(
+    cat,
+    namespace: str,
+    emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize an IVF-PQ index into the lakehouse: the model
+    (centroids + codebooks, driver-trivial) lands in
+    ``{namespace}.ann_model`` and the encoded corpus (cell + m-byte
+    codes, NO vectors) in ``{namespace}.ann_codes`` partitioned by
+    cell — so a query's nprobe cell scan is a partition-pruned read of
+    a few bytes per vector, the production serving layout.  Rebuild on
+    drift (``jobs/lineage.snapshot_psi``) or on a schedule.
+
+    Returns {"model_rows", "encoded_rows", "n_cells"}."""
+    import json as _json
+
+    cents = kmeans_centroids(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)[0]
+    res = ivf_residuals(emb, cents, id_col, vec_col)
+    books = pq_train(res, m=m, k=k, iters=iters, id_col=id_col, vec_col="residual")
+    spark = emb.sparkSession
+    model_rows = [
+        ("centroid", i, _json.dumps(c)) for i, c in enumerate(cents)
+    ] + [
+        ("codebook", j, _json.dumps(book)) for j, book in enumerate(books)
+    ]
+    model = spark.createDataFrame(
+        model_rows, "kind string, idx int, payload string"
+    )
+    cat.create_table(namespace, "ann_model", model, mode="overwrite")
+    encoded = pq_encode(res, books, id_col, vec_col="residual")
+    cat.create_table(
+        namespace, "ann_codes", encoded, partition_by=["cell"], mode="overwrite"
+    )
+    return {
+        "model_rows": len(model_rows),
+        "encoded_rows": cat.current_snapshot(namespace, "ann_codes").row_count,
+        "n_cells": n_cells,
+    }
+
+
+def load_ann_model(cat, namespace: str) -> tuple[list, list]:
+    """(centroids, codebooks) back from ``{namespace}.ann_model``."""
+    import json as _json
+
+    rows = cat.load(namespace, "ann_model").collect()
+    cents = [
+        _json.loads(r.payload)
+        for r in sorted((r for r in rows if r.kind == "centroid"), key=lambda r: r.idx)
+    ]
+    books = [
+        _json.loads(r.payload)
+        for r in sorted((r for r in rows if r.kind == "codebook"), key=lambda r: r.idx)
+    ]
+    return cents, books
+
+
+def ivfpq_query_index(
+    cat,
+    namespace: str,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve an ANN query from the PREBUILT index: the stored codes
+    table is read with a cell-IN filter (partition-pruned — only the
+    probed cells' files are listed), scored by per-cell ADC lookup
+    tables, optionally reranked against full vectors for just the
+    shortlist.  The corpus embedding table is touched ONLY for the
+    query vector and the rerank ids."""
+    cents, books = load_ann_model(cat, namespace)
+    m, kk = len(books), len(books[0])
+    sub = len(books[0][0])
+    q = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
+    if q is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    qv = [float(x) for x in q[0]]
+
+    def _cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    order = sorted(range(len(cents)), key=lambda c: (-_cos(qv, cents[c]), c))
+    probed = [int(c) for c in order[:nprobe]]
+    lut: list[float] = [0.0] * (len(cents) * m * kk)
+    for c in probed:
+        qr = [a - b for a, b in zip(qv, cents[c])]
+        for j in range(m):
+            qs = qr[j * sub : (j + 1) * sub]
+            for ci, cw in enumerate(books[j]):
+                lut[(c * m + j) * kk + ci] = sum(
+                    (a - b) * (a - b) for a, b in zip(qs, cw)
+                )
+    lut_lit = F.array(*[F.lit(v) for v in lut])
+    codes = cat.load(namespace, "ann_codes", filters=[("cell", "in", probed)])
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            lut_lit,
+            (
+                (F.col("cell") * m + j) * kk
+                + F.element_at(F.col("codes"), j + 1)
+                + 1
+            ).cast("int"),
+        ),
+    )
+    shortlist = (
+        codes.filter(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), F.col("label"), adc.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc_nulls_last(), F.col(id_col))
         .limit(max(k, rerank))

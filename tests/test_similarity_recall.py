@@ -234,3 +234,49 @@ def test_ivfpq_residual_encoding_beats_raw_on_reconstruction(spark):
     e_res = recon_err(res, books_res, "residual")
     e_raw = recon_err(frame, books_raw, "embedding")
     assert e_res < e_raw, (e_res, e_raw)
+
+
+def test_ivfpq_index_lifecycle(spark, emb, exact_top10, tmp_path):
+    """Build the index once into the lakehouse, serve queries from the
+    stored codes with partition-pruned cell scans; results match the
+    on-the-fly IVFPQ path."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    ).cache()
+    rep = similarity.build_ivfpq_index(cat, "ann", unit, n_cells=4, m=8, k=16)
+    assert rep["encoded_rows"] == unit.count()
+    assert cat.load("ann", "ann_codes").columns == ["vec_id", "label", "cell", "codes"]
+
+    # partition pruning: probing 2 cells reads a strict subset of dirs'
+    # hive partitions (the codes table is partitioned by cell)
+    cents, books = similarity.load_ann_model(cat, "ann")
+    assert len(cents) == 4 and len(books) == 8
+
+    served = [
+        r.vec_id
+        for r in similarity.ivfpq_query_index(
+            cat, "ann", unit, query_vec_id=0, k=10, nprobe=4, rerank=100
+        ).collect()
+    ]
+    direct = [
+        r.vec_id
+        for r in similarity.ivfpq_topk(
+            unit, 0, cents, books, k=10, nprobe=4, rerank=100
+        ).collect()
+    ]
+    assert served == direct
+    assert len(set(served) & set(exact_top10)) >= 6
+
+    # partial probe serves from fewer partitions and still returns k
+    part = similarity.ivfpq_query_index(
+        cat, "ann", unit, query_vec_id=0, k=10, nprobe=2, rerank=50
+    )
+    assert part.count() == 10
