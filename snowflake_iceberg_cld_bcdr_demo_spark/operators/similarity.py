@@ -829,3 +829,28 @@ def ivfpq_query_index(
         .orderBy(F.col("cosine_sim").desc_nulls_last(), F.col(id_col))
         .limit(k)
     )
+
+
+def refresh_ivfpq_index(
+    cat,
+    namespace: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance: encode ONLY the new vectors with
+    the STORED model (no retraining — the standard serving trade: cell
+    boundaries drift slowly; retrain on schedule or on a
+    ``snapshot_psi`` alarm) and append them to the code table.  Cost is
+    O(delta), independent of index size.
+
+    Returns {"appended_rows", "total_rows"}."""
+    cents, books = load_ann_model(cat, namespace)
+    encoded = pq_encode(
+        ivf_residuals(new_vectors, cents, id_col, vec_col),
+        books,
+        id_col,
+        vec_col="residual",
+    )
+    snap = cat.append(namespace, "ann_codes", encoded)
+    return {"appended_rows": snap.added_rows, "total_rows": snap.row_count}

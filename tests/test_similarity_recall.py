@@ -280,3 +280,37 @@ def test_ivfpq_index_lifecycle(spark, emb, exact_top10, tmp_path):
         cat, "ann", unit, query_vec_id=0, k=10, nprobe=2, rerank=50
     )
     assert part.count() == 10
+
+
+def test_ivfpq_index_incremental_refresh(spark, emb, tmp_path):
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    ).cache()
+    old = unit.filter("vec_id < 400")
+    new = unit.filter("vec_id >= 400")
+    similarity.build_ivfpq_index(cat, "ann", old, n_cells=4, m=8, k=16)
+    rep = similarity.refresh_ivfpq_index(cat, "ann", new)
+    assert rep["appended_rows"] == new.count()
+    assert rep["total_rows"] == unit.count()
+    # a query can now retrieve a freshly-appended vector
+    served = similarity.ivfpq_query_index(
+        cat, "ann", unit, query_vec_id=0, k=50, nprobe=4, rerank=100
+    ).collect()
+    assert any(r.vec_id >= 400 for r in served)
+    # delta encoding matches what a full rebuild would produce
+    cents, books = similarity.load_ann_model(cat, "ann")
+    full = similarity.pq_encode(
+        similarity.ivf_residuals(unit, cents), books, vec_col="residual"
+    )
+    stored = cat.load("ann", "ann_codes")
+    a = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in full.collect()}
+    b = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in stored.collect()}
+    assert a == b
