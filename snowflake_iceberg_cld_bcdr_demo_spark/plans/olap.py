@@ -743,3 +743,32 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("latest_totalprice"),
         )
     )
+
+
+@_spec(
+    "rank_distribution_showcase",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(RANK() OVER w AS INTEGER) AS price_rank,
+           CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+           PERCENT_RANK() OVER w AS price_pct_rank,
+           CUME_DIST() OVER w AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def rank_distribution_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window family window_showcase leaves out: RANK /
+    DENSE_RANK gap semantics plus PERCENT_RANK and CUME_DIST (exact
+    rationals — (rank−1)/(n−1) and rows≤current/n — so the doubles are
+    engine-identical).  Deterministic total order via the orderkey
+    tiebreak; one shuffle on the priority key."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
