@@ -32,7 +32,8 @@ class QuerySpec:
 # (rounds 1–2).  The driver records a bounded prefix (50 entries) of
 # ``queries()``, so never-officially-checked oracle queries must sort ahead
 # of these to get on the record; the set is a frozen historical fact, safe
-# to hardcode.
+# to hardcode.  Later rounds' files are merged in dynamically by
+# ``_officially_checked`` so the rotation keeps working without edits.
 _OFFICIALLY_CHECKED: frozenset[str] = frozenset({
     "anti_join_dormant_customers", "asof_click_to_view",
     "cheapest_part_per_brand", "cohort_retention", "conditional_agg_ratio",
@@ -58,6 +59,26 @@ _OFFICIALLY_CHECKED: frozenset[str] = frozenset({
 })
 
 
+def _officially_checked() -> frozenset[str]:
+    """The hardcoded r01/r02 set plus every query name found in any
+    ``CORRECTNESS_r*.json`` at the repo root — so each round's newly
+    certified queries automatically rotate behind the still-unchecked
+    ones next round, with no registry edit."""
+    import glob
+    import json
+    from pathlib import Path
+
+    names = set(_OFFICIALLY_CHECKED)
+    root = Path(__file__).resolve().parent.parent.parent
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                names.update(json.load(f).keys())
+        except (OSError, ValueError):
+            continue
+    return frozenset(names)
+
+
 def _collect() -> dict[str, QuerySpec]:
     from . import olap, pipeline, relational, tpch_ext
 
@@ -72,13 +93,14 @@ def _collect() -> dict[str, QuerySpec]:
     # never been on the official record, (2) already-certified oracle
     # queries (rotating them back through the window), (3) rows-only
     # (approximate) queries, which only ever get a weaker rows-only check.
+    checked = _officially_checked()
     return {
         spec.name: spec
         for spec in [
             *(s for s in ordered
-              if s.oracle is not None and s.name not in _OFFICIALLY_CHECKED),
+              if s.oracle is not None and s.name not in checked),
             *(s for s in ordered
-              if s.oracle is not None and s.name in _OFFICIALLY_CHECKED),
+              if s.oracle is not None and s.name in checked),
             *(s for s in ordered if s.oracle is None),
         ]
     }
