@@ -1776,6 +1776,44 @@ class LakehouseCatalog:
             )
         return self.spark.createDataFrame(rows, schema)
 
+    def describe_table(self, namespace: str, table: str) -> dict:
+        """``DESCRIBE TABLE EXTENDED`` analog: one metadata-only call
+        returning schema, partition spec (current + retired), ref/bloom/
+        distribution configuration, size facts, and lifecycle counters —
+        what an operator checks before touching a table."""
+        manifest = self._read_manifest(namespace, table)
+        snaps = manifest["snapshots"]
+        head = next((s for s in reversed(snaps) if not s.get("branch")), None)
+        live_dirs = list(head["data_dirs"]) if head else []
+        tpath = self._table_path(namespace, table)
+        size_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for d in live_dirs
+            for root, _, files in os.walk(os.path.join(tpath, d))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        return {
+            "table": manifest["table"],
+            "table_uuid": manifest.get("table_uuid", ""),
+            "columns": list(manifest.get("columns") or []),
+            "partition_by": list(manifest["partition_by"]),
+            "retired_specs": [
+                h.get("spec", []) for h in manifest.get("partition_specs", [])
+            ],
+            "current_snapshot_id": head["snapshot_id"] if head else None,
+            "row_count": head["row_count"] if head else 0,
+            "n_snapshots": len(snaps),
+            "n_expired": sum(1 for s in snaps if s.get("expired")),
+            "n_data_dirs": len(live_dirs),
+            "size_bytes": size_bytes,
+            "refs": sorted(manifest.get("refs", {})),
+            "bloom_filter_cols": list(manifest.get("bloom", {}).get("cols", [])),
+            "write_distribution": manifest.get("write_distribution"),
+            "pending_mor_deletes": len(head.get("delete_dirs", [])) if head else 0,
+            "n_purges": len(manifest.get("purges", [])),
+        }
+
     def drop_table(self, namespace: str, table: str) -> None:
         import shutil
 

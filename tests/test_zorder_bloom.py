@@ -380,3 +380,30 @@ def test_compact_target_file_mb(spark, cat):
     )
     assert len(files2) == 1
     assert cat.load("lake", "sized").count() == 100000
+
+
+def test_describe_table(spark, cat):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("k")
+    )
+    cat.create_table(
+        "lake", "desc", df, partition_by=["k"],
+        bloom_filter_cols=["id"], write_distribution="hash",
+    )
+    cat.append("lake", "desc", df)
+    cat.create_tag("lake", "desc", "v1")
+    cat.alter_partition_spec("lake", "desc", ["bucket(2, id)"])
+    cat.delete_where_mor("lake", "desc", [("id", "=", 1)])
+
+    d = cat.describe_table("lake", "desc")
+    assert d["table"] == "lake.desc"
+    assert d["columns"] == ["id", "k"]
+    assert d["partition_by"] == ["bucket(2, id)"]
+    assert d["retired_specs"] == [["k"]]
+    # the MoR delete's head snapshot already nets out the 2 deleted rows
+    assert d["row_count"] == 198 and d["n_snapshots"] == 3
+    assert d["n_data_dirs"] == 2 and d["size_bytes"] > 0
+    assert d["refs"] == ["v1"]
+    assert d["bloom_filter_cols"] == ["id"]
+    assert d["write_distribution"] == "hash"
+    assert d["pending_mor_deletes"] == 1 and d["n_purges"] == 0
