@@ -356,3 +356,31 @@ def stream_dedup_within_watermark(
     sources that re-stamp on retry.  State is evicted at the watermark, so
     memory stays bounded at scale."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def query_progress_frame(spark, query) -> DataFrame:
+    """Streaming observability: a query's ``recentProgress`` as a
+    DataFrame (batch id, rows in/processed-per-second, batch + state
+    metrics) — append it to a lakehouse log table and the 5-minute
+    heartbeat can alert on ingest stalls the same way it alerts on sync
+    lag.  Metadata-only: progress JSON lives on the driver."""
+    rows = []
+    for p in query.recentProgress:
+        state = (p.get("stateOperators") or [{}])[0]
+        rows.append(
+            (
+                p.get("id"),
+                int(p["batchId"]),
+                float(p.get("numInputRows", 0)),
+                float(p.get("processedRowsPerSecond") or 0.0),
+                int((p.get("durationMs") or {}).get("triggerExecution", 0)),
+                int(state.get("numRowsTotal", 0)),
+                p.get("timestamp"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query_id string, batch_id long, num_input_rows double, "
+        "processed_rows_per_sec double, trigger_ms long, "
+        "state_rows long, ts string",
+    )

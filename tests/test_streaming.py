@@ -439,3 +439,23 @@ def test_stream_session_rollup_native(spark, tmp_path):
     assert out[0].n_events == 6 and out[1].n_events == 1
     # session end = last event + gap
     assert (out[0].session_end - out[0].session_start) == dt.timedelta(minutes=80)
+
+
+def test_query_progress_frame(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _batch(spark, 0, 16).write.mode("append").parquet(src)
+    agg = S.windowed_event_counts(S.read_file_stream(spark, src, SCHEMA))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("prog_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    prog = S.query_progress_frame(spark, q)
+    rows = prog.collect()
+    assert rows and prog.columns[:3] == ["query_id", "batch_id", "num_input_rows"]
+    assert sum(r.num_input_rows for r in rows) == 16.0
+    assert all(r.trigger_ms >= 0 for r in rows)
