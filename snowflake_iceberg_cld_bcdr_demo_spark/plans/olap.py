@@ -772,3 +772,37 @@ def rank_distribution_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("price_pct_rank"),
         F.cume_dist().over(w).alias("price_cume_dist"),
     )
+
+
+@_spec(
+    "conditional_distinct_customers",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS customers,
+           COUNT(DISTINCT CASE WHEN o_totalprice > 200000 THEN o_custkey END)
+               AS big_spenders,
+           COUNT(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_custkey END)
+               AS finished_customers
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def conditional_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional COUNT(DISTINCT) — distinct entities within a filtered
+    subset (the funnel-stage audience metric): CASE WHEN inside the
+    distinct makes non-matching rows NULL, which distinct-count ignores.
+
+    Scale: three distinct aggregates over the same key → ONE Expand×3
+    pass + two shuffles (the exact-multi-distinct plan `fanout_count_
+    distinct` documents); approximate variants exist in the sketch
+    family when exactness isn't contractual."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct("o_custkey").alias("customers"),
+        F.count_distinct(
+            F.when(F.col("o_totalprice") > 200000, F.col("o_custkey"))
+        ).alias("big_spenders"),
+        F.count_distinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("finished_customers"),
+    )
