@@ -671,16 +671,27 @@ def media_simhash(df: DataFrame, window: int = 8) -> DataFrame:
 
 
 def media_neardup_pairs(
-    fingerprints: DataFrame, max_hamming: int = 4, bands: int = 4
+    fingerprints: DataFrame, max_hamming: int = 3, bands: int | None = None
 ) -> DataFrame:
     """Near-dup asset pairs from SimHash fingerprints: candidates form
-    only when at least one 16-bit band matches exactly (pigeonhole: any
-    pair within ``bands − 1`` differing bits MUST share a band, and 4
-    bands cover max_hamming ≤ 3 exactly / ≥ 4 with high recall), then the
-    exact Hamming distance filters via ``bit_count(xor)`` — all JVM.
+    only when at least one band matches exactly, then the exact Hamming
+    distance filters via ``bit_count(xor)`` — all JVM.
+
+    Recall contract: ``bands`` defaults to ``max_hamming + 1`` so the
+    pigeonhole guarantee is EXACT — any pair within ``bands − 1``
+    differing bits must share one unchanged band, so every pair at
+    distance ≤ max_hamming is emitted.  Passing ``bands <= max_hamming``
+    explicitly trades recall for fewer candidates (a distance-d pair
+    whose d differing bits land in d distinct bands is missed) and is
+    allowed but no longer the default.
 
     Scale: the join key is (band index, band value) — sub-quadratic
     exactly like MinHash LSH banding; no all-pairs stage exists."""
+    if bands is None:
+        # min 2 keeps band width <= 32 bits (the mask must fit a long);
+        # max 32 keeps the explode bounded — beyond that each band is
+        # ~1 bit wide and banding degenerates toward all-pairs anyway.
+        bands = min(max(max_hamming + 1, 2), 32)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(

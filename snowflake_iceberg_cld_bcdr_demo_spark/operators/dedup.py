@@ -333,6 +333,10 @@ def duplicate_spans(
     "this doc is largely copied prose" that near-dup (whole-doc) signals
     miss when only a long passage is shared.
 
+    Docs shorter than ``window`` (after normalization) still get a row —
+    ``n_windows = 0``, NULL ``dup_fraction``, ``mostly_duplicated``
+    false — so downstream coverage joins never silently lose them.
+
     Scale: windows are built row-locally then exploded (narrow); the
     ONLY shuffle is the (hash → distinct-doc count) aggregation, and the
     join back rides the same hash partitioning (AQE reuse).  Stride
@@ -357,19 +361,25 @@ def duplicate_spans(
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
     )
-    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
-    return (
+    profile = (
         win.join(cross, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_windows"),
             F.count(F.col("n_docs")).alias("n_dup_windows"),
         )
+    )
+    frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(profile, "doc_id", "left")
         .select(
             "doc_id",
-            "n_windows",
-            "n_dup_windows",
+            F.coalesce("n_windows", F.lit(0).cast("long")).alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
             F.round(frac, 6).alias("dup_fraction"),
-            (frac >= 0.5).alias("mostly_duplicated"),
+            F.coalesce(frac >= 0.5, F.lit(False)).alias("mostly_duplicated"),
         )
     )

@@ -1668,9 +1668,12 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import l2_normalize
 
     emb = table(spark, sf_dir, "embeddings")
+    # no persist: the builder returns lazily (nowhere to unpersist), and a
+    # leaked cache block would outlive this query across registry sweeps;
+    # the frame is scanned a handful of times on a small table.
     unit = emb.select(
         "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
-    ).persist()
+    )
     # one Lloyd pass here: the registry entry exercises the plumbing at
     # driver cadence; tests train deeper and assert recall
     books = similarity.pq_train(unit, m=8, k=16, iters=1)
@@ -1888,13 +1891,20 @@ def source_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cross_h AS (
         SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    prof AS (
+        SELECT w.doc_id, count(*) AS n_windows, count(c.h) AS n_dup_windows
+        FROM win w LEFT JOIN cross_h c USING (h)
+        GROUP BY w.doc_id
     )
-    SELECT w.doc_id, count(*) AS n_windows,
-           count(c.h) AS n_dup_windows,
-           round(CAST(count(c.h) AS DOUBLE) / count(*), 6) AS dup_fraction,
-           (CAST(count(c.h) AS DOUBLE) / count(*)) >= 0.5 AS mostly_duplicated
-    FROM win w LEFT JOIN cross_h c USING (h)
-    GROUP BY w.doc_id
+    SELECT d.doc_id,
+           coalesce(p.n_windows, 0) AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           round(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows, 6)
+               AS dup_fraction,
+           coalesce(CAST(p.n_dup_windows AS DOUBLE) / p.n_windows >= 0.5,
+                    FALSE) AS mostly_duplicated
+    FROM documents d LEFT JOIN prof p USING (doc_id)
     """,
 )
 def duplicate_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -158,7 +158,10 @@ _MONOTONE_TRANSFORMS = {"years", "months", "days", "hours", "truncate"}
 #: column types eligible for a manifest Bloom filter: the filter hashes
 #: ``md5(cast(col as string))``, and only integral/string casts render
 #: identically in Spark (write side) and Python ``str()`` (probe side).
-_BLOOM_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+#: Matched EXACTLY (not by prefix) — e.g. ANSI ``interval day`` starts with
+#: "int" but renders differently in the two runtimes, which would make an
+#: equality probe unsoundly skip dirs.
+_BLOOM_TYPES = frozenset({"tinyint", "smallint", "int", "bigint", "string"})
 
 
 def _string_rank_projection(col):
@@ -426,7 +429,7 @@ class LakehouseCatalog:
             bad = [
                 c
                 for c in bloom_filter_cols
-                if not dict(df.dtypes).get(c, "").startswith(_BLOOM_TYPES)
+                if dict(df.dtypes).get(c, "") not in _BLOOM_TYPES
             ]
             if bad:
                 raise ValueError(
@@ -902,7 +905,7 @@ class LakehouseCatalog:
         cols = [
             c
             for c in bcfg.get("cols", [])
-            if dtypes.get(c, "").startswith(_BLOOM_TYPES)
+            if dtypes.get(c, "") in _BLOOM_TYPES
         ]
         if not cols:
             return {}
@@ -1783,7 +1786,14 @@ class LakehouseCatalog:
         what an operator checks before touching a table."""
         manifest = self._read_manifest(namespace, table)
         snaps = manifest["snapshots"]
-        head = next((s for s in reversed(snaps) if not s.get("branch")), None)
+        head = next(
+            (
+                s
+                for s in reversed(snaps)
+                if not s.get("branch") and not s.get("expired")
+            ),
+            None,
+        )
         live_dirs = list(head["data_dirs"]) if head else []
         tpath = self._table_path(namespace, table)
         size_bytes = sum(
