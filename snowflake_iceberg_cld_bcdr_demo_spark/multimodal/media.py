@@ -680,7 +680,10 @@ def media_neardup_pairs(
     Recall contract: ``bands`` defaults to ``max_hamming + 1`` so the
     pigeonhole guarantee is EXACT — any pair within ``bands − 1``
     differing bits must share one unchanged band, so every pair at
-    distance ≤ max_hamming is emitted.  Passing ``bands <= max_hamming``
+    distance ≤ max_hamming is emitted.  The guarantee only exists for
+    ``max_hamming <= 31`` (64-bit hashes cap bands at 32 — each band
+    needs ≥ 2 bits); a larger default request raises rather than
+    silently voiding the contract.  Passing ``bands <= max_hamming``
     explicitly trades recall for fewer candidates (a distance-d pair
     whose d differing bits land in d distinct bands is missed) and is
     allowed but no longer the default.
@@ -688,10 +691,14 @@ def media_neardup_pairs(
     Scale: the join key is (band index, band value) — sub-quadratic
     exactly like MinHash LSH banding; no all-pairs stage exists."""
     if bands is None:
-        # min 2 keeps band width <= 32 bits (the mask must fit a long);
-        # max 32 keeps the explode bounded — beyond that each band is
-        # ~1 bit wide and banding degenerates toward all-pairs anyway.
-        bands = min(max(max_hamming + 1, 2), 32)
+        if max_hamming >= 32:
+            raise ValueError(
+                f"max_hamming={max_hamming}: exact recall needs "
+                "bands=max_hamming+1 <= 32 (64-bit SimHash) — pass bands "
+                "explicitly to accept approximate recall"
+            )
+        # min 2 keeps band width <= 32 bits (the mask must fit a long)
+        bands = max(max_hamming + 1, 2)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(

@@ -370,8 +370,12 @@ def duplicate_spans(
         )
     )
     frac = F.col("n_dup_windows").cast("double") / F.col("n_windows")
+    # distinct coverage base: preserves the one-row-per-doc_id output
+    # contract even if ids repeat in the input (rides the same join
+    # partitioning, so the distinct is cheap)
     return (
         docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
         .join(profile, "doc_id", "left")
         .select(
             "doc_id",

@@ -297,23 +297,10 @@ def _merge_pair_in_array(syms, a: str, b: str):
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    n_merges: int = 10,
-    text_col: str = "text",
-) -> list[tuple[str, str]]:
-    """Byte-pair-encoding merge rules, trained distributedly the way
-    production tokenizer trainers actually scale: the corpus first
-    reduces to its WORD VOCABULARY with counts (one shuffle — the only
-    corpus-sized stage), then each merge iteration counts weighted
-    adjacent symbol pairs over the vocab-sized table and folds the
-    winning pair into the symbol arrays.  Ties break (count DESC, pair
-    ASC) so the rules are deterministic on any cluster.
-
-    Scale: iterations cost O(vocab) each, independent of corpus size —
-    a 100 TB corpus with a 10M-word vocabulary trains at 10M-row speed.
-    The per-iteration driver traffic is ONE (pair, count) row."""
-    words = (
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, count): the ONE corpus-sized reduction every BPE
+    trainer starts from (map-side combined token-count shuffle)."""
+    return (
         docs.select(
             F.explode(
                 F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
@@ -321,10 +308,122 @@ def bpe_train(
         )
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.split(F.col("w"), "").alias("syms"),
-            F.col("n"),
-        )
+    )
+
+
+def _merge_word_py(syms: list[str], a: str, b: str, merged: str) -> list[str]:
+    """Leftmost-first non-overlapping (a, b) → merged fold — the exact
+    Python mirror of :func:`_merge_pair_in_array`."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = merged
+        else:
+            out.append(x)
+    return out
+
+
+def _train_merges_counts(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Sequential BPE over a (symbol-array, count) table with incremental
+    pair-count maintenance (the HuggingFace-trainer data structure):
+    a lazy max-heap over weighted pair counts plus a pair → word-index
+    posting list, so each merge costs O(occurrences of the merged pair),
+    not O(vocab).  Tie-break (count DESC, a ASC, b ASC) matches the
+    per-merge-job distributed trainer bit for bit."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    def pairs_of(syms: list[str]) -> list[tuple[str, str]]:
+        return [(syms[i], syms[i + 1]) for i in range(len(syms) - 1)]
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for idx, (syms, n) in enumerate(words):
+        for p in pairs_of(syms):
+            pair_counts[p] += n
+            pair_words[p].add(idx)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges and heap:
+        negc, best = heapq.heappop(heap)
+        cur = pair_counts.get(best, 0)
+        if cur <= 0 or -negc != cur:
+            continue  # stale heap entry (lazy deletion)
+        a, b = best
+        merged = a + b
+        merges.append(best)
+        for idx in sorted(pair_words.get(best, ())):
+            syms, n = words[idx]
+            new_syms = _merge_word_py(syms, a, b, merged)
+            if new_syms == syms:
+                continue  # stale posting — pair no longer adjacent here
+            oc, nc = Counter(pairs_of(syms)), Counter(pairs_of(new_syms))
+            for p in set(oc) | set(nc):
+                delta = (nc[p] - oc[p]) * n
+                if delta:
+                    pair_counts[p] += delta
+                    if pair_counts[p] > 0:
+                        heapq.heappush(heap, (-pair_counts[p], p))
+                    else:
+                        pair_counts.pop(p, None)
+                if nc[p]:
+                    pair_words[p].add(idx)
+                else:
+                    pair_words.get(p, set()).discard(idx)
+            words[idx] = (new_syms, n)
+        pair_counts.pop(best, None)
+        pair_words.pop(best, None)
+    return merges
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge rules, trained the way production
+    tokenizer trainers actually scale: the corpus reduces to its WORD
+    VOCABULARY with counts in ONE distributed shuffle (the only
+    corpus-sized stage — a 100 TB corpus becomes a vocab-sized table),
+    then the merges train in driver memory over that reduced table with
+    incremental pair-count maintenance — O(occurrences) per merge, so a
+    32k-merge production vocabulary is minutes, not 32k Spark jobs.
+    Ties break (count DESC, pair ASC); results are bit-identical to the
+    per-merge-job trainer :func:`bpe_train_distributed` (asserted in
+    ``tests/test_extract.py``).
+
+    ``max_words`` caps driver memory by keeping only the most frequent
+    words (count DESC, word ASC) — the standard trainer cap (HuggingFace
+    ``limit_alphabet``-style); ``None`` trains on the full vocabulary.
+
+    Total Spark jobs: ONE collect (plus one top-k sort when
+    ``max_words`` is set), independent of ``n_merges``."""
+    wc = _word_counts(docs, text_col)
+    if max_words is not None:
+        wc = wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_words)
+    words = [(list(r.w), r.n) for r in wc.collect()]
+    return _train_merges_counts(words, n_merges)
+
+
+def bpe_train_distributed(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Reference per-merge-job BPE trainer: each iteration counts
+    weighted adjacent symbol pairs over the vocab-sized table with one
+    Spark job and folds the winning pair into the symbol arrays.
+    O(n_merges) sequential jobs — kept as the cross-check twin for
+    :func:`bpe_train` (same reduction, same tie-break, same leftmost-
+    first fold) and for vocabularies too large to collect even after
+    the word-count reduction."""
+    words = _word_counts(docs, text_col).select(
+        F.split(F.col("w"), "").alias("syms"), F.col("n")
     )
     words = words.persist()
     words.count()
@@ -354,10 +453,12 @@ def bpe_train(
         best = pairs[0]
         a, b = best.p.a, best.p.b
         merges.append((a, b))
+        # localCheckpoint (not persist): truncates the logical plan, or
+        # the nested fold expressions accumulate across iterations and
+        # blow up Catalyst analysis time / driver heap by ~iteration 20
         nxt = cur.select(
             _merge_pair_in_array(F.col("syms"), a, b).alias("syms"), F.col("n")
-        ).persist()
-        nxt.count()
+        ).localCheckpoint(eager=True)
         cur.unpersist()
         cur = nxt
     cur.unpersist()
@@ -369,27 +470,84 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    catalyst_max_rules: int = 24,
 ) -> DataFrame:
     """Apply learned BPE merge rules to each document: words split to
-    characters, every rule folds in training order, output is the
-    per-doc subword sequence plus its length — pure Catalyst (the rules
-    become ``n_merges`` chained array folds inside one projection)."""
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-    word_syms = F.transform(toks, lambda w: F.split(w, ""))
+    characters, every rule folds left-to-right in training order, output
+    is the per-doc subword sequence plus its length.
 
-    def apply_rule(a: str, b: str):
-        # closure factory: pyspark reads the lambda's arity, so default-
-        # arg capture would look like a 3-arg higher-order function
-        return lambda s: _merge_pair_in_array(s, a, b)
+    Two physical routes with IDENTICAL semantics (asserted in tests):
 
-    for a, b in merges:
-        word_syms = F.transform(word_syms, apply_rule(a, b))
-    subwords = F.flatten(word_syms)
-    return docs.select(
-        id_col,
-        subwords.alias("subwords"),
-        F.size(subwords).alias("n_subwords"),
-    )
+    - ``len(merges) <= catalyst_max_rules`` — pure Catalyst: the rules
+      become chained array folds inside one projection (zero Python,
+      whole-stage codegen).  Chaining is capped because each rule nests
+      another ``aggregate`` expression and Catalyst analysis blows past
+      its iteration/heap limits around ~100 rules.
+    - larger rule sets (the production 32k-merge case) — Arrow-batched
+      ``mapInPandas``: the broadcast rule list applies per DISTINCT word
+      with an in-batch memo cache, and a substring prefilter (a rule
+      (a, b) can only fire if ``a+b`` is a substring of the word, since
+      symbols are contiguous word substrings) skips the vast majority of
+      rules per word.  Embarrassingly parallel, zero shuffle."""
+    if len(merges) <= catalyst_max_rules:
+        toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        word_syms = F.transform(toks, lambda w: F.split(w, ""))
+
+        def apply_rule(a: str, b: str):
+            # closure factory: pyspark reads the lambda's arity, so
+            # default-arg capture would look like a 3-arg HOF
+            return lambda s: _merge_pair_in_array(s, a, b)
+
+        for a, b in merges:
+            word_syms = F.transform(word_syms, apply_rule(a, b))
+        subwords = F.flatten(word_syms)
+        return docs.select(
+            id_col,
+            subwords.alias("subwords"),
+            F.size(subwords).alias("n_subwords"),
+        )
+
+    import re as _re
+
+    rules = list(merges)
+    narrow = docs.select(id_col, text_col)
+    out_schema = f"{id_col} {dict(docs.dtypes)[id_col]}, subwords array<string>, n_subwords int"
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in rules:
+                if len(syms) < 2:
+                    break
+                if a + b not in w:
+                    continue  # symbols are contiguous substrings of w
+                syms = _merge_word_py(syms, a, b, a + b)
+            cache[w] = syms
+            return syms
+
+        tok_re = _re.compile(r"\S+")
+        for pdf in batches:
+            ids, subs, lens = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                words = tok_re.findall((text or "").lower())
+                flat: list[str] = []
+                for w in words:
+                    flat.extend(encode_word(w))
+                ids.append(i)
+                subs.append(flat)
+                lens.append(len(flat))
+            yield pd.DataFrame(
+                {id_col: ids, "subwords": subs, "n_subwords": lens}
+            )
+
+    return narrow.mapInPandas(encode_batches, schema=out_schema)
 
 
 def blocklist_hits(

@@ -1278,7 +1278,8 @@ _U32_SQL = (
                     ELSE 'test' END AS split
         FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
 )
@@ -1556,7 +1557,8 @@ def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c AS (SELECT source, gram, count(*) AS n_docs FROM g GROUP BY source, gram)
     SELECT g.doc_id, g.source,
            count(*) AS n_grams,
-           sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS n_boiler,
+           CAST(sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
            CAST(sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
                / count(*) AS boiler_ratio,
            (CAST(sum(CASE WHEN c.n_docs >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
@@ -1704,9 +1706,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tok LEFT JOIN vocab v USING (token)
     )
     SELECT doc_id,
-           list(tid ORDER BY pos) AS token_ids,
+           array_to_string(list(tid ORDER BY pos), ' ') AS token_ids_str,
            count(*) AS n_tokens,
-           sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
     FROM enc
     GROUP BY doc_id
     """,
@@ -1714,9 +1716,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def encode_tokens_smallvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-level tokenization end-to-end: train a 50-token frequency-
     ranked vocabulary (ids by count DESC, token ASC) and encode every
-    document as an order-preserving ``array<int>`` with OOV → −1.  The
-    oracle hash covers the full id arrays, so ranking, join, and order
-    reassembly are all verified exactly.
+    document as an order-preserving id sequence with OOV → −1.  The id
+    array is emitted as a space-joined string (``token_ids_str``) so the
+    driver's pandas canonicalizer can sort and hash it — the full
+    sequence (ranking, join, order reassembly) is still verified exactly,
+    position by position.
 
     Scale: vocab ranking runs over the count-reduced table only; the
     corpus-side encode is a broadcast join + one doc_id shuffle."""
@@ -1725,7 +1729,7 @@ def encode_tokens_smallvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = textops.encode_tokens(docs, vocab)
     return enc.select(
         "doc_id",
-        "token_ids",
+        F.array_join("token_ids", " ").alias("token_ids_str"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_unk").cast("long").alias("n_unk"),
     )

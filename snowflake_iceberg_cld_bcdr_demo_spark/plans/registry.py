@@ -60,23 +60,43 @@ _OFFICIALLY_CHECKED: frozenset[str] = frozenset({
 
 
 def _officially_checked() -> frozenset[str]:
-    """The hardcoded r01/r02 set plus every query name found in any
-    ``CORRECTNESS_r*.json`` at the repo root — so each round's newly
+    """The hardcoded r01/r02 set plus every query name whose *latest*
+    appearance in a ``CORRECTNESS_r*.json`` at the repo root PASSED
+    (rows/schema/hash all matched, no error) — so each round's newly
     certified queries automatically rotate behind the still-unchecked
-    ones next round, with no registry edit."""
+    ones next round, while a query that FAILED its official check
+    re-fronts the driver's bounded window until it is re-certified."""
     import glob
     import json
+    import re
     from pathlib import Path
 
-    names = set(_OFFICIALLY_CHECKED)
     root = Path(__file__).resolve().parent.parent.parent
-    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+
+    def round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else 0
+
+    # Latest round wins: walk files in round order, overwrite per-name status.
+    latest: dict[str, bool] = {name: True for name in _OFFICIALLY_CHECKED}
+    for p in sorted(glob.glob(str(root / "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(p) as f:
-                names.update(json.load(f).keys())
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return frozenset(names)
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            latest[name] = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") in (None, "")
+            )
+    return frozenset(name for name, passed in latest.items() if passed)
 
 
 def _collect() -> dict[str, QuerySpec]:

@@ -623,13 +623,20 @@ class LakehouseCatalog:
         timestamp) additionally RETAINS every snapshot committed at or
         after it, regardless of ``keep_last``: age is the retention
         contract ops teams actually set ("keep 7 days"), count is the
-        floor."""
+        floor.
+
+        The current MAIN head is always retained — Iceberg never expires
+        the current snapshot, even at ``keep_last=0`` — so the default
+        read path and ``describe_table`` always agree on a live head."""
         import shutil
 
         for _ in range(COMMIT_RETRIES):
             manifest, base_version = self._read_manifest_versioned(namespace, table)
             snaps = manifest["snapshots"]
             retained = snaps[-keep_last:] if keep_last > 0 else []
+            main = [s for s in snaps if not s.get("branch")]
+            if main:
+                retained = retained + [main[-1]]
             if older_than is not None:
                 retained = retained + [
                     s for s in snaps if s["committed_at"] >= older_than
@@ -1247,8 +1254,12 @@ class LakehouseCatalog:
         rewritten dirs are cleaned up).
 
         Scale: bounds skip untouched dirs entirely; each affected dir is
-        one read + filtered write, embarrassingly parallel across dirs."""
+        one read + filtered write, run CONCURRENTLY across dirs on a
+        thread pool (Spark's scheduler interleaves the per-dir jobs, so
+        a purge touching N dirs costs ~N/pool sequential job latencies,
+        not N — dir claims are atomic mkdirs, so writers never collide)."""
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         manifest, base_version = self._read_manifest_versioned(namespace, table)
         snaps = manifest["snapshots"]
@@ -1273,12 +1284,18 @@ class LakehouseCatalog:
         new_cols: dict[str, list[str]] = {}
         new_blooms: dict[str, dict] = {}
         tpath = self._table_path(namespace, table)
-        for d in live:
-            if not all(
+        affected = [
+            d
+            for d in live
+            if all(
                 self._dir_survives(dir_stats.get(d, {}), c, op, v)
                 for c, op, v in filters
-            ):
-                continue  # bounds prove no row matches: untouched
+            )  # bounds could not rule the dir out
+        ]
+
+        def rewrite(d: str):
+            """Rewrite one dir without the matching rows; returns None
+            when nothing matched (rewrite discarded)."""
             df = self._read_dirs_clean(namespace, table, [d], manifest)
             old_n = dir_rows.get(d)
             if old_n is None:
@@ -1288,7 +1305,7 @@ class LakehouseCatalog:
             )
             if added == old_n:
                 shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
-                continue  # nothing matched in this dir
+                return None  # nothing matched in this dir
             if added == 0:
                 # empty rewrite: keep an explicit empty schema-bearing file
                 shutil.rmtree(os.path.join(tpath, nd), ignore_errors=True)
@@ -1296,15 +1313,29 @@ class LakehouseCatalog:
                 self.spark.createDataFrame([], df.schema).repartition(
                     1
                 ).write.mode("overwrite").parquet(os.path.join(tpath, nd))
+            blooms = (
+                self._build_dir_blooms(
+                    os.path.join(tpath, nd), manifest["bloom"], dict(df.dtypes)
+                )
+                if manifest.get("bloom") and added
+                else None
+            )
+            return nd, added, old_n, stats, list(df.columns), blooms
+
+        pool = min(8, len(affected)) or 1
+        with ThreadPoolExecutor(max_workers=pool) as ex:
+            results = list(ex.map(rewrite, affected))
+        for d, res in zip(affected, results):
+            if res is None:
+                continue
+            nd, added, old_n, stats, cols, blooms = res
             mapping[d] = nd
             new_rows[d] = added
             removed[d] = old_n - added
             new_stats[d] = stats
-            new_cols[d] = list(df.columns)
-            if manifest.get("bloom") and added:
-                new_blooms[d] = self._build_dir_blooms(
-                    os.path.join(tpath, nd), manifest["bloom"], dict(df.dtypes)
-                )
+            new_cols[d] = cols
+            if blooms is not None:
+                new_blooms[d] = blooms
         if not mapping:
             return {"removed_rows": 0, "rewritten_dirs": 0, "unchanged_dirs": len(live)}
 
@@ -2062,7 +2093,11 @@ class LakehouseCatalog:
             main = [s for s in snaps if not s.get("branch")]
             if not main:
                 raise ValueError(f"{namespace}.{table} has no main snapshots")
-            return main[-1]
+            # the head can only be expired in legacy manifests written
+            # before expire_snapshots pinned it; prefer the newest live
+            # main snapshot so reads agree with describe_table
+            live = [s for s in main if not s.get("expired")]
+            return (live or main)[-1]
         if not 1 <= snapshot_id <= len(snaps):
             raise ValueError(
                 f"{namespace}.{table}: snapshot_id {snapshot_id} out of range "

@@ -378,3 +378,20 @@ def test_curriculum_bins_caps_tail(spark):
     )
     got = {r.doc_id: r.bin_id for r in corpus.curriculum_bins(df).collect()}
     assert got == {1: 0, 2: 0, 3: 1, 4: 9}
+
+def test_duplicate_spans_one_row_per_doc_on_duplicate_ids(spark):
+    """Duplicate doc_ids in the input must not fan out into duplicate
+    output rows: the coverage base is distinct ids (output contract =
+    one row per doc_id)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "the same text repeated here ten times over for the span"),
+         (1, "the same text repeated here ten times over for the span"),
+         (2, "x")],
+        "doc_id long, text string",
+    )
+    out = dedup.duplicate_spans(docs, window=16, stride=4).collect()
+    assert sorted(r.doc_id for r in out) == [1, 2]
+    short = [r for r in out if r.doc_id == 2][0]
+    assert short.n_windows == 0 and short.n_dup_windows == 0

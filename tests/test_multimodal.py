@@ -276,3 +276,21 @@ def test_media_simhash_neardup_pairs(spark):
     )
     p2 = M.media_neardup_pairs(M.media_simhash(dup), max_hamming=0).collect()
     assert [(p.asset_a, p.asset_b, p.hamming) for p in p2] == [("x", "y", 0)]
+
+def test_media_neardup_default_banding_guard(spark):
+    """Defaulted bands with max_hamming >= 32 cannot honor the exact
+    pigeonhole recall contract on a 64-bit hash — must raise; explicit
+    bands opt into approximate recall."""
+    import pytest
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    df = spark.createDataFrame(
+        [("a", "image", b"\x00" * 64)],
+        "asset_id string, media_type string, content binary",
+    )
+    fp = M.media_simhash(df)
+    with pytest.raises(ValueError, match="exact recall"):
+        M.media_neardup_pairs(fp, max_hamming=32)
+    # explicit bands: allowed (approximate) — runs fine
+    assert M.media_neardup_pairs(fp, max_hamming=32, bands=16).count() == 0

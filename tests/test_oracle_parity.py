@@ -51,3 +51,42 @@ def test_oracle_bearing_queries_lead_registry_order():
             assert not seen_rows_only, f"oracle-bearing {n!r} after a rows-only entry"
         else:
             seen_rows_only = True
+
+
+def test_failed_official_rows_refront_rotation(tmp_path, monkeypatch):
+    """A query whose LATEST official CORRECTNESS row failed (hash
+    mismatch or canonicalizer error) must count as UNchecked so it
+    re-enters the driver's bounded window next round; a later passing
+    row re-certifies it.  Regression for the round-4 rotation bug where
+    merely *appearing* in a CORRECTNESS file counted as certified."""
+    import json
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import registry
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    red = dict(green, hash_match=False)
+    crashed = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": "boom"}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": green}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"b": red, "c": crashed, "d": green}))
+    # r10 sorts after r2 numerically (not lexically): 'b' re-certified there
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"b": green}))
+
+    import glob as _glob
+
+    real_glob = _glob.glob
+
+    def fake_glob(pattern):
+        return real_glob(str(tmp_path / "CORRECTNESS_r*.json"))
+
+    monkeypatch.setattr(_glob, "glob", fake_glob)
+    checked = registry._officially_checked()
+    assert "a" in checked            # passed, never contradicted
+    assert "b" in checked            # failed r02 but re-certified in r10
+    assert "c" not in checked        # latest row crashed -> recheck
+    assert "d" in checked
+    # the hardcoded r01/r02 baseline names stay certified
+    assert "q1_pricing_summary" in checked

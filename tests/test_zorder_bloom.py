@@ -407,3 +407,59 @@ def test_describe_table(spark, cat):
     assert d["bloom_filter_cols"] == ["id"]
     assert d["write_distribution"] == "hash"
     assert d["pending_mor_deletes"] == 1 and d["n_purges"] == 0
+
+
+def test_purge_multi_dir_rewrites_run_concurrently(spark, cat):
+    """A purge touching several dirs must fan the per-dir rewrites out
+    on the thread pool (not one sequential Spark job per dir) — and the
+    result must equal the serial semantics exactly."""
+    import threading
+
+    for i in range(4):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        if i == 0:
+            cat.create_table("lake", "par", df)
+        else:
+            cat.append("lake", "par", df)
+
+    seen_threads: set[str] = set()
+    orig = cat._write_data_dir
+
+    def spy(*a, **kw):
+        seen_threads.add(threading.current_thread().name)
+        return orig(*a, **kw)
+
+    cat._write_data_dir = spy
+    try:
+        out = cat.purge_rows("lake", "par", [("v", "=", 6)])
+    finally:
+        cat._write_data_dir = orig
+
+    # v == 6 hits every dir (ids 6,13,... in each 100-block)
+    assert out["rewritten_dirs"] == 4
+    assert cat.load("lake", "par").filter("v = 6").count() == 0
+    assert cat.load("lake", "par").count() == 400 - out["removed_rows"]
+    # every historical snapshot is scrubbed too
+    assert cat.load("lake", "par", snapshot_id=1).filter("v = 6").count() == 0
+    assert len(seen_threads) > 1, f"rewrites ran on one thread: {seen_threads}"
+
+
+def test_expire_keep_last_zero_pins_main_head(spark, cat):
+    """Iceberg never expires the current snapshot: keep_last=0 must
+    leave the main head live so describe_table and the default read
+    path agree."""
+    df = spark.range(10).select(F.col("id"))
+    cat.create_table("lake", "pin", df)
+    cat.append("lake", "pin", df)
+
+    out = cat.expire_snapshots("lake", "pin", keep_last=0)
+    assert out["expired_snapshots"] == [1]
+    # head readable, correct rows
+    assert cat.load("lake", "pin").count() == 20
+    desc = cat.describe_table("lake", "pin")
+    assert desc["current_snapshot_id"] == 2
+    assert desc["row_count"] == 20
+    with pytest.raises(ValueError):
+        cat.load("lake", "pin", snapshot_id=1)
