@@ -9,19 +9,36 @@ materializes every output column on the executors without collecting to
 the driver — the closest local analog of a cluster job writing results.
 (A plain ``count()`` would let Catalyst prune the computed columns and
 under-measure map-heavy queries.)
+
+Noise control: every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times
+(default 3) and the MEDIAN is reported (the shared host shows ±25%
+swings on sub-second queries with single runs); per-run detail lands in
+the ``runs`` field.
+
+Scale check: unless ``SPARK_GRAFT_SF1_SPOT=0``, the heaviest queries
+also run ONCE at a deterministic 10x scale-up of sf0.1 (generated into
+``.bench_sf1/`` on first use — no sf1 testdata ships) and the output
+carries an ``sf1_spot`` section with the observed time over
+10x-the-sf0.1-median ratio (1.0 = perfectly linear scaling).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+SF1_SPOT = os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0"
+SF1_DIR = str(REPO / ".bench_sf1")
+SF1_MULT = 10
 
 #: Headline set: the flagship + the heaviest relational shapes + one of
 #: each pipeline family (dedup / similarity / text).
@@ -44,6 +61,25 @@ HEADLINE = [
     "resample_linear_daily",
 ]
 
+#: sf1 spot-check set: the most expensive headline queries.
+SF1_SPOT_QUERIES = [
+    "order_performance",
+    "minhash_near_dup_pairs",
+    "corpus_pipeline_report",
+    "fanout_count_distinct",
+    "q1_pricing_summary",
+]
+
+
+def _time_once(spec, spark, sf_dir: str) -> float:
+    # drop any DataFrame a previous run left persisted (e.g. a query's
+    # internal signature-matrix cache): repeat runs must measure the
+    # PLAN, not a warm cache — JVM/JIT/page-cache warm-up may stay
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 3)
+
 
 def main() -> None:
     from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
@@ -57,26 +93,55 @@ def main() -> None:
     QUERY_SPECS["scalar_row_counts"].build(spark, SF_DIR).count()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = QUERY_SPECS[name]
-        t0 = time.perf_counter()
-        spec.build(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        rs = [_time_once(spec, spark, SF_DIR) for _ in range(RUNS)]
+        runs[name] = rs
+        timings[name] = round(statistics.median(rs), 3)
+        print(f"# {name}: median {timings[name]:.3f}s of {rs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    out = {
+        "metric": "headline_queries_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    if SF1_SPOT:
+        try:
+            if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+                print(f"# generating {SF1_MULT}x scale-up -> {SF1_DIR}", file=sys.stderr)
+                sys.path.insert(0, str(REPO / "tools"))
+                from make_scaled_sf import make_scaled
+
+                make_scaled(spark, SF_DIR, SF1_DIR, mult=SF1_MULT)
+            spot: dict[str, float] = {}
+            ratio: dict[str, float] = {}
+            for name in SF1_SPOT_QUERIES:
+                spot[name] = _time_once(QUERY_SPECS[name], spark, SF1_DIR)
+                base = timings.get(name) or 1e-9
+                ratio[name] = round(spot[name] / (SF1_MULT * base), 2)
+                print(
+                    f"# sf1_spot {name}: {spot[name]:.3f}s "
+                    f"({ratio[name]:.2f}x of linear)",
+                    file=sys.stderr,
+                )
+            out["sf1_spot"] = {
+                "scale_multiple": SF1_MULT,
+                "queries": spot,
+                "ratio_vs_linear": ratio,
+                "anomalies": [n for n, r in ratio.items() if r > 3.0],
             }
-        )
-    )
+        except Exception as ex:  # spot-check is best-effort; never break bench
+            out["sf1_spot"] = {"error": f"{type(ex).__name__}: {ex}"}
+            print(f"# sf1_spot failed: {ex}", file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -31,13 +31,26 @@ def secondary_heartbeat(
     grant_registry=None,
     expected_grants: list[dict] | None = None,
     scheduler=None,
+    streams: list | None = None,
+    max_live_snapshots: int = 50,
+    max_data_dirs: int = 64,
 ) -> dict:
     """One heartbeat cycle; returns the check report dict.
 
     ``grant_registry``/``expected_grants`` enable the real grant audit
     (a :class:`.grants.GrantRegistry` + declarative expected set);
-    ``scheduler`` enables the task-resume pass.  Without them the
-    corresponding checks record SKIPPED, keeping the log shape."""
+    ``scheduler`` enables the task-resume pass; ``streams`` (running
+    Structured Streaming queries) enables the ingest-stall check.
+    Without them the corresponding checks record SKIPPED, keeping the
+    log shape.
+
+    Beyond the reference's count validation (`31:289-305`) the cycle
+    also audits TABLE LIFECYCLE health from ``describe_table``'s
+    metadata-only counters: pending MoR deletes (reads pay a merge tax
+    until compacted), live-snapshot pileup > ``max_live_snapshots``
+    (expire_snapshots overdue), and data-dir pileup > ``max_data_dirs``
+    (small-file compaction overdue) — the maintenance debt that slowly
+    kills scan performance at 100 TB if nobody is alerted."""
     t0 = time.time()
     monitoring = monitoring or cld
     checks: list[dict] = []
@@ -141,7 +154,73 @@ def secondary_heartbeat(
             )
         )
 
-    # 5. resume suspended tasks (`31:328-376`): failover-group replication
+    # 5. table lifecycle audit: metadata-only describe_table counters
+    # per CLD table — pending MoR deletes, snapshot pileup, dir pileup
+    try:
+        findings: list[str] = []
+        lifecycle: dict[str, dict] = {}
+        for t in tables:
+            d = cld.describe_table(namespace, t)
+            live_snaps = d["n_snapshots"] - d["n_expired"]
+            lifecycle[t] = {
+                "pending_mor_deletes": d["pending_mor_deletes"],
+                "live_snapshots": live_snaps,
+                "n_data_dirs": d["n_data_dirs"],
+                "size_bytes": d["size_bytes"],
+                "n_purges": d["n_purges"],
+            }
+            if d["pending_mor_deletes"]:
+                findings.append(f"{t}: {d['pending_mor_deletes']} MoR delete dirs pending compaction")
+            if live_snaps > max_live_snapshots:
+                findings.append(f"{t}: {live_snaps} live snapshots (expire overdue)")
+            if d["n_data_dirs"] > max_data_dirs:
+                findings.append(f"{t}: {d['n_data_dirs']} data dirs (compaction overdue)")
+        checks.append(
+            dict(
+                check_type="TABLE_LIFECYCLE",
+                status="SUCCESS" if not findings else "WARNING",
+                details="; ".join(findings) if findings else f"lifecycle={lifecycle}",
+                cld_table_count=len(tables),
+            )
+        )
+    except Exception as exc:  # noqa: BLE001
+        checks.append(
+            dict(check_type="TABLE_LIFECYCLE", status="FAILED", error_msg=str(exc)[:500])
+        )
+
+    # 6. streaming ingest progress: stalls surface exactly like sync lag
+    if streams is not None:
+        from ..streaming.events import query_progress_frame
+
+        try:
+            stalled: list[str] = []
+            for q in streams:
+                frame = query_progress_frame(spark, q).collect()
+                if not q.isActive:
+                    stalled.append(f"{q.id}: not active")
+                elif frame and all(r.num_input_rows == 0 for r in frame[-3:]):
+                    stalled.append(f"{q.id}: no input rows in last {min(len(frame), 3)} batches")
+            checks.append(
+                dict(
+                    check_type="STREAM_PROGRESS",
+                    status="SUCCESS" if not stalled else "WARNING",
+                    details="; ".join(stalled) if stalled else f"{len(streams)} streams healthy",
+                )
+            )
+        except Exception as exc:  # noqa: BLE001
+            checks.append(
+                dict(check_type="STREAM_PROGRESS", status="FAILED", error_msg=str(exc)[:500])
+            )
+    else:
+        checks.append(
+            dict(
+                check_type="STREAM_PROGRESS",
+                status="SKIPPED",
+                details="no streaming queries attached",
+            )
+        )
+
+    # 7. resume suspended tasks (`31:328-376`): failover-group replication
     # lands tasks suspended on the secondary; the heartbeat resumes them
     if scheduler is not None:
         try:
@@ -187,7 +266,33 @@ def secondary_heartbeat(
 
 def dr_readiness(spark: SparkSession, monitoring: LakehouseCatalog) -> dict:
     """DR-readiness rollup (`31:663-682`): latest-24h MAX(CASE) per check
-    type over the heartbeat log + most recent heartbeat timestamp (A15)."""
+    type over the heartbeat log + most recent heartbeat timestamp (A15).
+
+    Lifecycle and streaming checks roll up alongside the reference's
+    link/view checks: ``lifecycle_clean`` / ``streams_clean`` are True
+    when the newest 24h saw at least one SUCCESS (or only SKIPPED) of
+    the corresponding check — maintenance debt and ingest stalls gate
+    DR readiness in ``maintenance_ready``, reported separately from the
+    reference's ``dr_ready`` contract (which keeps its original
+    link+view meaning)."""
+
+    def ok(check: str):
+        return F.max(
+            F.when(
+                (F.col("check_type") == check) & (F.col("status") == "SUCCESS"),
+                True,
+            ).otherwise(False)
+        )
+
+    def seen(check: str):
+        # the check produced a non-SKIPPED row at all in the window
+        return F.max(
+            F.when(
+                (F.col("check_type") == check) & (F.col("status") != "SKIPPED"),
+                True,
+            ).otherwise(False)
+        )
+
     ensure_log_table(monitoring, "secondary_heartbeat_log", HEARTBEAT_LOG_SCHEMA)
     log = monitoring.load(MONITORING_NS, "secondary_heartbeat_log")
     recent = log.filter(
@@ -195,27 +300,25 @@ def dr_readiness(spark: SparkSession, monitoring: LakehouseCatalog) -> dict:
         > F.current_timestamp() - F.expr("INTERVAL 24 HOURS")
     )
     row = recent.agg(
-        F.max(
-            F.when(
-                (F.col("check_type") == "CLD_LINK_STATUS") & (F.col("status") == "SUCCESS"),
-                True,
-            ).otherwise(False)
-        ).alias("cld_ready"),
-        F.max(
-            F.when(
-                (F.col("check_type") == "PROD_VIEW_VALIDATION")
-                & (F.col("status") == "SUCCESS"),
-                True,
-            ).otherwise(False)
-        ).alias("prod_ready"),
+        ok("CLD_LINK_STATUS").alias("cld_ready"),
+        ok("PROD_VIEW_VALIDATION").alias("prod_ready"),
+        ok("TABLE_LIFECYCLE").alias("lifecycle_ok"),
+        seen("TABLE_LIFECYCLE").alias("lifecycle_seen"),
+        ok("STREAM_PROGRESS").alias("streams_ok"),
+        seen("STREAM_PROGRESS").alias("streams_seen"),
         F.max("heartbeat_timestamp").alias("last_heartbeat"),
         F.count(F.lit(1)).alias("heartbeats_24h"),
     ).collect()[0]
     ready = bool(row.cld_ready and row.prod_ready)
+    lifecycle_clean = bool(row.lifecycle_ok) or not bool(row.lifecycle_seen)
+    streams_clean = bool(row.streams_ok) or not bool(row.streams_seen)
     return {
         "dr_ready": ready,
         "cld_ready": bool(row.cld_ready),
         "prod_ready": bool(row.prod_ready),
+        "lifecycle_clean": lifecycle_clean,
+        "streams_clean": streams_clean,
+        "maintenance_ready": ready and lifecycle_clean and streams_clean,
         "last_heartbeat": str(row.last_heartbeat),
         "heartbeats_24h": row.heartbeats_24h,
     }

@@ -20,6 +20,7 @@ from .media import (
     decode_images,
     encode_image_header,
     frame_sample_plan,
+    image_byte_stats,
     image_dimensions,
     image_header,
     pack_shards,
@@ -35,6 +36,7 @@ __all__ = [
     "decode_images",
     "encode_image_header",
     "frame_sample_plan",
+    "image_byte_stats",
     "image_dimensions",
     "image_header",
     "pack_shards",

@@ -1101,6 +1101,72 @@ def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "image_byte_profile",
+    """
+    WITH payload AS (
+        SELECT doc_id, repeat(md5(CAST(doc_id AS VARCHAR)), 4) AS s
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, t.i AS pos,
+               ascii(substring(s, CAST(t.i AS INTEGER) + 1, 1)) AS byte
+        FROM payload CROSS JOIN range(128) t(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bytes,
+           CAST(SUM(byte) AS DOUBLE) / COUNT(*) AS mean_byte,
+           CAST(COUNT(DISTINCT byte) AS BIGINT) AS n_distinct_bytes,
+           CAST(SUM(CASE WHEN pos < 32 THEN byte END) AS DOUBLE) / 32 AS seg0,
+           CAST(SUM(CASE WHEN pos >= 32 AND pos < 64 THEN byte END) AS DOUBLE) / 32 AS seg1,
+           CAST(SUM(CASE WHEN pos >= 64 AND pos < 96 THEN byte END) AS DOUBLE) / 32 AS seg2,
+           CAST(SUM(CASE WHEN pos >= 96 THEN byte END) AS DOUBLE) / 32 AS seg3
+    FROM b GROUP BY doc_id
+    """,
+)
+def image_byte_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-statistic decode proxy, oracle-certified end to end: a
+    deterministic 128-byte ASCII payload per document (md5 hex repeated)
+    runs through the pure-Catalyst byte pipeline — binary → hex → 2-char
+    groups → base-16 conv → row-local aggregates (`multimodal.media.
+    _byte_array`, the machinery behind `image_byte_stats` /
+    `decode_images(strict=True)`) — while DuckDB recomputes the same
+    statistics via an INDEPENDENT route (per-position ``ascii()``), so
+    any bug in the hex/conv/fold chain hash-mismatches.  Integer sums
+    divide once into doubles → bit-identical across engines.
+
+    Scale: one narrow codegen'd projection over the scan — zero
+    shuffles, zero Python workers."""
+    from ..multimodal.media import _byte_array
+
+    docs = table(spark, sf_dir, "documents")
+    payload = F.repeat(F.md5(F.col("doc_id").cast("string")), 4)
+    ba = _byte_array(F.encode(payload, "UTF-8"))
+
+    def seg_mean(i: int):
+        seg = F.slice(ba, i * 32 + 1, 32)
+        return (
+            F.aggregate(seg, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            / F.lit(32)
+        )
+
+    return docs.select(
+        "doc_id",
+        F.size(ba).cast("long").alias("n_bytes"),
+        (
+            F.aggregate(ba, F.lit(0).cast("long"), lambda a, x: a + x)
+            .cast("double")
+            / F.size(ba)
+        ).alias("mean_byte"),
+        F.size(F.array_distinct(ba)).cast("long").alias("n_distinct_bytes"),
+        seg_mean(0).alias("seg0"),
+        seg_mean(1).alias("seg1"),
+        seg_mean(2).alias("seg2"),
+        seg_mean(3).alias("seg3"),
+    )
+
+
+@_spec(
     "image_dimensions",
     """
     SELECT doc_id,

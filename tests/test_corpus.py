@@ -395,3 +395,20 @@ def test_duplicate_spans_one_row_per_doc_on_duplicate_ids(spark):
     assert sorted(r.doc_id for r in out) == [1, 2]
     short = [r for r in out if r.doc_id == 2][0]
     assert short.n_windows == 0 and short.n_dup_windows == 0
+
+def test_minhash_rowlocal_matches_groupby_signatures(spark):
+    """The shuffle-free signature fold must be bit-identical to the
+    explode+groupBy matrix (same md5 halves, same hash family, same
+    MIN multiset)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = dedup.minhash_signatures(
+        dedup.char_shingles(docs, dedup_shingles=False), num_hashes=16
+    )
+    b = dedup.minhash_signatures_rowlocal(docs, num_hashes=16)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    # and it truly has no exchange
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

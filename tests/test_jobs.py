@@ -95,6 +95,41 @@ def test_heartbeat_checks(spark, stack):
     ready = heartbeat.dr_readiness(spark, stack["cat"])
     assert ready["cld_ready"] is True
     assert ready["heartbeats_24h"] >= 8  # two runs × 4 checks
+    # lifecycle counters rolled in (all tables healthy here); streams
+    # never attached -> SKIPPED counts as clean, maintenance_ready holds
+    assert ready["lifecycle_clean"] is True
+    assert ready["streams_clean"] is True
+    assert ready["maintenance_ready"] is (ready["dr_ready"] and True)
+
+
+def test_heartbeat_lifecycle_flags_maintenance_debt(spark, tmp_path):
+    """TABLE_LIFECYCLE warns (not fails) on pending MoR deletes, and the
+    counters land in the heartbeat log for trend queries."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh_lc"), name="cld")
+    ns = "lc"
+    cat.create_table(ns, "t", spark.range(20).select(F.col("id")))
+    prod = ViewRegistry(str(tmp_path / "wh_lc"), "prod_lc")
+    sync.sync_prod_database(spark, cat, ns, prod)
+    # leave an uncompacted MoR delete
+    cat.delete_where_mor(ns, "t", [("id", "=", 1)])
+
+    report = heartbeat.secondary_heartbeat(spark, cat, ns, prod)
+    assert report["status"] == "SUCCESS"  # WARNING does not fail the cycle
+    log = cat.load(MONITORING_NS, "secondary_heartbeat_log")
+    lc = log.filter(F.col("check_type") == "TABLE_LIFECYCLE").orderBy(
+        F.col("heartbeat_id").desc()
+    ).collect()
+    assert lc and lc[0].status == "WARNING"
+    assert "MoR delete dirs pending compaction" in lc[0].details
+
+    # compacting clears the debt: next cycle reports SUCCESS w/ counters
+    cat.compact(ns, "t")
+    heartbeat.secondary_heartbeat(spark, cat, ns, prod)
+    lc2 = cat.load(MONITORING_NS, "secondary_heartbeat_log").filter(
+        F.col("check_type") == "TABLE_LIFECYCLE"
+    ).orderBy(F.col("heartbeat_id").desc()).collect()
+    assert lc2[0].status == "SUCCESS"
+    assert "live_snapshots" in lc2[0].details
 
 
 def test_drift_detection_and_resync(spark, stack):
@@ -371,7 +406,7 @@ def test_heartbeat_wires_grant_audit_and_task_resume(spark, stack):
         scheduler=sched,
     )
     assert report["status"] == "SUCCESS"
-    assert report["checks_run"] == 5
+    assert report["checks_run"] == 7
     # the replicated-suspended task is running again (DR readiness)
     assert sched.tasks["sync_task"].suspended is False
     log = stack["cat"].load(MONITORING_NS, "secondary_heartbeat_log")

@@ -50,16 +50,49 @@ def test_byte_features_real_compute(assets):
     assert all(again[k].sha256 == v.sha256 for k, v in by_id.items())
 
 
-def test_decode_images_stub_gating(assets):
-    # strict=True must raise the clearly-marked stub error (no Pillow here)
-    with pytest.raises(NotImplementedError):
-        M.decode_images(assets, strict=True)
+def test_decode_images_strict_jvm_proxy(assets):
+    """strict=True without Pillow routes to the pure-JVM byte-statistic
+    proxy: no Python workers, real byte means, and value-identical
+    mean_luma to the Python stand-in path."""
+    strict = M.decode_images(assets, strict=True)
+    assert "mapInPandas" not in strict._jdf.queryExecution().analyzed().toString()
+    srows = {r.asset_id: r for r in strict.collect()}
+    n_images = assets.filter(F.col("media_type") == "image").count()
+    assert len(srows) == n_images
+    assert all(r.decoder == "jvm-proxy" for r in srows.values())
+
     decoded = M.decode_images(assets, strict=False)
     rows = decoded.collect()
-    n_images = assets.filter(F.col("media_type") == "image").count()
     assert len(rows) == n_images
     assert all(r.decoder == "fake" for r in rows)
     assert all(r.n_pixels == r.width * r.height for r in rows)
+    # both routes compute the SAME statistic (byte mean of the payload)
+    for r in rows:
+        assert abs(srows[r.asset_id].mean_luma - r.mean_luma) < 1e-9
+
+
+def test_image_byte_stats_pure_catalyst(assets, spark):
+    """Scan-segment byte statistics: all-JVM plan, exact values on a
+    known payload."""
+    stats = M.image_byte_stats(assets, segments=4)
+    plan = stats._jdf.queryExecution().analyzed().toString()
+    assert "mapInPandas" not in plan and "pythonUDF" not in plan.lower()
+    rows = stats.collect()
+    assert rows and all(r.n_bytes > 0 for r in rows)
+    assert all(0.0 <= r.distinct_byte_ratio <= 1.0 for r in rows)
+    assert all(len(r.segment_means) == 4 for r in rows)
+
+    # hand-checked payload: bytes 0..3 -> mean 1.5, 4 distinct, segment
+    # means [0, 1, 2, 3]
+    one = spark.createDataFrame(
+        [("x", "image", bytes([0, 1, 2, 3]))],
+        "asset_id string, media_type string, content binary",
+    )
+    r = M.image_byte_stats(one, segments=4).collect()[0]
+    assert r.n_bytes == 4
+    assert abs(r.mean_byte - 1.5) < 1e-9
+    assert abs(r.distinct_byte_ratio - round(4 / 256, 4)) < 1e-9
+    assert list(r.segment_means) == [0.0, 1.0, 2.0, 3.0]
 
 
 def test_resize_images_output_shape(assets):

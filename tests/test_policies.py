@@ -75,3 +75,48 @@ def test_hash_mask_and_drop(spark, pol):
     pol.drop_policies("db.users")
     raw = secured_view(_users(spark), "db.users", "anyone", pol)
     assert raw.first().email == "ann@example.com"
+
+
+def test_purge_consistent_across_catalog_paths(spark, tmp_path):
+    """GDPR purge consistency across every access path: the purged key
+    must be gone through the EXT registry (both accounts), the second
+    account's own CLD catalog binding over the shared warehouse, time
+    travel, AND the PROD views after migrate_prod_independent — no path
+    may resurrect the row."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs import bcdr, sync
+
+    wh = str(tmp_path / "wh")
+    primary = bcdr.make_account(spark, wh, "pa")
+    secondary = bcdr.make_account(spark, wh, "sa", role="replica")
+    ns = "pii"
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v"))
+    primary.catalog.create_table(ns, "users", df)
+    primary.catalog.append(ns, "users", df.withColumn("id", F.col("id") + 100))
+    primary.ext.register("EXT_USERS", ns, "users")
+    sync.sync_prod_database(spark, primary.catalog, ns, primary.prod)
+    bcdr.replicate_definitions(primary, secondary)
+
+    out = primary.catalog.purge_rows(ns, "users", [("id", "=", 42)])
+    assert out["removed_rows"] == 1
+
+    # path 1+2: EXT registry through BOTH accounts (shared storage)
+    assert primary.ext.load("EXT_USERS").filter("id = 42").count() == 0
+    assert secondary.ext.load("EXT_USERS").filter("id = 42").count() == 0
+    # path 3: the secondary's own CLD catalog binding
+    assert secondary.catalog.load(ns, "users").filter("id = 42").count() == 0
+    # path 4: time travel on either catalog cannot resurrect the row
+    assert (
+        secondary.catalog.load(ns, "users", snapshot_id=1)
+        .filter("id = 42").count() == 0
+    )
+    assert secondary.catalog.load(ns, "users").count() == 199
+
+    # path 5: PROD views after promote + migrate_prod_independent —
+    # catalog refresh (re-register) then the rebound views stay clean
+    bcdr.promote(secondary, primary)
+    bcdr.migrate_prod_independent(spark, secondary, ns)
+    sync.register_catalog_tables(spark, secondary.catalog, ns, f"cld_{secondary.name}")
+    for v in secondary.prod.apply(spark, prefix="prodsa"):
+        if v.endswith("users"):
+            assert spark.table(v).filter("id = 42").count() == 0
+            assert spark.table(v).count() == 199
