@@ -567,3 +567,108 @@ def curriculum_bins(
     ``event_value_deciles`` when data-driven boundaries are wanted."""
     b = F.floor(F.col(measure_col) / F.lit(bin_width)).cast("int")
     return df.withColumn("bin_id", F.least(b, F.lit(n_bins - 1)))
+
+
+def source_quota(
+    df: DataFrame,
+    per_source: int = 50,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic per-source quota cap (source balancing — the "don't
+    let one crawl dominate the mixture" gate): within each source, rank
+    documents by a seeded hash of the id and keep the first
+    ``per_source``.  Pure function of (seed, id) → stable under reruns
+    and corpus growth; the kept set only shrinks/grows at the quota
+    boundary.  Adds ``quota_rank`` and ``kept``.
+
+    Scale: one shuffle on the strata column; Spark's WindowGroupLimit
+    pushes the ``rank <= N`` cut below the sort, so each partition keeps
+    a bounded top-N heap instead of fully sorting — a skewed mega-source
+    costs O(n log N), not O(n log n)."""
+    from pyspark.sql import Window
+
+    u = _portable_u32(F.col(id_col), seed)
+    w = Window.partitionBy(strata_col).orderBy(u, F.col(id_col))
+    rank = F.row_number().over(w)
+    return df.select(
+        id_col,
+        strata_col,
+        rank.alias("quota_rank"),
+        (rank <= per_source).alias("kept"),
+    )
+
+
+def term_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 3,
+    max_postings: int = 20,
+) -> DataFrame:
+    """Inverted-index build: term → (document frequency, first
+    ``max_postings`` doc ids ascending).  The skeleton of scalable
+    decontamination/search — "which training docs contain this eval
+    phrase" becomes a postings lookup instead of a corpus scan.
+
+    Scale: tokens reduce to DISTINCT (term, doc) pairs map-side before
+    the ONE term shuffle; posting lists are capped (sorted collect_list
+    then slice) so no single hot term can blow a reducer — df keeps the
+    true count either way.  ``min_df`` drops the hapax tail (typically
+    ~half the vocabulary) from the index."""
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(rf"regexp_extract_all(lower({text_col}), '\\S+', 0)")
+            ).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.slice(
+                F.sort_array(F.collect_list("doc_id")), 1, max_postings
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
+def approx_distinct_audit(
+    docs: DataFrame,
+    strata_col: str = "source",
+    text_col: str = "text",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-vs-exact distinct audit per stratum: HyperLogLog++
+    (``approx_count_distinct``, mergeable O(1)-memory sketch — the only
+    way to count distincts on 100 TB without a full shuffle of the
+    distinct values) next to the exact count, with the relative error —
+    the trust-but-verify harness a pipeline runs at small scale before
+    relying on sketches at large scale.
+
+    Rows-only by design: Spark's HLL sketch is not reproducible in
+    DuckDB; the error bound (~1.04/sqrt(2^p), here rsd) is asserted in
+    pytest against the exact twin."""
+    digest = F.md5(F.col(text_col))
+    return docs.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(digest).alias("exact_distinct"),
+        F.approx_count_distinct(digest, rsd).alias("approx_distinct"),
+    ).select(
+        strata_col,
+        "n_docs",
+        "exact_distinct",
+        "approx_distinct",
+        F.round(
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_error"),
+    )

@@ -1986,6 +1986,134 @@ def duplicate_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
 
 
+@_spec(
+    "winnow_shared_spans",
+    """
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(range(1, length(nt) - 14),
+                   i -> CAST(('0x' || substring(md5(substring(nt,
+                        CAST(i AS INTEGER), 16)), 1, 8)) AS BIGINT)) AS h
+        FROM norm WHERE length(nt) >= 23
+    ),
+    fp AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(h) - 6),
+                   j -> list_min(h[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)]))))
+               AS fingerprint
+        FROM hs
+    ),
+    cross_f AS (
+        SELECT fingerprint FROM fp GROUP BY fingerprint
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    prof AS (
+        SELECT f.doc_id, count(*) AS n_fingerprints,
+               count(c.fingerprint) AS n_shared
+        FROM fp f LEFT JOIN cross_f c USING (fingerprint)
+        GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_fingerprints, 0) AS n_fingerprints,
+           coalesce(p.n_shared, 0) AS n_shared,
+           round(CAST(p.n_shared AS DOUBLE) / p.n_fingerprints, 6)
+               AS shared_fraction,
+           coalesce(CAST(p.n_shared AS DOUBLE) / p.n_fingerprints >= 0.5,
+                    FALSE) AS mostly_shared
+    FROM documents d LEFT JOIN prof p USING (doc_id)
+    """,
+)
+def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing shared-span profile (MOSS fingerprinting): min-hash of
+    each 8-window of character-16-gram hashes, so any copied run of
+    >= 23 chars is detected with CERTAINTY while keeping ~22% of
+    positions — the principled upgrade over stride sampling
+    (`duplicate_spans_profile`).  See
+    :func:`operators.dedup.winnow_span_profile`."""
+    return dedup.winnow_span_profile(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "source_quota_audit",
+    """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5('42:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+           AS BIGINT) AS quota_rank,
+           row_number() OVER (PARTITION BY source
+               ORDER BY CAST(('0x' || substring(md5('42:' ||
+                   CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+           <= 20 AS kept
+    FROM documents
+    """,
+)
+def source_quota_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (source balancing): deterministic seeded-
+    hash ranking within each source, keep the first 20 — the "no crawl
+    dominates the mixture" gate, stable under corpus growth.  See
+    :func:`operators.corpus.source_quota` (WindowGroupLimit pushes the
+    rank cut below the sort at scale)."""
+    q = corpus.source_quota(
+        table(spark, sf_dir, "documents"), per_source=20, seed=42
+    )
+    return q.select(
+        "doc_id", "source",
+        F.col("quota_rank").cast("long").alias("quota_rank"),
+        "kept",
+    )
+
+
+@_spec(
+    "term_postings_index",
+    """
+    WITH pairs AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+            FROM documents
+        ) GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ' ')
+               AS postings_str
+    FROM pairs GROUP BY term HAVING COUNT(*) >= 3
+    """,
+)
+def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + capped sorted
+    posting list — the skeleton of postings-based decontamination and
+    search.  Map-side (term, doc) dedup before the one term shuffle;
+    capped lists bound reducer memory on hot terms.  See
+    :func:`operators.corpus.term_postings`."""
+    idx = corpus.term_postings(
+        table(spark, sf_dir, "documents"), min_df=3, max_postings=20
+    )
+    return idx.select(
+        "term",
+        "df",
+        "total_tf",
+        F.array_join(
+            F.transform(F.col("postings"), lambda d: d.cast("string")), " "
+        ).alias("postings_str"),
+    )
+
+
+@_spec("approx_distinct_audit", None)
+def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch vs exact distinct per source with relative
+    error — rows-only (Spark's HLL is not DuckDB-reproducible); the
+    error bound is pytest-asserted against the exact twin.  See
+    :func:`operators.corpus.approx_distinct_audit`."""
+    return corpus.approx_distinct_audit(table(spark, sf_dir, "documents"))
+
+
 @_spec("bpe_train_small", None)
 def bpe_train_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over the corpus —

@@ -412,3 +412,85 @@ def test_minhash_rowlocal_matches_groupby_signatures(spark):
     # and it truly has no exchange
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+def test_winnowing_guarantee_and_selectivity(spark):
+    """Winnowing's detection guarantee: two docs sharing a substring of
+    length >= k + window - 1 MUST share at least one fingerprint; docs
+    with no long shared run share none; and selection keeps far fewer
+    than all positions."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text then " + shared + " and some trailing words"),
+            (2, "totally different start " + shared + " different ending"),
+            (3, "no overlap here at all just independent content words"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = dedup.winnow_fingerprints(docs, k=16, window=8)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fp.groupBy("doc_id")
+        .agg(F.collect_set("fingerprint").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "shared >=23-char run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # selectivity: far fewer fingerprints than k-gram positions
+    n_positions = len(
+        "intro text then " + shared + " and some trailing words"
+    ) - 15
+    assert len(by_doc[1]) < n_positions / 2
+
+    profile = {r.doc_id: r for r in dedup.winnow_span_profile(docs, k=16, window=8).collect()}
+    assert profile[1].n_shared > 0 and profile[3].n_shared == 0
+    assert profile[3].shared_fraction == 0.0
+
+
+def test_source_quota_deterministic_cap(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 3)) for i in range(100)],
+        "doc_id long, source string",
+    )
+    q = corpus.source_quota(docs, per_source=10, seed=42)
+    kept = q.filter("kept").groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in kept} == {"s0": 10, "s1": 10, "s2": 10}
+    # determinism across reruns
+    a = sorted((r.doc_id, r.quota_rank) for r in q.collect())
+    b = sorted(
+        (r.doc_id, r.quota_rank)
+        for r in corpus.source_quota(docs, per_source=10, seed=42).collect()
+    )
+    assert a == b
+    # a source smaller than the quota keeps everything
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert corpus.source_quota(small, per_source=10).filter("kept").count() == 2
+
+
+def test_term_postings_caps_and_df(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "common " + ("rare " if i == 0 else "word ") * 3) for i in range(30)],
+        "doc_id long, text string",
+    )
+    idx = {r.term: r for r in corpus.term_postings(docs, min_df=2, max_postings=5).collect()}
+    assert "rare" not in idx  # df=1 < min_df
+    assert idx["common"].df == 30
+    assert len(idx["common"].postings) == 5  # capped
+    assert list(idx["common"].postings) == [0, 1, 2, 3, 4]  # sorted ascending
+    assert idx["word"].total_tf == 29 * 3
+
+
+def test_approx_distinct_error_within_bound(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = corpus.approx_distinct_audit(docs, rsd=0.05).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_error <= 0.15, f"{r.source}: rel_error {r.rel_error}"
