@@ -153,13 +153,24 @@ def minhash_signatures_rowlocal(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 16, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature into `bands` groups of `num_hashes//bands` rows;
     docs sharing any band key become candidate pairs (doc_a < doc_b).
 
     Scale: the join is per-band-key (self-join on md5 band digest), so
-    work is proportional to collisions, not |docs|²."""
+    work is proportional to collisions, not |docs|².  The residual skew
+    risk is a HOT BUCKET: one band key shared by B docs yields B²/2
+    pairs — a boilerplate page duplicated 10⁶ times would emit 5·10¹¹
+    pairs from a single key.  ``max_band_bucket`` drops band keys with
+    more than that many members before the self-join (such mega-groups
+    are near-certain exact-duplicate clusters, which
+    :func:`neardup_skewsafe` handles by collapsing them FIRST and
+    keeping the quadratic term symbolic); ``None`` keeps the exact
+    all-collisions contract the oracle checks."""
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -170,6 +181,15 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    if max_band_bucket is not None:
+        from pyspark.sql import Window
+
+        # bucket-size count rides the same (band, key) partitioning the
+        # self-join needs — no extra shuffle
+        n = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+        banded = banded.withColumn("_bn", n).filter(
+            F.col("_bn") <= max_band_bucket
+        ).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -221,6 +241,64 @@ def minhash_similarity(
             "doc_a",
             "doc_b",
             F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def neardup_skewsafe(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Skew-safe near-dup pipeline: collapse EXACT duplicates to one
+    canonical document (min id per content hash) BEFORE MinHash+LSH, so
+    a page duplicated a million times contributes ONE row to the band
+    join instead of a 10¹²-pair hot bucket — the quadratic term stays
+    symbolic as ``pair_weight = copies_a × copies_b`` (how many
+    underlying doc pairs each canonical pair represents).
+
+    This is the composition a 100 TB corpus actually runs: exact dedup
+    is a cheap uniform-key groupBy; near-dup then only sees distinct
+    texts, whose band buckets are collision-sized, not popularity-sized.
+
+    Output: (doc_a, doc_b, est_jaccard, copies_a, copies_b,
+    pair_weight) over canonical ids."""
+    th = F.md5(normalized_text(F.col(text_col)))
+    canon = docs.groupBy(th.alias("th")).agg(
+        F.min(F.col(id_col)).alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    cdocs = canon.select("doc_id", "n_copies").join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        "doc_id",
+    )
+    sim = minhash_similarity(
+        cdocs.select("doc_id", "text"), k=k, num_hashes=num_hashes, bands=bands
+    )
+    copies = cdocs.select("doc_id", "n_copies")
+    return (
+        sim.join(
+            copies.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            copies.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            "copies_a",
+            "copies_b",
+            (F.col("copies_a") * F.col("copies_b")).cast("long").alias("pair_weight"),
         )
     )
 

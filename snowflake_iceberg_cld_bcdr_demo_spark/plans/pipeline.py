@@ -286,6 +286,49 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "neardup_skewsafe_pairs",
+    f"""
+    WITH canon AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS th,
+               min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents GROUP BY th
+    ),
+    norm AS (
+        SELECT c.doc_id,
+               trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS norm_text
+        FROM canon c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, length(norm_text) - 6),
+                                     i -> substring(norm_text, CAST(i AS INTEGER), 8)))
+                   AS shingle
+        FROM norm WHERE length(norm_text) >= 8
+    ),
+    {_SIG_CTE}, {_BAND_CTE}
+    SELECT p.doc_a, p.doc_b,
+           ROUND(({_AGREE}) / 16.0, 4) AS est_jaccard,
+           ca.n_copies AS copies_a, cb.n_copies AS copies_b,
+           CAST(ca.n_copies * cb.n_copies AS BIGINT) AS pair_weight
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc_id
+    JOIN sig sb ON p.doc_b = sb.doc_id
+    JOIN canon ca ON p.doc_a = ca.doc_id
+    JOIN canon cb ON p.doc_b = cb.doc_id
+    """,
+)
+def neardup_skewsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe near-dup: exact duplicates collapse to canonical docs
+    BEFORE the LSH band join (a million-copy page is ONE band row, its
+    quadratic pair count kept symbolic in ``pair_weight``) — the hot-
+    bucket guard a 100 TB corpus needs.  See
+    :func:`operators.dedup.neardup_skewsafe`."""
+    return dedup.neardup_skewsafe(
+        table(spark, sf_dir, "documents"), k=8, num_hashes=16, bands=4
+    )
+
+
+@_spec(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},

@@ -86,3 +86,56 @@ def get_session() -> SparkSession:
     """Return the active session, building one with defaults if needed."""
     active = SparkSession.getActiveSession()
     return active if active is not None else build_session()
+
+
+def cluster_conf(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    dataset_tb: float = 100.0,
+    target_partition_mb: int = 192,
+) -> dict[str, str]:
+    """Recommended Spark conf for running this engine on a real cluster
+    — the sizing arithmetic the local defaults deliberately skip.
+
+    The rules (standard capacity math, parameterized so ops can rerun
+    it per deployment):
+
+    - ``shuffle.partitions`` — compressed shuffle bytes / target
+      partition size, floored at 2 x total cores so every core has work
+      even on small stages; AQE coalesces down at runtime, so erring
+      high is cheap and erring low (spilling) is not.
+    - ``files.maxPartitionBytes`` — scan split size; 192 MB keeps
+      row-group alignment for 128-256 MB parquet files.
+    - ``advisoryPartitionSizeInBytes`` — what AQE coalesces toward.
+    - ``autoBroadcastJoinThreshold`` — sized to a small fraction of
+      executor memory; every dim-table join in this engine fits far
+      below it, and the fact-fact joins are never broadcast anyway.
+    - skew-join thresholds — let AQE split any shuffle partition > 2 x
+      the advisory size (hot LSH bands, hot join keys).
+    """
+    total_cores = executors * cores_per_executor
+    # compressed shuffle is typically ~1/3 of raw scanned bytes for the
+    # agg/join-heavy shapes here; conservative 0.5 sizing factor
+    shuffle_bytes = dataset_tb * (1 << 40) * 0.5
+    parts = max(int(shuffle_bytes / (target_partition_mb << 20)), 2 * total_cores)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb << 20),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_partition_mb << 20),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            2 * (target_partition_mb << 20)
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(
+            min(256 << 20, (executor_mem_gb << 30) // 64)
+        ),
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+    }

@@ -1324,7 +1324,21 @@ class LakehouseCatalog:
 
         pool = min(8, len(affected)) or 1
         with ThreadPoolExecutor(max_workers=pool) as ex:
-            results = list(ex.map(rewrite, affected))
+            futures = [ex.submit(rewrite, d) for d in affected]
+            results, first_err = [], None
+            for f in futures:
+                try:
+                    results.append(f.result())
+                except Exception as exc:  # noqa: BLE001
+                    first_err = first_err or exc
+                    results.append(None)
+        if first_err is not None:
+            # no partial state: discard every dir the successful
+            # rewrites claimed, then surface the first failure
+            for res in results:
+                if res:
+                    shutil.rmtree(os.path.join(tpath, res[0]), ignore_errors=True)
+            raise first_err
         for d, res in zip(affected, results):
             if res is None:
                 continue

@@ -494,3 +494,52 @@ def test_approx_distinct_error_within_bound(spark):
     assert rows
     for r in rows:
         assert r.rel_error <= 0.15, f"{r.source}: rel_error {r.rel_error}"
+
+def test_lsh_band_bucket_cap_drops_hot_keys(spark):
+    """A hot band bucket (many identical docs) explodes quadratically;
+    max_band_bucket drops those keys while distinct near-dups survive."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    hot = [(i, "exact same boilerplate page content repeated everywhere") for i in range(40)]
+    near = [
+        (100, "a genuinely distinct document about rivers and mountains"),
+        (101, "a genuinely distinct document about rivers and mountain"),
+    ]
+    docs = spark.createDataFrame(hot + near, "doc_id long, text string")
+    sig = dedup.minhash_signatures(
+        dedup.char_shingles(docs, dedup_shingles=False), num_hashes=16
+    )
+    uncapped = dedup.lsh_candidate_pairs(sig, 16, 4).count()
+    capped = dedup.lsh_candidate_pairs(sig, 16, 4, max_band_bucket=10)
+    rows = capped.collect()
+    assert uncapped >= 40 * 39 // 2  # the hot cluster's quadratic pairs
+    assert (100, 101) in {(r.doc_a, r.doc_b) for r in rows}  # near-dups kept
+    assert all(r.doc_a >= 100 for r in rows)  # hot bucket gone
+
+
+def test_neardup_skewsafe_collapses_exact_dups(spark):
+    """Exact duplicates collapse to ONE canonical row before banding;
+    the quadratic pair count stays symbolic in pair_weight."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    dup_text = "the exact same boilerplate page content repeated"
+    docs = spark.createDataFrame(
+        [(i, dup_text) for i in range(30)]
+        + [
+            (200, "some distinct text about oceans and tides and shores"),
+            (201, "some distinct text about oceans and tides and shore"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.neardup_skewsafe(docs).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    # no pair between exact copies (they are one canonical doc now)
+    assert all(not (a < 30 and b < 30) for a, b in pairs)
+    assert (200, 201) in pairs
+    r = pairs[(200, 201)]
+    assert r.copies_a == 1 and r.copies_b == 1 and r.pair_weight == 1
+    # the canonical of the 30-copy cluster carries its weight when paired
+    canon_pairs = [r for (a, b), r in pairs.items() if a == 0 or b == 0]
+    for r in canon_pairs:
+        assert max(r.copies_a, r.copies_b) == 30
+        assert r.pair_weight == 30 * min(r.copies_a, r.copies_b)

@@ -75,3 +75,22 @@ def test_failfast_rejects_malformed(spark, tmp_path):
     # PERMISSIVE quarantines instead
     ok = ingest.read_csv(spark, str(bad), schema, mode="PERMISSIVE")
     assert ok.count() == 1 and ok.collect()[0].budget_usd is None
+
+
+def test_cluster_conf_sizing_arithmetic():
+    """cluster_conf's capacity math: partition count covers the data at
+    the target size, never starves cores, and broadcast stays a small
+    fraction of executor memory."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=4,
+                        executor_mem_gb=16, dataset_tb=100.0)
+    parts = int(conf["spark.sql.shuffle.partitions"])
+    assert parts >= 2 * 1000 * 4                      # cores never starve
+    # 100 TB * 0.5 / 192MB ≈ 273k partitions
+    assert 200_000 <= parts <= 400_000
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 192 << 20
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) <= 256 << 20
+    # a tiny cluster/dataset still floors at 2x cores
+    small = cluster_conf(executors=2, cores_per_executor=4, dataset_tb=0.001)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16

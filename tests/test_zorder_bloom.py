@@ -463,3 +463,43 @@ def test_expire_keep_last_zero_pins_main_head(spark, cat):
     assert desc["row_count"] == 20
     with pytest.raises(ValueError):
         cat.load("lake", "pin", snapshot_id=1)
+
+
+def test_purge_partial_failure_leaves_no_partial_state(spark, cat):
+    """If one dir rewrite fails mid-purge, the purge raises, the table
+    is untouched (manifest unchanged, all rows readable), and the dirs
+    claimed by the successful rewrites are discarded."""
+    for i in range(3):
+        df = spark.range(i * 50, (i + 1) * 50).select(
+            F.col("id"), (F.col("id") % 7).alias("v")
+        )
+        if i == 0:
+            cat.create_table("lake", "pfail", df)
+        else:
+            cat.append("lake", "pfail", df)
+    before = cat._read_manifest("lake", "pfail")
+
+    orig = cat._write_data_dir
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("disk full")
+        return orig(*a, **kw)
+
+    cat._write_data_dir = flaky
+    try:
+        with pytest.raises(RuntimeError, match="disk full"):
+            cat.purge_rows("lake", "pfail", [("v", "=", 3)])
+    finally:
+        cat._write_data_dir = orig
+
+    after = cat._read_manifest("lake", "pfail")
+    assert after == before  # manifest untouched
+    assert cat.load("lake", "pfail").count() == 150  # nothing lost
+    assert cat.load("lake", "pfail").filter("v = 3").count() > 0
+    # a clean retry then succeeds end-to-end
+    out = cat.purge_rows("lake", "pfail", [("v", "=", 3)])
+    assert out["removed_rows"] > 0
+    assert cat.load("lake", "pfail").filter("v = 3").count() == 0
