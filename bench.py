@@ -59,6 +59,8 @@ HEADLINE = [
     "session_window_rollup",
     "html_extract_stats",
     "resample_linear_daily",
+    "winnow_shared_spans",
+    "neardup_skewsafe_pairs",
 ]
 
 #: sf1 spot-check set: the most expensive headline queries.
