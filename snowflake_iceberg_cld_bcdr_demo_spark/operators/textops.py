@@ -550,6 +550,68 @@ def bpe_encode(
     return narrow.mapInPandas(encode_batches, schema=out_schema)
 
 
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unigram language-model quality score (the CCNet-style signal:
+    rank documents by how probable their tokens are under a corpus LM —
+    gibberish and boilerplate-with-rare-tokens score low): per document,
+    the mean over token positions of ``ln(count(token) / total_tokens)``
+    trained on the same corpus.  Every corpus token has count >= 1, so
+    no OOV smoothing is needed for self-scoring; to score against an
+    external LM, substitute the counts table.
+
+    Float determinism: the log-sum folds in EXPLICIT position order on
+    both engines (Spark ``aggregate`` over the position-sorted array,
+    DuckDB ordered aggregate), the probability is one exact-int double
+    division, and the mean divides once — bit-identical cross-engine
+    (the PSI precedent).
+
+    Scale: ONE map-side-combined token-count shuffle (vocab-sized
+    output), one token-key join (hot tokens are fine — the join fans
+    out, never collects), one doc_id shuffle for the ordered fold.
+    Per-doc state is bounded by document length."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+        ).alias("pos", "token"),
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    scored = tok.join(counts, "token").crossJoin(F.broadcast(total))
+    logsum = F.aggregate(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("pos"),
+                    (F.col("c").cast("double") / F.col("total").cast("double")).alias(
+                        "p"
+                    ),
+                )
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + F.log(x["p"]),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        logsum.alias("_ls"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(F.col("_ls") / F.col("n_tokens"), 8).alias("avg_logprob"),
+        )
+    )
+
+
 def blocklist_hits(
     docs: DataFrame,
     terms: list[str],

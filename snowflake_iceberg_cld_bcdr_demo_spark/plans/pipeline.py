@@ -2148,6 +2148,41 @@ def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_spec(
+    "lm_quality_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, t[CAST(pos AS INTEGER)] AS token
+        FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM toks)
+    ),
+    counts AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT sum(c) AS total FROM counts),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) ORDER BY pos)
+                   AS ls
+        FROM tok JOIN counts USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tokens, 0) AS n_tokens,
+           round(p.ls / p.n_tokens, 8) AS avg_logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score per document (CCNet-style perplexity
+    ranking): mean position-ordered ``ln p(token)`` under the corpus'
+    own unigram distribution — gibberish and rare-token boilerplate
+    score low.  Log-sums fold in explicit position order on both
+    engines so the doubles are bit-identical.  See
+    :func:`operators.textops.unigram_logprob`."""
+    return textops.unigram_logprob(table(spark, sf_dir, "documents"))
+
+
 @_spec("approx_distinct_audit", None)
 def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch vs exact distinct per source with relative

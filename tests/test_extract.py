@@ -231,3 +231,22 @@ def test_bpe_train_production_scale_job_count(spark):
     enc = textops.bpe_encode(docs.limit(5), merges)
     rows = enc.collect()
     assert len(rows) == 5 and all(r.n_subwords > 0 for r in rows)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc corpus with known counts: p(a)=3/6, p(b)=2/6, p(c)=1/6."""
+    import math
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in textops.unigram_logprob(docs).collect()}
+    pa, pb, pc = 3 / 6, 2 / 6, 1 / 6
+    want1 = (math.log(pa) + math.log(pa) + math.log(pb)) / 3
+    want2 = (math.log(pa) + math.log(pb) + math.log(pc)) / 3
+    assert abs(out[1].avg_logprob - round(want1, 8)) < 1e-8
+    assert abs(out[2].avg_logprob - round(want2, 8)) < 1e-8
+    assert out[1].avg_logprob > out[2].avg_logprob  # common tokens score higher
+    assert out[3].n_tokens == 0 and out[3].avg_logprob is None
