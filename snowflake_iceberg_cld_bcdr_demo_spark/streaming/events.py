@@ -118,6 +118,66 @@ def stream_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicates([*key_cols, ts_col])
 
 
+def stream_content_admit(
+    docs_stream: DataFrame,
+    catalog: LakehouseCatalog,
+    namespace: str,
+    corpus_table: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    ts_col: str = "ingested_at",
+    watermark: str = "2 hours",
+    available_now: bool = True,
+):
+    """Streaming corpus admission: the incremental-dedup gate
+    (`operators.corpus.incremental_dedup`) as a continuous ingest.
+    Each micro-batch of candidate documents is
+
+    1. content-fingerprinted (md5 of the whitespace-normalized text),
+    2. deduplicated WITHIN the stream (``dropDuplicates`` on the
+       fingerprint under a watermark — bounded state),
+    3. anti-joined against the fingerprints already in the corpus
+       table (re-read per batch, so admissions in batch N block
+       re-admission in batch N+1),
+    4. appended with the fingerprint column, ``batch_id``-idempotent.
+
+    Scale: the per-batch anti-join is fingerprint-to-fingerprint (32-
+    byte keys, uniform), and the corpus side reads only the fingerprint
+    column (column pruning).  State never holds document text — only
+    fingerprints inside the watermark horizon.
+
+    Returns the StreamingQuery."""
+    from ..functions.text import fingerprint as _fp
+
+    deduped = (
+        docs_stream.withColumn("fingerprint", _fp(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["fingerprint"])
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fresh = batch_df
+        if catalog.table_exists(namespace, corpus_table):
+            seen = catalog.load(namespace, corpus_table).select("fingerprint")
+            fresh = batch_df.join(seen, "fingerprint", "left_anti")
+            if fresh.isEmpty():
+                return
+            catalog.append(namespace, corpus_table, fresh, batch_id=batch_id)
+        else:
+            catalog.create_table(namespace, corpus_table, fresh, batch_id=batch_id)
+
+    writer = (
+        deduped.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def write_stream_to_lakehouse(
     stream_df: DataFrame,
     catalog: LakehouseCatalog,

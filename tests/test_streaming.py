@@ -459,3 +459,58 @@ def test_query_progress_frame(spark, tmp_path):
     assert rows and prog.columns[:3] == ["query_id", "batch_id", "num_input_rows"]
     assert sum(r.num_input_rows for r in rows) == 16.0
     assert all(r.trigger_ms >= 0 for r in rows)
+
+
+def test_stream_content_admit_dedup_within_and_across_batches(spark, tmp_path):
+    """Streaming corpus admission: duplicate content is dropped inside a
+    micro-batch AND across restarts (anti-join vs the admitted corpus);
+    only genuinely new text is appended."""
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _F,
+        StructType as _T,
+        TimestampType as _TS,
+    )
+
+    schema = _T([
+        _F("doc_id", _L()),
+        _F("text", _S()),
+        _F("ingested_at", _TS()),
+    ])
+    src = str(tmp_path / "docs_src")
+    ckpt = str(tmp_path / "docs_ckpt")
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    first = spark.createDataFrame(
+        [
+            (1, "unique document alpha", t0),
+            (2, "unique document beta", t0),
+            (3, "unique document alpha", t0),        # dup within batch
+            (4, "Unique   Document ALPHA", t0),      # dup after normalization
+        ],
+        schema,
+    )
+    first.write.mode("append").parquet(src)
+    stream = S.read_file_stream(spark, src, schema)
+    q = S.stream_content_admit(stream, cat, "db", "corpus", ckpt)
+    q.awaitTermination(120)
+    admitted = cat.load("db", "corpus")
+    assert admitted.count() == 2
+    assert admitted.select("fingerprint").distinct().count() == 2
+
+    # second wave: one repeat of already-admitted content + one new doc
+    spark.createDataFrame(
+        [(5, "unique document beta", t0), (6, "brand new gamma text", t0)],
+        schema,
+    ).write.mode("append").parquet(src)
+    q2 = S.stream_content_admit(
+        S.read_file_stream(spark, src, schema), cat, "db", "corpus", ckpt
+    )
+    q2.awaitTermination(120)
+    out = cat.load("db", "corpus")
+    assert out.count() == 3  # only gamma admitted
+    texts = {r.text for r in out.select("text").collect()}
+    assert "brand new gamma text" in texts
+    assert 5 not in {r.doc_id for r in out.select("doc_id").collect()}
