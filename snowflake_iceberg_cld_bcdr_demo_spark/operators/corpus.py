@@ -316,18 +316,47 @@ def corpus_flags(docs: DataFrame, near_dup_pairs: DataFrame) -> DataFrame:
 
 
 def prepare_corpus(
-    docs: DataFrame, near_dup_pairs: DataFrame
+    docs: DataFrame,
+    near_dup_pairs: DataFrame,
+    lm_floor: float | None = None,
+    per_source_quota: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """End-to-end corpus preparation: quality gate ∩ exact dedup ∩
-    near-dup dedup, then PII scrubbing of the survivors.  Returns
-    ``(clean_docs, flags)`` — clean_docs carries ``clean_text`` plus the
-    redaction audit counts; flags is the full per-document decision table
-    (for the one-row report, aggregate it).
+    near-dup dedup — optionally ∩ a unigram-LM score floor
+    (``lm_floor``: drop docs whose mean ln p(token) under the corpus LM
+    is below it; CCNet-style perplexity gating) and ∩ a per-source
+    quota (``per_source_quota``: deterministic seeded cap via
+    :func:`source_quota`, requires a ``source`` column) — then PII
+    scrubbing of the survivors.  Returns ``(clean_docs, flags)`` —
+    clean_docs carries ``clean_text`` plus the redaction audit counts;
+    flags is the full per-document decision table (gains ``lm_keep`` /
+    ``s_keep`` columns only when the matching gate is enabled, so the
+    default output shape is unchanged).
 
+    Every gate remains an independent full-corpus computation
+    intersected at the end — order-free, reproducible, shard-parallel.
     Scrubbing runs LAST so the regex projection only touches survivors
     (dedup fingerprints hash the original text on both engines)."""
+    from . import textops
+
     flags = corpus_flags(docs, near_dup_pairs)
-    kept = flags.filter(F.col("q_keep") & F.col("e_keep") & F.col("c_keep"))
+    keep = F.col("q_keep") & F.col("e_keep") & F.col("c_keep")
+    if lm_floor is not None:
+        lm = textops.unigram_logprob(docs).select(
+            "doc_id",
+            F.coalesce(F.col("avg_logprob") >= lm_floor, F.lit(False)).alias(
+                "lm_keep"
+            ),
+        )
+        flags = flags.join(lm, "doc_id")
+        keep = keep & F.col("lm_keep")
+    if per_source_quota is not None:
+        sq = source_quota(docs, per_source=per_source_quota).select(
+            "doc_id", F.col("kept").alias("s_keep")
+        )
+        flags = flags.join(sq, "doc_id")
+        keep = keep & F.col("s_keep")
+    kept = flags.filter(keep)
     survivors = docs.join(kept.select("doc_id"), "doc_id")
     meta = tuple(c for c in docs.columns if c not in ("doc_id", "text"))
     return pii_scrub(survivors, keep_cols=meta), flags

@@ -543,3 +543,37 @@ def test_neardup_skewsafe_collapses_exact_dups(spark):
     for r in canon_pairs:
         assert max(r.copies_a, r.copies_b) == 30
         assert r.pair_weight == 30 * min(r.copies_a, r.copies_b)
+
+def test_prepare_corpus_optional_lm_and_quota_gates(spark):
+    """lm_floor and per_source_quota compose with the base gates; the
+    default call keeps its original output shape."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus, dedup
+
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again today fine", f"s{i % 2}")
+        for i in range(8)
+    ] + [
+        (100, "zzgibberishqq xylophonequark jjqq wwxx yyzz aabb ccdd eeff gghh iijj", "s0"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = dedup.minhash_similarity(docs)
+
+    # default: unchanged shape (no lm_keep / s_keep columns)
+    _, base_flags = corpus.prepare_corpus(docs, pairs)
+    assert "lm_keep" not in base_flags.columns and "s_keep" not in base_flags.columns
+
+    clean, flags = corpus.prepare_corpus(
+        docs, pairs, lm_floor=-3.5, per_source_quota=2
+    )
+    fl = {r.doc_id: r for r in flags.collect()}
+    assert "lm_keep" in flags.columns and "s_keep" in flags.columns
+    # the gibberish doc has rare tokens -> low LM score -> gated out
+    assert fl[100].lm_keep is False
+    # quota: at most 2 survivors per source among the kept
+    kept_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    per_src = {}
+    for i in kept_ids:
+        src = f"s{i % 2}" if i < 100 else "s0"
+        per_src[src] = per_src.get(src, 0) + 1
+    assert all(v <= 2 for v in per_src.values())
+    assert 100 not in kept_ids
