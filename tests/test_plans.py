@@ -21,7 +21,7 @@ def _plan(spark, name: str) -> str:
 @pytest.mark.parametrize(
     "name",
     ["chunk_documents", "pii_scrub", "embedding_quantize_error", "token_count",
-     "text_quality", "lang_id", "doc_fingerprint"],
+     "text_quality", "lang_id", "doc_fingerprint", "image_byte_profile"],
 )
 def test_narrow_ops_have_zero_exchanges(spark, name):
     """The zero-shuffle contract: these run at parquet-scan speed at any
@@ -55,6 +55,12 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("html_extract_stats", 0),   # five regexp passes fused, scan-bound
         ("boilerplate_ngram_share", 2),  # ONE (source, gram) shuffle + doc rollup
         ("resample_linear_daily", 2),  # obs rollup + group-hash spine/join/windows
+        # round-5 additions
+        ("image_byte_profile", 0),   # all-Catalyst byte folds: pure projection
+        ("source_quota_audit", 1),   # ONE strata shuffle, rank-cut pushed down
+        ("term_postings_index", 2),  # (term,doc) dedup + term rollup
+        ("winnow_shared_spans", 4),  # doc window + fp distinct/count + rollup
+        ("lm_quality_scores", 5),    # token count + token join + doc fold
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):

@@ -503,3 +503,42 @@ def test_purge_partial_failure_leaves_no_partial_state(spark, cat):
     out = cat.purge_rows("lake", "pfail", [("v", "=", 3)])
     assert out["removed_rows"] > 0
     assert cat.load("lake", "pfail").filter("v = 3").count() == 0
+
+
+def test_orphan_gc_collects_failed_purge_residue(spark, cat):
+    """A rewrite that fails AFTER claiming/writing its dir strands it on
+    disk unreferenced; remove_orphan_files collects it once past the
+    grace period — closing the failed-purge cleanup loop."""
+    import os
+    import time as _time
+
+    df = spark.range(60).select(F.col("id"), (F.col("id") % 3).alias("v"))
+    cat.create_table("lake", "orph", df)
+
+    orig = cat._write_data_dir
+
+    def claim_then_fail(ns, tbl, manifest, frame):
+        d, added, stats = orig(ns, tbl, manifest, frame)
+        raise RuntimeError("simulated post-write crash")
+
+    cat._write_data_dir = claim_then_fail
+    try:
+        with pytest.raises(RuntimeError, match="post-write crash"):
+            cat.purge_rows("lake", "orph", [("v", "=", 1)])
+    finally:
+        cat._write_data_dir = orig
+
+    base = cat._table_path("lake", "orph")
+    man = cat._read_manifest("lake", "orph")
+    referenced = {d for s in man["snapshots"] for d in s["data_dirs"]}
+    on_disk = {e for e in os.listdir(base) if e.startswith("data-")}
+    stranded = on_disk - referenced
+    assert stranded  # the crashed rewrite left an orphan dir
+
+    # young orphans are protected by the grace period
+    out = cat.remove_orphan_files("lake", "orph", older_than_s=3600)
+    assert out["deleted"] == [] and set(out["kept_young"]) == stranded
+    # past the grace period they are collected; table reads unharmed
+    out2 = cat.remove_orphan_files("lake", "orph", older_than_s=0.0)
+    assert set(out2["deleted"]) == stranded
+    assert cat.load("lake", "orph").count() == 60
