@@ -550,6 +550,71 @@ def bpe_encode(
     return narrow.mapInPandas(encode_batches, schema=out_schema)
 
 
+def bpe_vocab(merges: list[tuple[str, str]], alphabet: list[str]) -> list[tuple[str, int]]:
+    """Subword → id table from trained merges (GPT-2 layout): the byte/
+    char alphabet first (sorted), then one id per merge rule in training
+    order — so encoders and decoders on any engine agree on ids without
+    shipping a counts table."""
+    vocab: list[tuple[str, int]] = []
+    seen: set[str] = set()
+    for sym in sorted(alphabet):
+        if sym not in seen:
+            vocab.append((sym, len(vocab)))
+            seen.add(sym)
+    for a, b in merges:
+        merged = a + b
+        if merged not in seen:
+            vocab.append((merged, len(vocab)))
+            seen.add(merged)
+    return vocab
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    alphabet: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """End-to-end BPE tokenization to INTEGER ids: apply the merge rules
+    (:func:`bpe_encode`), then map each subword through the
+    :func:`bpe_vocab` table (broadcast join — the vocab is bounded by
+    alphabet + n_merges).  Out-of-vocabulary subwords (only possible
+    for characters outside ``alphabet``) map to ``unk_id``.
+
+    Scale: the encode stage is embarrassingly parallel; the id mapping
+    explodes to (doc, pos, subword), broadcast-joins the vocab, and
+    reassembles row-locally via one doc_id shuffle — the
+    :func:`encode_tokens` shape."""
+    spark = docs.sparkSession
+    vocab_df = spark.createDataFrame(
+        bpe_vocab(merges, alphabet), "subword string, sub_id int"
+    )
+    enc = bpe_encode(docs, merges, text_col, id_col)
+    pos = enc.select(
+        id_col, F.posexplode("subwords").alias("pos", "subword")
+    )
+    joined = pos.join(F.broadcast(vocab_df), "subword", "left")
+    sid = F.coalesce(F.col("sub_id"), F.lit(unk_id)).cast("int")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("pos"), sid.alias("sid")))
+                ),
+                lambda s: s["sid"],
+            ).alias("token_ids")
+        )
+        .select(
+            id_col,
+            "token_ids",
+            F.size("token_ids").alias("n_tokens"),
+        )
+    )
+
+
 def unigram_logprob(
     docs: DataFrame,
     text_col: str = "text",

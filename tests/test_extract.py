@@ -250,3 +250,29 @@ def test_unigram_logprob_hand_computed(spark):
     assert abs(out[2].avg_logprob - round(want2, 8)) < 1e-8
     assert out[1].avg_logprob > out[2].avg_logprob  # common tokens score higher
     assert out[3].n_tokens == 0 and out[3].avg_logprob is None
+
+
+def test_bpe_encode_ids_roundtrip(spark):
+    """Full tokenization to ids: vocab = sorted alphabet then merges in
+    training order; ids reassemble in document order; OOV chars -> -1."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest")], "doc_id long, text string"
+    )
+    merges = textops.bpe_train(docs, n_merges=4)
+    alphabet = sorted({c for w in "low lower lowest".split() for c in w})
+    vocab = dict(textops.bpe_vocab(merges, alphabet))
+    # alphabet ids first, then merged symbols in training order
+    assert vocab["e"] == 0 and vocab["l"] == 1
+    assert vocab["lo"] == len(alphabet) and vocab["low"] == len(alphabet) + 1
+
+    out = textops.bpe_encode_ids(
+        spark.createDataFrame([(9, "low lowest xq")], "doc_id long, text string"),
+        merges,
+        alphabet,
+    ).collect()[0]
+    # 'low' -> [low]; 'lowest' -> [lowe, s, t]; 'xq' -> OOV chars
+    want = [vocab["low"], vocab["lowe"], vocab["s"], vocab["t"], -1, -1]
+    assert out.token_ids == want
+    assert out.n_tokens == 6
