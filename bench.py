@@ -39,6 +39,11 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 SF1_SPOT = os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0"
 SF1_DIR = str(REPO / ".bench_sf1")
 SF1_MULT = 10
+#: skip the sf1 spot-check when the headline runs already consumed this
+#: much wall clock — keeps the whole bench safely inside a 15-minute
+#: harness timeout even on a noisy host
+SF1_BUDGET_S = int(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "420"))
+T_START = time.perf_counter()
 
 #: Headline set: the flagship + the heaviest relational shapes + one of
 #: each pipeline family (dedup / similarity / text).
@@ -114,7 +119,12 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
-    if SF1_SPOT:
+    elapsed = time.perf_counter() - T_START
+    if SF1_SPOT and elapsed > SF1_BUDGET_S:
+        out["sf1_spot"] = {
+            "skipped": f"headline runs took {elapsed:.0f}s (> {SF1_BUDGET_S}s budget)"
+        }
+    elif SF1_SPOT:
         try:
             if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
                 print(f"# generating {SF1_MULT}x scale-up -> {SF1_DIR}", file=sys.stderr)

@@ -2192,6 +2192,41 @@ def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.approx_distinct_audit(table(spark, sf_dir, "documents"))
 
 
+@_spec("bpe_encode_ids_small", None)
+def bpe_encode_ids_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end BPE tokenization to integer ids over the corpus: train
+    8 merges, derive the GPT-2-layout subword→id vocab from the rules
+    alone, encode every document (ids emitted as a space-joined string
+    for hashability).  Rows-only (iterative training); merge semantics,
+    vocab layout, and id reassembly are unit-tested exactly."""
+    docs = table(spark, sf_dir, "documents")
+    merges = textops.bpe_train(docs, n_merges=8)
+    # corpus alphabet: distinct non-whitespace chars (bounded collect)
+    alphabet = sorted(
+        {
+            r.c
+            for r in docs.select(
+                F.explode(
+                    F.array_distinct(
+                        F.split(F.regexp_replace(F.lower("text"), r"\s+", ""), "")
+                    )
+                ).alias("c")
+            )
+            .distinct()
+            .collect()
+            if r.c
+        }
+    )
+    enc = textops.bpe_encode_ids(docs, merges, alphabet)
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("token_ids", lambda t: t.cast("string")), " ").alias(
+            "token_ids_str"
+        ),
+        "n_tokens",
+    )
+
+
 @_spec("bpe_train_small", None)
 def bpe_train_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over the corpus —
