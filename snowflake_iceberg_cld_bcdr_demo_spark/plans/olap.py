@@ -806,3 +806,54 @@ def conditional_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFram
             F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
         ).alias("finished_customers"),
     )
+
+
+@_spec(
+    "modal_priority_per_segment",
+    """
+    WITH counts AS (
+        SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+               count(*) AS n
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT segment, priority, n,
+               row_number() OVER (PARTITION BY segment
+                                  ORDER BY n DESC, priority) AS rk
+        FROM counts
+    )
+    SELECT segment, priority AS modal_priority, n AS n_orders
+    FROM ranked WHERE rk = 1
+    """,
+)
+def modal_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: the most common order priority per
+    market segment, ties broken by priority ascending — the reducible
+    formulation (count rollup + rank) rather than an engine `mode()`
+    aggregate, whose tie behavior is engine-defined and would
+    hash-mismatch.
+
+    Scale: the mode never sees raw rows twice — ONE (segment, priority)
+    count shuffle reduces to O(segments x priorities), and the window
+    runs over that tiny table."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    counts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(F.col("n").desc(), F.col("priority"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("modal_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )

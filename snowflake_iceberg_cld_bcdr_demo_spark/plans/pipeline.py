@@ -329,6 +329,68 @@ def neardup_skewsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "neardup_edit_distance",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    heads AS (
+        SELECT doc_id,
+               substring(regexp_replace(text, '[^ -~]', '', 'g'), 1, 120)
+                   AS head
+        FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(ha.head, hb.head) AS INTEGER) AS head_edit_distance,
+           CAST(levenshtein(ha.head, hb.head) AS DOUBLE)
+               / greatest(length(ha.head), length(hb.head), 1) AS edit_ratio
+    FROM pairs p
+    JOIN heads ha ON p.doc_a = ha.doc_id
+    JOIN heads hb ON p.doc_b = hb.doc_id
+    """,
+)
+def neardup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second verification stage for LSH candidates: Levenshtein edit
+    distance between the documents' ASCII-projected 120-char heads —
+    the character-level signal that separates template edits from
+    reflows, complementing set-based Jaccard.  The ASCII projection is
+    required for parity (DuckDB's levenshtein counts BYTES, Spark's
+    counts codepoints; on ASCII they agree exactly).
+
+    Scale: quadratic edit-distance cost is paid ONLY on LSH candidate
+    pairs (sub-quadratic set) and only on bounded 120-char heads —
+    never corpus x corpus, never full texts."""
+    docs = table(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(
+            dedup.char_shingles(docs, k=8, dedup_shingles=False), 16
+        ),
+        16,
+        4,
+    )
+    heads = docs.select(
+        "doc_id",
+        F.substring(
+            F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 120
+        ).alias("head"),
+    )
+    ha = heads.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
+    hb = heads.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
+    dist = F.levenshtein("head_a", "head_b")
+    return (
+        cands.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("int").alias("head_edit_distance"),
+            (
+                dist.cast("double")
+                / F.greatest(F.length("head_a"), F.length("head_b"), F.lit(1))
+            ).alias("edit_ratio"),
+        )
+    )
+
+
+@_spec(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
