@@ -857,3 +857,81 @@ def modal_priority_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_orders"),
         )
     )
+
+
+@_spec(
+    "ewma_weekly_revenue",
+    """
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT list(revenue ORDER BY week) AS xs,
+               list(week ORDER BY week) AS weeks
+        FROM weekly
+    ),
+    folded AS (
+        SELECT weeks,
+               list_reduce(
+                   list_transform(xs, x -> [x]),
+                   (acc, x) -> list_append(acc, 0.7 * acc[-1] + 0.3 * x[1])
+               ) AS emas
+        FROM series
+    )
+    SELECT weeks[i] AS week,
+           round(emas[i], 4) AS ema_revenue
+    FROM folded, (SELECT unnest(range(1, 10000)) AS i) idx
+    WHERE i <= len(weeks)
+    """,
+)
+def ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of weekly revenue
+    (alpha = 0.3) — the trend-smoothing every ops dashboard runs, built
+    RECURSION-FREE: the weekly series (already reduced to O(weeks)
+    rows) collects into one array and a single LINEAR accumulating fold
+    computes every EMA value in order on BOTH engines, so the doubles
+    are bit-identical (windowed SUM-of-powers formulations are not —
+    segment-tree window aggregation reorders float adds).
+
+    Scale: the corpus-sized work is the one map-side-combined weekly
+    rollup; the fold touches O(weeks) values in a single driver-sized
+    row."""
+    weekly = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("week")
+        )
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    series = weekly.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("week"), F.col("revenue")))
+        ).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda r: r["week"]).alias("weeks"),
+        F.transform(F.col("s"), lambda r: r["revenue"]).alias("xs"),
+    )
+    emas = F.aggregate(
+        F.slice(F.col("xs"), 2, F.greatest(F.size("xs") - 1, F.lit(0))),
+        F.slice(F.col("xs"), 1, 1),
+        lambda acc, x: F.concat(
+            acc, F.array(F.element_at(acc, -1) * 0.7 + x * 0.3)
+        ),
+    )
+    return (
+        series.select(
+            F.posexplode(F.arrays_zip(F.col("weeks"), emas.alias("ema")))
+            .alias("i", "z")
+        )
+        .select(
+            F.col("z.weeks").alias("week"),
+            F.round(F.col("z.ema"), 4).alias("ema_revenue"),
+        )
+    )

@@ -93,3 +93,30 @@ def test_heavy_hitters_approx_is_superset_of_exact(spark):
         .collect()
     }
     assert exact <= approx  # no false negatives above the support
+
+
+def test_ewma_weekly_revenue_hand_computed(spark):
+    """EMA fold semantics: ema_1 = x_1; ema_t = 0.7*ema_{t-1} + 0.3*x_t."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+    from .conftest import SF_SMALL
+
+    rows = QUERY_SPECS["ewma_weekly_revenue"].build(spark, SF_SMALL).collect()
+    assert len(rows) > 10
+    weeks = sorted(rows, key=lambda r: r.week)
+    # recompute from the weekly revenue rollup independently
+    from pyspark.sql import functions as F
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    weekly = (
+        table(spark, SF_SMALL, "orders")
+        .groupBy(F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("w"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+             .cast("double").alias("rev"))
+        .orderBy("w")
+        .collect()
+    )
+    ema = weekly[0].rev
+    assert abs(weeks[0].ema_revenue - round(ema, 4)) < 1e-9
+    for i in range(1, len(weekly)):
+        ema = 0.7 * ema + 0.3 * weekly[i].rev
+        assert abs(weeks[i].ema_revenue - round(ema, 4)) < 1e-6, f"week {i}"
