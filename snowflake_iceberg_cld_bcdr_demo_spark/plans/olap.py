@@ -935,3 +935,73 @@ def ewma_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("z.ema"), 4).alias("ema_revenue"),
         )
     )
+
+
+@_spec(
+    "brand_price_mad_outliers",
+    """
+    WITH med AS (
+        SELECT p_brand,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY p_retailprice)
+                   AS med
+        FROM part GROUP BY 1
+    ),
+    dev AS (
+        SELECT p.p_brand, p.p_retailprice, m.med,
+               abs(p.p_retailprice - m.med) AS adev
+        FROM part p JOIN med m USING (p_brand)
+    ),
+    mad AS (
+        SELECT p_brand,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+        FROM dev GROUP BY 1
+    )
+    SELECT d.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           max(d.med) AS median_price,
+           max(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (p_brand)
+    GROUP BY 1
+    """,
+)
+def brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per brand: median absolute deviation
+    (the robust sigma — one wild price cannot move it, unlike stddev)
+    with a 3-MAD outlier count.  Both medians are PERCENTILE_DISC —
+    actual data values, no interpolation — so the whole statistic is
+    bit-identical across engines.
+
+    Scale: two group-key shuffles (median, then deviation median) and
+    one count pass, all on (brand)-partitioned data; the medians need
+    group locality, which the same shuffle provides."""
+    part = table(spark, sf_dir, "part")
+    part.createOrReplaceTempView("_mad_part")
+    return spark.sql(
+        """
+        WITH med AS (
+            SELECT p_brand,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY p_retailprice)
+                       AS med
+            FROM _mad_part GROUP BY 1
+        ),
+        dev AS (
+            SELECT p.p_brand, p.p_retailprice, m.med,
+                   abs(p.p_retailprice - m.med) AS adev
+            FROM _mad_part p JOIN med m USING (p_brand)
+        ),
+        mad AS (
+            SELECT p_brand,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT d.p_brand AS brand,
+               COUNT(*) AS n_parts,
+               max(d.med) AS median_price,
+               max(m.mad) AS mad,
+               SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev d JOIN mad m USING (p_brand)
+        GROUP BY 1
+        """
+    )
