@@ -20,7 +20,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus, dedup  # noqa: E402
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus, dedup, textops  # noqa: E402
 from snowflake_iceberg_cld_bcdr_demo_spark.session import build_session, cluster_conf  # noqa: E402
 from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table  # noqa: E402
 
@@ -69,11 +69,25 @@ def main() -> None:
         "max_df": idx.agg(F.max("df").alias("m")).collect()[0].m,
     }
 
-    # 5. sketch audit: trust HLL counts before relying on them at scale
+    # 5. sketch audits: trust HLL counts and t-digest quantiles before
+    # relying on them at scale
     audit = corpus.approx_distinct_audit(docs)
     report["sketch_audit_max_rel_error"] = float(
         audit.agg(F.max("rel_error").alias("m")).collect()[0].m
     )
+    paudit = corpus.approx_percentile_audit(docs, value_col="n_chars")
+    report["percentile_audit_max_rel_err_p99"] = float(
+        paudit.agg(F.max("rel_err_p99").alias("m")).collect()[0].m
+    )
+
+    # 5b. LM quality floor: the perplexity-style ranking signal
+    lm = textops.unigram_logprob(docs)
+    report["lm_scores"] = {
+        "scored_docs": lm.filter("avg_logprob IS NOT NULL").count(),
+        "min_avg_logprob": float(
+            lm.agg(F.min("avg_logprob").alias("m")).collect()[0].m
+        ),
+    }
 
     # 6. the conf this pipeline would ship with on a real cluster
     report["cluster_conf_example"] = {

@@ -701,3 +701,52 @@ def approx_distinct_audit(
             6,
         ).alias("rel_error"),
     )
+
+
+def approx_percentile_audit(
+    df: DataFrame,
+    value_col: str,
+    strata_col: str = "source",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sketch-vs-exact percentile audit per stratum: t-digest-style
+    ``approx_percentile`` (mergeable, fixed-memory — the only way to
+    get tail quantiles on 100 TB without sorting a stratum) next to the
+    exact ``percentile_disc`` values, with the relative error per
+    probed quantile — the same trust-but-verify harness as
+    :func:`approx_distinct_audit`, for quantiles.
+
+    Rows-only by design (Spark's digest is not DuckDB-reproducible);
+    the error bound is pytest-asserted against the exact twin."""
+    ps = list(percentiles)
+    exact = [
+        F.expr(
+            f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias(f"exact_p{int(p * 100)}")
+        for p in ps
+    ]
+    approx = [
+        F.percentile_approx(value_col, p, accuracy).alias(
+            f"approx_p{int(p * 100)}"
+        )
+        for p in ps
+    ]
+    out = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_rows"), *exact, *approx
+    )
+    errs = [
+        F.round(
+            F.abs(
+                F.col(f"approx_p{int(p * 100)}") - F.col(f"exact_p{int(p * 100)}")
+            )
+            / F.abs(F.col(f"exact_p{int(p * 100)}")),
+            6,
+        ).alias(f"rel_err_p{int(p * 100)}")
+        for p in ps
+    ]
+    return out.select(strata_col, "n_rows", *[
+        c for p in ps for c in (
+            F.col(f"exact_p{int(p * 100)}"), F.col(f"approx_p{int(p * 100)}")
+        )
+    ], *errs)

@@ -2254,6 +2254,17 @@ def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.approx_distinct_audit(table(spark, sf_dir, "documents"))
 
 
+@_spec("approx_percentile_audit", None)
+def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest sketch vs exact percentiles (p50/p90/p99 of n_chars per
+    source) with relative errors — rows-only (the digest is not
+    DuckDB-reproducible); the error bound is pytest-asserted.  See
+    :func:`operators.corpus.approx_percentile_audit`."""
+    return corpus.approx_percentile_audit(
+        table(spark, sf_dir, "documents"), value_col="n_chars"
+    )
+
+
 @_spec("bpe_encode_ids_small", None)
 def bpe_encode_ids_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPE tokenization to integer ids over the corpus: train

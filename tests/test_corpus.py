@@ -577,3 +577,13 @@ def test_prepare_corpus_optional_lm_and_quota_gates(spark):
         per_src[src] = per_src.get(src, 0) + 1
     assert all(v <= 2 for v in per_src.values())
     assert 100 not in kept_ids
+
+def test_approx_percentile_error_within_bound(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rows = corpus.approx_percentile_audit(docs, value_col="n_chars").collect()
+    assert rows
+    for r in rows:
+        for p in (50, 90, 99):
+            assert r[f"rel_err_p{p}"] <= 0.05, (r["source"], p, r[f"rel_err_p{p}"])
