@@ -1005,3 +1005,67 @@ def brand_price_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@_spec(
+    "longest_order_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+        FROM orders
+    ),
+    grp AS (
+        SELECT o_custkey, d,
+               d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT o_custkey, count(*) AS len, min(d) AS streak_start
+        FROM grp GROUP BY o_custkey, anchor
+    ),
+    best AS (
+        SELECT o_custkey, len, streak_start,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY len DESC, streak_start) AS rk
+        FROM streaks
+    )
+    SELECT o_custkey AS custkey,
+           CAST(len AS BIGINT) AS longest_streak_days,
+           streak_start
+    FROM best WHERE rk = 1
+    """,
+)
+def longest_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest run of CONSECUTIVE
+    ordering days, via the classic date-minus-row_number
+    anchor — consecutive dates share an anchor, so islands fall out of
+    one GROUP BY.  Complements `customer_order_gaps` (the gaps side).
+
+    Scale: one custkey shuffle serves the distinct, both windows, and
+    the island rollup (same partitioning throughout); integer/date
+    arithmetic only — nothing float to diverge."""
+    days = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", F.col("o_orderdate").cast("date").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("o_custkey", "anchor").agg(
+        F.count(F.lit(1)).alias("len"), F.min("d").alias("streak_start")
+    )
+    wb = Window.partitionBy("o_custkey").orderBy(
+        F.col("len").desc(), F.col("streak_start")
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
