@@ -75,6 +75,8 @@ SF1_SPOT_QUERIES = [
     "corpus_pipeline_report",
     "fanout_count_distinct",
     "q1_pricing_summary",
+    "winnow_shared_spans",
+    "neardup_skewsafe_pairs",
 ]
 
 
@@ -136,7 +138,10 @@ def main() -> None:
             ratio: dict[str, float] = {}
             for name in SF1_SPOT_QUERIES:
                 spot[name] = _time_once(QUERY_SPECS[name], spark, SF1_DIR)
-                base = timings.get(name) or 1e-9
+                # floor the base at the timer resolution: a legitimate
+                # 0.000 median (sub-ms query) must not divide by ~0 and
+                # flag a false anomaly
+                base = max(timings.get(name, 0.0), 0.001)
                 ratio[name] = round(spot[name] / (SF1_MULT * base), 2)
                 print(
                     f"# sf1_spot {name}: {spot[name]:.3f}s "

@@ -296,23 +296,35 @@ def corpus_flags(docs: DataFrame, near_dup_pairs: DataFrame) -> DataFrame:
 
     Gates are computed independently over the full corpus and intersected,
     so the decision for any document is order-free and reproducible —
-    shard-parallel with no cross-stage sequencing."""
+    shard-parallel with no cross-stage sequencing.
+
+    Scale: the text is scanned ONCE — the dedup fingerprint rides the
+    quality filter's projection (``quality_filter(passthrough=...)``),
+    which also already emits the token count, so the per-doc scalar
+    table (q_keep, fingerprint, n_tokens) is a single narrow codegen
+    stage; e_keep is then a window over the fingerprint-sized rows and
+    the only join left is the cluster flag (previously three separate
+    corpus scans joined on doc_id)."""
     from pyspark.sql import Window
 
-    from ..functions.text import fingerprint, token_count
+    from ..functions.text import fingerprint
     from . import dedup, textops
 
-    q = textops.quality_filter(docs).select("doc_id", F.col("keep").alias("q_keep"))
-    e = docs.select("doc_id", fingerprint(F.col("text")).alias("_fp")).select(
-        "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp"))).alias("e_keep"),
-    )
+    per_doc = textops.quality_filter(
+        docs.select("doc_id", "text", fingerprint(F.col("text")).alias("_fp")),
+        passthrough=("_fp",),
+    ).select("doc_id", "_fp", F.col("keep").alias("q_keep"), "n_tokens")
+    flags = per_doc.withColumn(
+        "e_keep",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
+    ).drop("_fp")
     clusters = dedup.neardup_clusters(docs, near_dup_pairs)
     c = clusters.select(
         "doc_id", (F.col("doc_id") == F.col("cluster_id")).alias("c_keep")
     )
-    tok = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
-    return q.join(e, "doc_id").join(c, "doc_id").join(tok, "doc_id")
+    return flags.join(c, "doc_id").select(
+        "doc_id", "q_keep", "e_keep", "c_keep", "n_tokens"
+    )
 
 
 def prepare_corpus(
@@ -642,10 +654,16 @@ def term_postings(
     phrase" becomes a postings lookup instead of a corpus scan.
 
     Scale: tokens reduce to DISTINCT (term, doc) pairs map-side before
-    the ONE term shuffle; posting lists are capped (sorted collect_list
-    then slice) so no single hot term can blow a reducer — df keeps the
-    true count either way.  ``min_df`` drops the hapax tail (typically
-    ~half the vocabulary) from the index."""
+    the ONE term shuffle; posting ids are rank-cut BEFORE aggregation
+    (``row_number() <= max_postings`` per term — collect_list skips the
+    NULLed tail), so a stopword term in 10⁹ docs contributes at most
+    ``max_postings`` elements to any reducer array — the window's sort
+    spills, an array cannot.  The window and the groupBy share the same
+    term partitioning, so the cap costs no extra exchange; df/total_tf
+    keep the true uncapped counts.  ``min_df`` drops the hapax tail
+    (typically ~half the vocabulary) from the index."""
+    from pyspark.sql import Window
+
     pairs = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -656,13 +674,17 @@ def term_postings(
         .groupBy("term", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    rk = F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
     return (
-        pairs.groupBy("term")
+        pairs.withColumn("_rk", rk)
+        .groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, max_postings
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rk") <= max_postings, F.col("doc_id"))
+                )
             ).alias("postings"),
         )
         .filter(F.col("df") >= min_df)

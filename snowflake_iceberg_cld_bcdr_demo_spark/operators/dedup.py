@@ -16,6 +16,19 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized_text
 
 
+def _parallelize_scan(df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard for CPU-heavy row-local stages (shingle /
+    k-gram hashing): when the incoming plan has fewer partitions than the
+    session's parallelism (a single small local file — one parquet row
+    group is unsplittable), redistribute round-robin so the per-character
+    hashing uses every core.  With a real multi-file corpus the scan is
+    already parallel and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group documents by content hash; emit per-group copy count and the
     keeper (min id).  Downstream, `n_copies > 1` rows are the dup sets.
@@ -62,7 +75,8 @@ def char_shingles(
     slower at sf0.1 from that row-width alone."""
     norm = normalized_text(F.col(text_col))
     out = (
-        docs.select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
         .filter(F.length("norm_text") >= k)
         .select(
             "doc_id",
@@ -271,7 +285,15 @@ def neardup_skewsafe(
     shingling plus both copies joins), so it is persisted — narrow
     (hash, id, count) rows, far smaller than the corpus — or each
     branch would replay the corpus-wide content-hash groupBy
-    (measured: 21 shuffles unpersisted vs 10 persisted)."""
+    (measured: 21 shuffles unpersisted vs 10 persisted).
+
+    Return contract: the returned plan references that persisted
+    canonical table (and minhash's persisted signature matrix); both
+    caches live until the session drops them.  Long-lived sessions that
+    invoke this repeatedly should ``spark.catalog.clearCache()`` (as
+    bench.py does between runs) or unpersist after consuming the
+    result — the cache is per-plan, so repeated invocations do NOT
+    reuse each other's entries."""
     from pyspark.storagelevel import StorageLevel
 
     th = F.md5(normalized_text(F.col(text_col)))
@@ -361,7 +383,8 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     from ..functions.text import tokens
 
     tok = (
-        docs.select(F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks"))
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), tokens(F.lower(F.col(text_col))).alias("toks"))
         .select("doc_id", F.explode("toks").alias("token"))
     )
     # md5 hex → first `bits` bits via conv(hex_slice, 16, 10); 8 hex chars
@@ -395,48 +418,61 @@ def neardup_clusters(
     canonical doc per cluster (the min id), everything else a removable
     duplicate — the last stage of a MinHash/LSH dedup pipeline.
 
-    Scale: iterative min-label propagation, the standard distributed CC.
-    Each round is one join + groupBy on the edge list (shuffle ∝ |edges|);
-    rounds needed ∝ the longest path in a component, and near-dup
-    components are tiny dense clusters, so this converges in a handful of
-    rounds.  ``localCheckpoint`` truncates lineage every round so plans
-    don't grow with iterations; early-exits when no label changes.
+    Scale: iterative min-label propagation, the standard distributed CC,
+    restricted to EDGE-TOUCHED vertices only — documents in no candidate
+    pair (the overwhelming majority of any real corpus) never enter the
+    loop and are stitched back as their own singleton cluster with one
+    final left join, so per-round shuffle is ∝ |pair endpoints|, not
+    |corpus|.  Each round is one join + groupBy on the edge list; change
+    detection rides the checkpointed round result (a ``_chg`` column
+    counted off the materialized RDD — no extra old-vs-new join).
+    Rounds needed ∝ the longest path in a component, and near-dup
+    components are tiny dense clusters, so this converges in a handful
+    of rounds.  ``localCheckpoint`` truncates lineage every round so
+    plans don't grow with iterations; early-exits when no label changes.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .persist()
     )
-    labels = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        folded = F.least(
+            labels.cluster_id, F.coalesce(F.col("nbr_min"), labels.cluster_id)
+        )
         new_labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
             .select(
                 labels.doc_id,
-                F.least(
-                    labels.cluster_id, F.coalesce(F.col("nbr_min"), labels.cluster_id)
-                ).alias("cluster_id"),
+                folded.alias("cluster_id"),
+                (folded != labels.cluster_id).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
 
 
 def dedup_corpus(
@@ -471,42 +507,57 @@ def winnow_fingerprints(
     fingerprint in both — detection is certain, not probabilistic —
     while only ~2/(window+1) of positions are kept.
 
-    Scale: k-gram hashes are built row-locally (ONE pass — the hash
-    array is exploded through a Generate node, so each md5 is computed
-    exactly once; a naive ``transform(seq, j -> array_min(slice(hs, j,
-    w)))`` re-evaluates the whole hash array per window position — no
-    loop-invariant hoisting inside Catalyst lambdas — and measured 27x
-    slower), then the sliding minima run as a codegen'd ROWS-frame
-    window over (doc, pos): one doc_id shuffle total, ~2/(window+1) of
-    positions surviving the DISTINCT.  Hashes are md5-u32s,
-    bit-reproducible in the DuckDB oracle."""
-    from pyspark.sql import Window
-
+    Scale: ENTIRELY row-local selection — no per-character shuffle.
+    The k-gram hash array is materialized ONCE behind a Generate
+    barrier (``explode(array(transform(...)))``): CollapseProject
+    cannot inline a producer expression through a Generate, so the
+    consumer lambda below references a real attribute instead of
+    re-evaluating every md5 per window position (the naive collapsed
+    form measured 27x slower — Catalyst lambdas do no loop-invariant
+    hoisting).  Sliding minima are then a row-local
+    ``transform(j -> least(hs[j..j+w-1]))`` (a least-chain, no
+    per-position slice allocation) followed by a row-local
+    ``array_distinct``, so the ONLY shuffle in the whole operator is
+    the final DISTINCT over the ~2/(window+1) selected
+    fingerprint-sized rows — previously this was a
+    Window.partitionBy(doc) sort shuffle of one 16+-byte row PER
+    CHARACTER of corpus, a >=10x-corpus-bytes exchange at 100 TB.
+    The scan-parallelism guard redistributes the (doc_id, text)
+    projection round-robin only when the incoming plan has fewer
+    partitions than the session's parallelism (single small local
+    file); with a real multi-file corpus the scan is already parallel
+    and the guard is a no-op.  Hashes are md5-u32s, bit-reproducible
+    in the DuckDB oracle."""
     norm = normalized_text(F.col(text_col))
     min_len = k + window - 1
-    base = docs.select(F.col(id_col).alias("doc_id"), norm.alias("nt")).filter(
-        F.length("nt") >= min_len
+    base = (
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .filter(F.length("nt") >= min_len)
     )
-    pos_h = base.select(
+    hashed = base.select(
         "doc_id",
-        (F.length("nt") - (k - 1)).alias("n_grams"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(nt) - {k - 1}), "
-                f"i -> cast(conv(substring(md5(substring(nt, i, {k})), 1, 8), "
-                f"16, 10) as bigint))"
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(1, length(nt) - {k - 1}), "
+                    f"i -> cast(conv(substring(md5(substring(nt, i, {k})), 1, 8), "
+                    f"16, 10) as bigint))"
+                )
             )
-        ).alias("pos", "h"),
+        ).alias("hs"),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, window - 1)
-    )
+    least_chain = ", ".join(f"element_at(hs, j + {d})" for d in range(window))
     return (
-        pos_h.withColumn("wm", F.min("h").over(win))
-        .filter(F.col("pos") <= F.col("n_grams") - window)  # pos is 0-based
-        .select("doc_id", F.col("wm").alias("fingerprint"))
+        hashed.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform(sequence(1, size(hs) - {window - 1}), "
+                    f"j -> least({least_chain})))"
+                )
+            ).alias("fingerprint"),
+        )
         .distinct()
     )
 
@@ -523,10 +574,20 @@ def winnow_span_profile(
     document (certain detection of any shared run >= k+window-1 chars).
     One row per doc_id (zero-filled for docs too short to fingerprint).
 
-    Scale: ONE fingerprint-hash shuffle for the cross-doc counts; the
-    join back rides the same partitioning; the coverage base is the
-    distinct id set (cheap, same join key)."""
-    fp = winnow_fingerprints(docs, text_col, id_col, k, window)
+    Scale: the fingerprint table feeds two branches (cross-doc counts
+    + join back), so it is persisted once (MEMORY_AND_DISK, selected
+    fingerprints only — ~2/(window+1) of k-gram positions) rather than
+    re-running the hash scan per branch; callers that keep the session
+    alive after materializing should ``unpersist`` via the returned
+    plan's lineage or ``spark.catalog.clearCache()``.  ONE
+    fingerprint-hash shuffle for the cross-doc counts; the join back
+    rides the same partitioning; the coverage base is the distinct id
+    set (cheap, same join key)."""
+    from pyspark.storagelevel import StorageLevel
+
+    fp = winnow_fingerprints(docs, text_col, id_col, k, window).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cross = (
         fp.groupBy("fingerprint")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
@@ -584,7 +645,8 @@ def duplicate_spans(
     128 bits are negligible."""
     norm = normalized_text(F.col(text_col))
     win = (
-        docs.select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
         .filter(F.length("nt") >= window)
         .select(
             "doc_id",

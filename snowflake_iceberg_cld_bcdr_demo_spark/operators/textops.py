@@ -117,6 +117,7 @@ def quality_filter(
     max_mean_token_len: float = 12.0,
     max_punct_ratio: float = 0.2,
     max_digit_ratio: float = 0.2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rule-based document filter (the Gopher-style pre-training gate):
     per-rule booleans + an overall ``keep`` flag, so pipelines can both
@@ -125,7 +126,10 @@ def quality_filter(
     All rules are built-in expressions (counts, ratios) — one narrow
     codegen stage over the corpus scan, no UDFs.  Mean token length is
     non-whitespace chars / tokens (identical arithmetic in the SQL
-    oracle)."""
+    oracle).  ``passthrough`` names extra input columns to carry into
+    the output unchanged — lets callers (``corpus_flags``) compute
+    sibling per-doc scalars (e.g. the dedup fingerprint) in the SAME
+    single projection instead of a second corpus scan."""
     n_tokens = token_count(F.col("text"))
     chars_no_ws = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
     mean_tok_len = chars_no_ws / F.when(n_tokens == 0, None).otherwise(n_tokens)
@@ -137,6 +141,7 @@ def quality_filter(
     ok_digit = F.coalesce(digit_ratio <= max_digit_ratio, F.lit(False))
     return docs.select(
         "doc_id",
+        *passthrough,
         n_tokens.alias("n_tokens"),
         F.round(mean_tok_len, 4).alias("mean_token_len"),
         ok_len.alias("ok_token_count"),
@@ -586,7 +591,12 @@ def bpe_encode_ids(
     Scale: the encode stage is embarrassingly parallel; the id mapping
     explodes to (doc, pos, subword), broadcast-joins the vocab, and
     reassembles row-locally via one doc_id shuffle — the
-    :func:`encode_tokens` shape."""
+    :func:`encode_tokens` shape.  One row per input doc_id: documents
+    whose text yields zero subwords (empty/whitespace-only — posexplode
+    of an empty array drops the row pre-groupBy) are re-joined from the
+    distinct id set with an empty ``token_ids`` and ``n_tokens`` 0, the
+    same coverage contract as :func:`unigram_logprob` /
+    ``winnow_span_profile``."""
     spark = docs.sparkSession
     vocab_df = spark.createDataFrame(
         bpe_vocab(merges, alphabet), "subword string, sub_id int"
@@ -597,21 +607,23 @@ def bpe_encode_ids(
     )
     joined = pos.join(F.broadcast(vocab_df), "subword", "left")
     sid = F.coalesce(F.col("sub_id"), F.lit(unk_id)).cast("int")
+    encoded = joined.groupBy(id_col).agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), sid.alias("sid")))
+            ),
+            lambda s: s["sid"],
+        ).alias("token_ids")
+    )
     return (
-        joined.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("pos"), sid.alias("sid")))
-                ),
-                lambda s: s["sid"],
-            ).alias("token_ids")
-        )
+        docs.select(id_col)
+        .distinct()
+        .join(encoded, id_col, "left")
         .select(
             id_col,
-            "token_ids",
-            F.size("token_ids").alias("n_tokens"),
+            F.coalesce("token_ids", F.array().cast("array<int>")).alias("token_ids"),
         )
+        .withColumn("n_tokens", F.size("token_ids"))
     )
 
 

@@ -276,3 +276,24 @@ def test_bpe_encode_ids_roundtrip(spark):
     want = [vocab["low"], vocab["lowe"], vocab["s"], vocab["t"], -1, -1]
     assert out.token_ids == want
     assert out.n_tokens == 6
+
+
+def test_bpe_encode_ids_preserves_empty_docs(spark):
+    """One row per input doc_id even when the text yields zero subwords
+    (empty / whitespace-only): posexplode of an empty array must not
+    silently drop the document — the sibling operators' coverage
+    contract (unigram_logprob, winnow_span_profile)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, "   ")], "doc_id long, text string"
+    )
+    merges = textops.bpe_train(docs, n_merges=2)
+    out = {
+        r.doc_id: r
+        for r in textops.bpe_encode_ids(docs, merges, ["l", "o", "w"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[2].token_ids == [] and out[2].n_tokens == 0
+    assert out[3].token_ids == [] and out[3].n_tokens == 0
+    assert out[1].n_tokens > 0

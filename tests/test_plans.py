@@ -59,11 +59,20 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("image_byte_profile", 0),   # all-Catalyst byte folds: pure projection
         ("source_quota_audit", 1),   # ONE strata shuffle, rank-cut pushed down
         ("term_postings_index", 2),  # (term,doc) dedup + term rollup
-        ("winnow_shared_spans", 4),  # doc window + fp distinct/count + rollup
+        # winnow: selection is now fully row-local (no per-character
+        # window shuffle); exchanges are fingerprint distinct (persisted,
+        # printed once per consuming branch so it counts twice here but
+        # executes once) + fp cross-count + doc rollup + coverage-ids
+        ("winnow_shared_spans", 6),
         ("lm_quality_scores", 5),    # token count + token join + doc fold
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
+    # a prior test may have left a query-internal persist (e.g. winnow's
+    # fingerprint table) cached; a CacheManager hit rewrites the plan
+    # with InMemoryRelation wrappers whose printed subtrees double-count
+    # exchanges — measure the cold plan
+    spark.catalog.clearCache()
     df = QUERY_SPECS[name].build(spark, SF_SMALL)
     assert exchange_count(df) <= max_exchanges
 
@@ -92,6 +101,21 @@ def test_pack_contiguous_never_single_partitions_the_fact(spark):
     assert "MapInPandas" in plan
     # the per-partition-totals window is the only single-partition stage
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_winnow_selection_is_row_local(spark):
+    """The round-6 rewrite's contract: winnowing selects fingerprints
+    row-locally — no Window node (the old per-character doc_id sort
+    shuffle), and the md5 k-gram hashing appears exactly once in the
+    plan (the Generate barrier stops CollapseProject from inlining it
+    into the sliding-min lambda, which would re-hash per position)."""
+    plan = _plan(spark, "winnow_shared_spans")
+    assert "Window" not in plan
+    # persisted fingerprint subtree prints once per consuming branch;
+    # each print must contain exactly one md5 (producer projection only)
+    generates = [l for l in plan.splitlines() if "md5" in l]
+    assert generates, "expected the md5 k-gram producer in the plan"
+    assert all(l.count("md5") == 1 for l in generates)
 
 
 def test_ann_cosine_topk_uses_take_ordered(spark):
