@@ -7,10 +7,12 @@ JPEG SOFn, GIF, BMP, RIFF/WAVE) are parsed with Catalyst expressions
 libraries.  Per-asset *pixel* compute runs as Arrow-batched pandas
 transforms over ``mapInPandas`` — the only layer of this engine where
 Python touches row data, because byte-level pixel decode genuinely can't
-be expressed in Catalyst; it is stubbed behind an import-gate (no
-image/audio libs ship in this environment).  Everything around it —
-schemas, batch iteration, partitioning, feature extraction on raw bytes —
-is real and tested.
+be expressed in Catalyst.  Uncompressed 24-bit BMPs decode/resize to
+REAL pixels with NumPy alone (:func:`synthesize_decodable_images`
+generates such assets); compressed formats (PNG/JPEG/GIF) are gated on
+Pillow — strict mode reports them ``undecoded``/raises rather than
+faking pixel values.  Everything around it — schemas, batch iteration,
+partitioning, feature extraction on raw bytes — is real and tested.
 """
 
 from .media import (
@@ -26,6 +28,7 @@ from .media import (
     pack_shards,
     resize_images,
     synthesize_assets,
+    synthesize_decodable_images,
     wav_sample_rate,
 )
 
@@ -42,5 +45,6 @@ __all__ = [
     "pack_shards",
     "resize_images",
     "synthesize_assets",
+    "synthesize_decodable_images",
     "wav_sample_rate",
 ]

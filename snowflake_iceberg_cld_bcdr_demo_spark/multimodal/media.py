@@ -9,13 +9,16 @@ Design (north-star multimodal spec):
 - **Compute**: Arrow-batched ``mapInPandas`` (one Python worker round per
   batch, zero-copy byte transfer).  Each transform declares its output
   schema explicitly so downstream plans stay fully typed.
-- **Decode**: true pixel work is gated on Pillow.  Absent (this
-  environment), ``decode_images(strict=True)`` routes to a PURE-JVM
-  byte-statistic proxy (:func:`image_byte_stats` — real Catalyst-computed
-  statistics of the stored bytes, nothing faked), ``strict=False`` keeps
-  the Arrow ``mapInPandas`` plumbing with a byte-derived stand-in, and
-  only operators that must emit pixels (``resize_images(strict=True)``)
-  still raise the clearly-marked ``NotImplementedError`` stub.
+- **Decode**: uncompressed formats (24-bit BI_RGB BMP — what
+  :func:`synthesize_decodable_images` emits) decode to REAL pixels with
+  NumPy alone (:func:`_np_decode_bmp`); compressed formats (PNG/JPEG/GIF)
+  need Pillow.  Without Pillow, ``strict=True`` means "real pixels or
+  nothing": ``decode_images`` returns NULL ``mean_luma`` with
+  ``decoder='undecoded'`` for formats it cannot truly decode (never a
+  byte-statistic masquerading as luma — byte statistics live in
+  :func:`image_byte_stats` under honest ``mean_byte`` names), and
+  ``resize_images(strict=True)`` raises ``ValueError`` on undecodable
+  content instead of fabricating bytes.
 - **Scale**: assets are independent rows → ``repartition`` by asset id
   before heavy decode stages spreads work; batch size is governed by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set it low for
@@ -336,6 +339,148 @@ def synthesize_assets(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     )
 
 
+def synthesize_decodable_images(spark: SparkSession, n: int, seed: int = 7) -> DataFrame:
+    """Deterministic synthetic images that are GENUINELY pixel-decodable
+    without any codec library: each asset is a complete, valid
+    uncompressed 24-bit BI_RGB BMP — BITMAPFILEHEADER + 40-byte
+    BITMAPINFOHEADER + a bottom-up, 4-byte-row-padded pixel array filled
+    from a seeded md5 chain.  Dimensions are small (2..9 per side) so
+    every file is fully materialized (no truncated pixel arrays, unlike
+    :func:`synthesize_assets`' 128-byte header-only payloads).  Pure
+    Catalyst, so it scales like any generator here; the NumPy decoder
+    (:func:`_np_decode_bmp`) and any external BMP reader agree on the
+    pixels.  Every derivation (dims + payload) is md5-based so a SQL
+    oracle can reproduce the exact file bytes — the
+    ``resized_image_profile`` registry query hash-verifies the full
+    generate → decode → resize → re-encode chain against DuckDB."""
+    idx = F.col("id")
+    h = F.md5(F.concat(F.lit(f"{seed}#bmp#"), idx.cast("string")))
+
+    def dim(salt: str) -> F.Column:
+        u32 = F.conv(F.substring(F.md5(F.concat(h, F.lit(salt))), 1, 8), 16, 10)
+        return (F.pmod(u32.cast("long"), F.lit(8)) + 2).cast("int")
+
+    width, height = dim("w"), dim("h")
+    row_size = (F.floor((width * 3 + 3) / 4) * 4).cast("int")
+    image_size = (row_size * height).cast("int")
+    header = F.concat(
+        F.unhex(F.lit("424D")),  # BM
+        _le_bytes(image_size + 54, 4),  # file size
+        F.unhex(F.lit("00000000")),  # reserved
+        _le_bytes(54, 4),  # pixel-array offset
+        _le_bytes(40, 4),  # BITMAPINFOHEADER size
+        _le_bytes(width, 4),
+        _le_bytes(height, 4),  # positive → bottom-up rows
+        _le_bytes(1, 2),  # planes
+        _le_bytes(24, 2),  # bits per pixel
+        _le_bytes(0, 4),  # BI_RGB (uncompressed)
+        _le_bytes(image_size, 4),
+        _le_bytes(2835, 4),  # 72 DPI
+        _le_bytes(2835, 4),
+        _le_bytes(0, 4),
+        _le_bytes(0, 4),
+    )
+    # 9x9 @ 3bpp padded → ≤ 28*9 = 252 pixel bytes; 16 chained digests = 256
+    chain = F.concat(
+        *[F.unhex(F.md5(F.concat(h, F.lit(str(i))))) for i in range(16)]
+    )
+    content = F.concat(header, F.substring(chain, 1, image_size))
+    meta = F.struct(
+        width.alias("width"),
+        height.alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("double").alias("duration_s"),
+        F.lit("bmp").alias("format"),
+    )
+    return spark.range(n).select(
+        F.format_string("BMP-%06d", idx.cast("int")).alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        content.cast("binary").alias("content"),
+        meta.alias("metadata"),
+    )
+
+
+def _np_decode_bmp(b: bytes):
+    """Decode an uncompressed 24-bit BI_RGB BMP with NumPy alone.
+    Returns a top-down (height, width, 3) uint8 array in BGR channel
+    order (BMP's storage order), or None when the bytes are not a
+    complete uncompressed 24-bit BMP (wrong magic, compressed, other
+    bit depth, or truncated pixel array) — callers treat None as
+    "needs a real codec library"."""
+    import numpy as np
+
+    if len(b) < 54 or bytes(b[:2]) != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    hdr_size = int.from_bytes(b[14:18], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if hdr_size < 40 or bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        return None
+    top_down, h_abs = height < 0, abs(height)
+    row_size = ((width * 3 + 3) // 4) * 4
+    if len(b) < off + row_size * h_abs:
+        return None
+    arr = (
+        np.frombuffer(b, np.uint8, count=row_size * h_abs, offset=off)
+        .reshape(h_abs, row_size)[:, : width * 3]
+        .reshape(h_abs, width, 3)
+    )
+    return arr if top_down else arr[::-1]
+
+
+def _np_encode_bmp(arr) -> bytes:
+    """Encode a top-down (h, w, 3) uint8 BGR array as an uncompressed
+    24-bit BI_RGB BMP — the byte-exact dual of :func:`_np_decode_bmp`."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    row_size = ((w * 3 + 3) // 4) * 4
+    rows = np.zeros((h, row_size), np.uint8)
+    rows[:, : w * 3] = arr.reshape(h, w * 3)
+    px = rows[::-1].tobytes()  # bottom-up storage
+    header = (
+        b"BM"
+        + (54 + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + px
+
+
+def _np_luma(arr) -> float:
+    """Mean ITU-R 601 luma of a top-down BGR uint8 array (the same
+    299/587/114 weights Pillow's ``convert("L")`` uses, computed in
+    float — deterministic, order-free)."""
+    b = arr[..., 0].astype("float64")
+    g = arr[..., 1].astype("float64")
+    r = arr[..., 2].astype("float64")
+    return float((0.299 * r + 0.587 * g + 0.114 * b).mean())
+
+
+def _np_resize_nn(arr, width: int, height: int):
+    """Nearest-neighbor resize of a (h, w, C) array via integer index
+    maps — ``src_y = floor(dst_y * h / height)`` — the deterministic,
+    library-free kernel."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    yi = (np.arange(height) * h) // height
+    xi = (np.arange(width) * w) // width
+    return arr[yi][:, xi]
+
+
 BYTE_FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
@@ -445,36 +590,20 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
     """Decode image assets to pixel statistics.
 
     Dimensions are REAL either way — parsed JVM-side from the container
-    header (:func:`image_header`) before any byte reaches Python.  True
-    pixel statistics need Pillow; without it:
+    header (:func:`image_header`) before any byte reaches Python.
+    Decoder resolution per asset: Pillow when installed (any format) →
+    NumPy for complete uncompressed 24-bit BMPs
+    (:func:`_np_decode_bmp` — real pixels, ``decoder='numpy-bmp'``;
+    what :func:`synthesize_decodable_images` emits) → otherwise:
 
-    - ``strict=True`` computes ``mean_luma`` as the PURE-JVM byte mean
-      (:func:`image_byte_stats`' statistic — a real, deterministic
-      function of the stored bytes, labeled ``decoder='jvm-proxy'``; no
-      Python worker runs at all), so strict mode never raises and never
-      fakes.
-    - ``strict=False`` keeps the Arrow ``mapInPandas`` route with the
-      byte-derived stand-in luma (same value, Python-side), exercising
-      the batching/schema plumbing the Pillow branch uses.
-
-    With Pillow installed both modes decode actual pixels."""
+    - ``strict=True`` emits NULL ``mean_luma`` with
+      ``decoder='undecoded'`` — strict means real pixel statistics or
+      nothing; a byte mean of compressed payload is statistically
+      unrelated to luminance and must not be consumable as it (byte
+      statistics live in :func:`image_byte_stats` as ``mean_byte``).
+    - ``strict=False`` keeps the byte-derived stand-in, clearly labeled
+      ``decoder='fake'``, exercising the batching/schema plumbing."""
     has_pil = _pil_available()
-    if strict and not has_pil:
-        hdr = image_header("content")
-        ba = _byte_array(F.col("content"))
-        mean_byte = F.aggregate(
-            ba, F.lit(0.0), lambda acc, x: acc + x
-        ) / F.greatest(F.size(ba), F.lit(1))
-        w = F.coalesce(hdr["width"], F.lit(0))
-        h = F.coalesce(hdr["height"], F.lit(0))
-        return df.filter(F.col("media_type") == "image").select(
-            "asset_id",
-            w.alias("width"),
-            h.alias("height"),
-            (w * h).alias("n_pixels"),
-            mean_byte.alias("mean_luma"),
-            F.lit("jvm-proxy").alias("decoder"),
-        )
     hdr = image_header("content")
     images = df.filter(F.col("media_type") == "image").select(
         "asset_id",
@@ -484,31 +613,33 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        if has_pil:
+            import io
+
+            from PIL import Image
+
+        def stats(b, w, h):
             if has_pil:
-                import io
+                img = Image.open(io.BytesIO(b)).convert("L")
+                pw, ph = img.size
+                data = list(img.getdata())
+                return pw, ph, pw * ph, float(sum(data)) / max(len(data), 1), "pillow"
+            arr = _np_decode_bmp(b)
+            if arr is not None:
+                ph, pw = arr.shape[:2]
+                return pw, ph, pw * ph, _np_luma(arr), "numpy-bmp"
+            pw = int(w) if pd.notna(w) else 0
+            ph = int(h) if pd.notna(h) else 0
+            if strict:
+                return pw, ph, pw * ph, None, "undecoded"
+            fake = float(sum(b)) / len(b) if len(b) else 0.0
+            return pw, ph, pw * ph, fake, "fake"
 
-                from PIL import Image
-
-                def stats(b):
-                    img = Image.open(io.BytesIO(b)).convert("L")
-                    w, h = img.size
-                    data = list(img.getdata())
-                    return w, h, w * h, float(sum(data)) / max(len(data), 1), "pillow"
-
-                rows = [stats(b) for b in pdf["content"]]
-            else:
-                # real header-parsed dims; only the luma is a byte-derived fake
-                rows = [
-                    (
-                        int(w) if pd.notna(w) else 0,
-                        int(h) if pd.notna(h) else 0,
-                        int(w * h) if pd.notna(w) and pd.notna(h) else 0,
-                        float(sum(b)) / len(b) if len(b) else 0.0,
-                        "fake",
-                    )
-                    for b, w, h in zip(pdf["content"], pdf["_w"], pdf["_h"])
-                ]
+        for pdf in batches:
+            rows = [
+                stats(b, w, h)
+                for b, w, h in zip(pdf["content"], pdf["_w"], pdf["_h"])
+            ]
             out = pd.DataFrame(
                 rows, columns=["width", "height", "n_pixels", "mean_luma", "decoder"]
             )
@@ -532,43 +663,52 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
     """Resize image assets to (width, height).
 
-    STUB decode (as :func:`decode_images`); the fake path re-derives
-    deterministic bytes of the target size so downstream consumers see
-    correctly-shaped binary output."""
+    Decoder resolution per asset: Pillow when installed (any format,
+    PNG output) → NumPy for complete uncompressed 24-bit BMPs
+    (:func:`_np_decode_bmp` → nearest-neighbor :func:`_np_resize_nn` →
+    re-encode :func:`_np_encode_bmp`; real pixels end to end,
+    ``resizer='numpy-bmp'``) → otherwise ``strict=True`` raises
+    ``ValueError`` naming the asset (strict means real pixels or an
+    error — never fabricated bytes), while ``strict=False`` emits
+    deterministic correctly-shaped stand-in bytes labeled
+    ``resizer='fake'`` so downstream plumbing can be exercised."""
     has_pil = _pil_available()
-    if strict and not has_pil:
-        raise NotImplementedError("image resize requires Pillow")
     images = df.filter(F.col("media_type") == "image")
     target = width * height
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        if has_pil:
+            import io
+
+            from PIL import Image
+
+        def do(asset_id, b):
             if has_pil:
-                import io
+                img = Image.open(io.BytesIO(b)).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format="PNG")
+                return buf.getvalue(), "pillow"
+            arr = _np_decode_bmp(b)
+            if arr is not None:
+                return _np_encode_bmp(_np_resize_nn(arr, width, height)), "numpy-bmp"
+            if strict:
+                raise ValueError(
+                    f"strict resize: asset {asset_id!r} is not an uncompressed "
+                    "24-bit BMP and Pillow is not installed — cannot produce "
+                    "real pixels"
+                )
+            fake = (hashlib.sha256(b).digest() * (target // 32 + 1))[:target]
+            return fake, "fake"
 
-                from PIL import Image
-
-                def do(b):
-                    img = Image.open(io.BytesIO(b)).resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    return buf.getvalue()
-
-                content = [do(b) for b in pdf["content"]]
-                tag = "pillow"
-            else:
-                content = [
-                    (hashlib.sha256(b).digest() * (target // 32 + 1))[:target]
-                    for b in pdf["content"]
-                ]
-                tag = "fake"
+        for pdf in batches:
+            done = [do(a, b) for a, b in zip(pdf["asset_id"], pdf["content"])]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
-                    "content": content,
+                    "content": [c for c, _ in done],
                     "width": width,
                     "height": height,
-                    "resizer": tag,
+                    "resizer": [t for _, t in done],
                 }
             )
 
