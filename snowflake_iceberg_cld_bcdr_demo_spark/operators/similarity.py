@@ -344,8 +344,12 @@ def kmeans_centroids(
     into :func:`ivf_assign` / :func:`ivf_topk`.
 
     Determinism: init picks the k lowest seeded-md5-hash vectors (stable
-    under partitioning and corpus order); every later step is exact
-    averaging, so the same inputs give the same model on any cluster.
+    under partitioning and corpus order); the mean update is FIXED-POINT
+    (``sum(floor(v·2²⁰)) / (2²⁰·n)`` — an integer sum, order-free), so
+    the trained model is bit-identical under any partitioning or
+    aggregation order, and a SQL engine can replay every Lloyd round
+    exactly (the ``kmeans_cell_profile`` oracle does).  The ≤2⁻²⁰
+    quantization per mean is far below the embedding noise floor.
 
     Scale, per iteration: the assignment is a narrow map (centroid
     literals are K×dims floats baked into the plan, no join); the update
@@ -379,12 +383,14 @@ def kmeans_centroids(
                 ]
             )
         )
+        q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
         stats = (
             assigned.withColumn("_sim", best_sim)
             .select("cell", "_sim", F.posexplode(F.col(vec_col)).alias("dim", "v"))
             .groupBy("cell", "dim")
             .agg(
-                F.avg("v").alias("mean_v"),
+                F.sum(q).alias("sum_q"),
+                F.count(F.lit(1)).alias("n_v"),
                 # cosine distance inertia, counted once per vector (dim 0)
                 F.sum(F.when(F.col("dim") == 0, 1.0 - F.col("_sim"))).alias("d"),
             )
@@ -393,7 +399,7 @@ def kmeans_centroids(
         new_c = [list(c) for c in centroids]  # emptied cells keep position
         inertia = 0.0
         for r in stats:
-            new_c[r.cell][r.dim] = float(r.mean_v)
+            new_c[r.cell][r.dim] = float(r.sum_q) / (1048576.0 * r.n_v)
             if r.d is not None:
                 inertia += float(r.d)
         centroids = new_c
@@ -430,8 +436,11 @@ def pq_train(
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: split the D-dim space into
     ``m`` subspaces and run L2 Lloyd iterations per subspace (init = the
-    k lowest seeded-md5-hash sub-vectors, so the model is deterministic
-    under any partitioning).  Returns ``m`` codebooks of ``k`` codewords.
+    k lowest seeded-md5-hash sub-vectors; the codeword mean update is
+    the same FIXED-POINT ``sum(floor(v·2²⁰)) / (2²⁰·n)`` integer fold as
+    :func:`kmeans_centroids`, so the model is bit-identical under any
+    partitioning and SQL-replayable — the ``ann_pq_topk`` oracle retrains
+    it in DuckDB).  Returns ``m`` codebooks of ``k`` codewords.
 
     Scale: each iteration is one narrow assignment map (codeword
     literals in the plan) plus ONE (code, dim) map-side-combined shuffle
@@ -462,16 +471,17 @@ def pq_train(
         )
         cents = [[float(x) for x in r[0]] for r in rows]
         for _ in range(iters):
+            q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
             stats = (
                 sv.withColumn("_code", _l2_argmin(F.col("_sv"), cents))
                 .select("_code", F.posexplode("_sv").alias("dim", "v"))
                 .groupBy("_code", "dim")
-                .agg(F.avg("v").alias("mean_v"))
+                .agg(F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n_v"))
                 .collect()
             )
             new_c = [list(c) for c in cents]  # emptied codes keep position
             for r in stats:
-                new_c[r._code][r.dim] = float(r.mean_v)
+                new_c[r._code][r.dim] = float(r.sum_q) / (1048576.0 * r.n_v)
             cents = new_c
         codebooks.append(cents)
     return codebooks

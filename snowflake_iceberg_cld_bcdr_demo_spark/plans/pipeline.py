@@ -36,6 +36,33 @@ _PLANES = np.random.default_rng(42).standard_normal((8, 64)).round(4).tolist()
 
 # Shared SQL fragments for the oracle side ------------------------------
 
+
+def _sql_cos(a: str, b: str) -> str:
+    """Cosine between two DOUBLE[] SQL expressions — the DuckDB dual of
+    ``functions.vectors.cosine`` (same left-to-right double fold, so the
+    values are bit-identical)."""
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+def _sql_plane(p: list[float]) -> str:
+    """A hyperplane as a DuckDB DOUBLE[] literal — ``repr`` round-trips
+    each double exactly, so both engines score against the same planes."""
+    return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+
+def _sql_bucket(planes: list[list[float]], vec: str) -> str:
+    """Hyperplane-LSH bucket id (bit i = sign of plane_i · vec) — the
+    DuckDB dual of ``operators.similarity.hyperplane_lsh_buckets``."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec}, {_sql_plane(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
 _SHINGLE_CTE = """
     norm AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text
@@ -511,28 +538,94 @@ def embedding_near_dup_exact_baseline(spark: SparkSession, sf_dir: str) -> DataF
     return similarity.cosine_pairs(table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@_spec("embedding_near_dup_lsh", None)
+@_spec(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               {{bucket}} AS bucket
+        FROM embeddings e
+    )
+    SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           {_sql_cos('a.v', 'b2.v')} AS cosine_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE {_sql_cos('a.v', 'b2.v')} > 0.4
+    """.replace("{bucket}", _sql_bucket(_PLANES[:4], "CAST(e.embedding AS DOUBLE[])")),
+)
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed near-dup pairs (sub-quadratic scale path; approximate
-    — recall checked against the exact baseline in tests, no SQL oracle)."""
+    """LSH-bucketed near-dup pairs (sub-quadratic scale path).  The LSH
+    decision itself is DETERMINISTIC given the fixed literal planes, so
+    the oracle reproduces the exact bucket ids (sign of plane·vec, same
+    double fold both engines) and hence the exact pair set — approximate
+    vs the all-pairs baseline, but hash-verified as an algorithm; recall
+    vs `embedding_near_dup_exact_baseline` is additionally asserted in
+    tests."""
     return similarity.cosine_pairs_lsh(
         table(spark, sf_dir, "embeddings"), threshold=0.4, planes=_PLANES[:4]
     )
 
 
-@_spec("ann_ivf_topk", None)
+@_spec(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    asgn AS (
+        SELECT vec_id, label, v, cell FROM (
+            SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('CAST(e.embedding AS DOUBLE[])', 'c.cv')} DESC,
+                                c.cell DESC) AS rk
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rk = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    probes AS (
+        SELECT c.cell FROM cent c, q
+        ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC, c.cell DESC LIMIT 4
+    )
+    SELECT a.vec_id, a.label, {_sql_cos('a.v', 'q.qv')} AS cosine_sim
+    FROM asgn a, q
+    WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != 0
+    ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 (approximate — probes 4 of 8 cells; recall vs the
-    brute-force baseline is asserted in tests, no SQL oracle)."""
+    """IVF ANN top-10, probing 4 of 8 cells.  With the deterministic seed
+    centroids (the 8 lowest-id vectors) the whole index — cell argmax
+    (ties to the larger cell, matching `array_max` struct ordering),
+    probe-cell ranking, in-cell scoring — is reproducible in SQL, so the
+    approximate ALGORITHM is hash-verified; recall vs the brute-force
+    baseline is additionally asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     cents = similarity.sample_centroids(emb, k=8)
     return similarity.ivf_topk(emb, query_vec_id=0, centroids=cents, k=10, nprobe=4)
 
 
-@_spec("ann_lsh_topk", None)
+@_spec(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               {{bucket}} AS bucket
+        FROM embeddings e
+    ),
+    q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label, {_sql_cos('b.v', 'q.qv')} AS cosine_sim
+    FROM b, q WHERE b.bucket = q.qb AND b.vec_id != 0
+    ORDER BY cosine_sim DESC, b.vec_id LIMIT 10
+    """.replace("{bucket}", _sql_bucket(_PLANES, "CAST(e.embedding AS DOUBLE[])")),
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN top-10 (approximate — no SQL oracle;
-    recall is checked against the brute-force baseline in tests)."""
+    """Hyperplane-LSH bucketed ANN top-10.  Bucket ids are signs of
+    plane·vec against the fixed literal planes — deterministic in both
+    engines — so the oracle reproduces the exact bucket restriction and
+    ranking; recall vs the brute-force baseline is additionally asserted
+    in tests."""
     return similarity.lsh_topk(
         table(spark, sf_dir, "embeddings"), query_vec_id=0, planes=_PLANES, k=10
     )
@@ -661,10 +754,51 @@ def knn_join_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_join_exact(table(spark, sf_dir, "embeddings"), k=3)
 
 
-@_spec("knn_join_lsh", None)
+@_spec(
+    "knn_join_lsh",
+    f"""
+    WITH cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM (SELECT vec_id, {{b1}} AS bucket FROM embeddings e) a
+        JOIN (SELECT vec_id, {{b1}} AS bucket FROM embeddings e) b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM (SELECT vec_id, {{b2}} AS bucket FROM embeddings e) a
+        JOIN (SELECT vec_id, {{b2}} AS bucket FROM embeddings e) b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id
+        FROM (SELECT vec_id, {{b3}} AS bucket FROM embeddings e) a
+        JOIN (SELECT vec_id, {{b3}} AS bucket FROM embeddings e) b
+          ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    pairs AS (
+        SELECT c.vec_a, c.vec_b, {_COS_AB} AS cosine_sim
+        FROM cand c
+        JOIN embeddings a ON a.vec_id = c.vec_a
+        JOIN embeddings b ON b.vec_id = c.vec_b
+    ),
+    ranked AS (
+        SELECT vec_a, vec_b, cosine_sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY vec_a
+                                       ORDER BY cosine_sim DESC, vec_b) AS INTEGER) AS rk
+        FROM pairs
+    )
+    SELECT vec_a, vec_b, cosine_sim, rk FROM ranked WHERE rk <= 3
+    """
+    .replace("{b1}", _sql_bucket(_PLANES[0:2], "CAST(e.embedding AS DOUBLE[])"))
+    .replace("{b2}", _sql_bucket(_PLANES[2:4], "CAST(e.embedding AS DOUBLE[])"))
+    .replace("{b3}", _sql_bucket(_PLANES[4:6], "CAST(e.embedding AS DOUBLE[])")),
+)
 def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed kNN self-join (sub-quadratic scale path; approximate —
-    recall vs the exact baseline asserted in tests, no SQL oracle)."""
+    """LSH-bucketed kNN self-join (sub-quadratic scale path): candidate
+    pairs union across three independent 2-plane hash tables
+    (OR-amplification), dedup, score once, rank top-3 per vector.
+    Deterministic given the literal planes, so the oracle reproduces the
+    exact candidate set and ranking — the approximate ALGORITHM is
+    hash-verified; recall vs `knn_join_exact_baseline` is additionally
+    asserted in tests."""
     return similarity.knn_join_lsh(
         table(spark, sf_dir, "embeddings"),
         tables=[_PLANES[0:2], _PLANES[2:4], _PLANES[4:6]],
@@ -826,12 +960,38 @@ def pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.pack_contiguous(table(spark, sf_dir, "documents"), budget_tokens=512)
 
 
-@_spec("pack_greedy", None)
+@_spec(
+    "pack_greedy",
+    """
+    WITH RECURSIVE d AS (
+        SELECT doc_id, doc_id % 16 AS shard,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    pack(shard, rn, doc_id, n_tokens, bin_seq, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM d WHERE rn = 1
+        UNION ALL
+        SELECT nxt.shard, nxt.rn, nxt.doc_id, nxt.n_tokens,
+               CASE WHEN p.fill > 0 AND p.fill + nxt.n_tokens > 512
+                    THEN p.bin_seq + 1 ELSE p.bin_seq END,
+               CASE WHEN p.fill > 0 AND p.fill + nxt.n_tokens > 512
+                    THEN nxt.n_tokens ELSE p.fill + nxt.n_tokens END
+        FROM pack p JOIN d nxt ON nxt.shard = p.shard AND nxt.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens,
+           CAST(shard * 4294967296 + bin_seq AS BIGINT) AS bin_id
+    FROM pack
+    """,
+)
 def pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit packing without splitting docs — sequential scan
-    per shard via Arrow applyInPandas (16 shards pack independently);
-    invariants (no overflow except oversized singletons, all docs kept)
-    asserted in tests/test_corpus.py."""
+    per shard via Arrow applyInPandas (16 shards pack independently).
+    The scan order (doc_id ascending within shard) and the bin-advance
+    rule are fully deterministic, so the DuckDB oracle replays the exact
+    same fold with a recursive CTE (one recursion step per doc per
+    shard) — every (doc, bin) assignment is hash-verified, not just the
+    no-overflow invariants (which tests/test_corpus.py also asserts)."""
     return corpus.pack_greedy(table(spark, sf_dir, "documents"), budget_tokens=512, num_shards=16)
 
 
@@ -939,6 +1099,124 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~F.col("c_keep")).cast("long")).alias("n_near_dups"),
         F.sum(kept.cast("long")).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_tokens")).otherwise(0).cast("long")).alias("tokens_kept"),
+    )
+
+
+@_spec(
+    "prepare_corpus_report",
+    f"""
+    WITH RECURSIVE {_DUP_EDGE_CTES},
+    q AS (
+        SELECT doc_id,
+               ((n_tokens >= 5 AND n_tokens <= 10000)
+                AND COALESCE(mtl_raw >= 2.0 AND mtl_raw <= 12.0, FALSE)
+                AND COALESCE(punct_ratio <= 0.2, FALSE)
+                AND COALESCE(digit_ratio <= 0.2, FALSE)) AS q_keep
+        FROM (
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+                   length(regexp_replace(text, '\\s', '', 'g'))
+                       / CAST(NULLIF(length(regexp_extract_all(text, '\\S+')), 0) AS DOUBLE)
+                       AS mtl_raw,
+                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                       / CAST(NULLIF(length(text), 0) AS DOUBLE) AS punct_ratio,
+                   (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                       / CAST(NULLIF(length(text), 0) AS DOUBLE) AS digit_ratio
+            FROM documents
+        ) m
+    ),
+    fpp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS e_keep
+        FROM fpp
+    ),
+    cflag AS (SELECT doc_id, doc_id = cluster_id AS c_keep FROM clusters),
+    toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+    ),
+    tokp AS (
+        SELECT doc_id, CAST(pos AS INTEGER) AS pos, t[CAST(pos AS INTEGER)] AS token
+        FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, t FROM toks)
+    ),
+    counts AS (SELECT token, count(*) AS c FROM tokp GROUP BY token),
+    tot AS (SELECT sum(c) AS total FROM counts),
+    lmq AS (
+        SELECT doc_id,
+               round(sum(ln(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)) ORDER BY pos)
+                     / count(*), 8) AS alp
+        FROM tokp JOIN counts USING (token) CROSS JOIN tot
+        GROUP BY doc_id
+    ),
+    lm AS (
+        SELECT d.doc_id, COALESCE(lmq.alp >= -3.41, FALSE) AS lm_keep
+        FROM documents d LEFT JOIN lmq USING (doc_id)
+    ),
+    s AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY CAST(('0x' || substring(md5('42:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id)
+               <= 20 AS s_keep
+        FROM documents
+    ),
+    tok2 AS (
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens
+        FROM documents
+    ),
+    flags AS (
+        SELECT d.doc_id, q.q_keep, e.e_keep, cflag.c_keep, lm.lm_keep, s.s_keep,
+               tok2.n_tokens
+        FROM documents d
+        JOIN q USING (doc_id) JOIN e USING (doc_id) JOIN cflag USING (doc_id)
+        JOIN lm USING (doc_id) JOIN s USING (doc_id) JOIN tok2 USING (doc_id)
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_fail,
+           CAST(SUM(CASE WHEN NOT e_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+           CAST(SUM(CASE WHEN NOT c_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           CAST(SUM(CASE WHEN NOT lm_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_fail,
+           CAST(SUM(CASE WHEN NOT s_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quota_fail,
+           CAST(SUM(CASE WHEN q_keep AND e_keep AND c_keep AND lm_keep AND s_keep
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN q_keep AND e_keep AND c_keep AND lm_keep AND s_keep
+                    THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM flags
+    """,
+)
+def prepare_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of `operators.corpus.prepare_corpus` with ALL FIVE
+    gates armed: rule quality ∩ exact-fingerprint dedup ∩ near-dup
+    cluster ∩ unigram-LM score floor (CCNet-style, -3.41 ≈ the corpus'
+    10th percentile) ∩ per-source quota (seeded-hash cap of 20) — input
+    size, per-gate drop counts, survivors, surviving tokens.  Every gate
+    is an independent full-corpus computation intersected at the end
+    (order-free, reproducible); the oracle replays each gate exactly,
+    including the clusters' recursive connected components and the
+    position-ordered LM log-fold."""
+    docs, pairs = _dup_pairs(spark, sf_dir)
+    _clean, flags = corpus.prepare_corpus(
+        docs, pairs, lm_floor=-3.41, per_source_quota=20
+    )
+    kept = (
+        F.col("q_keep") & F.col("e_keep") & F.col("c_keep")
+        & F.col("lm_keep") & F.col("s_keep")
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~F.col("q_keep")).cast("long")).alias("n_quality_fail"),
+        F.sum((~F.col("e_keep")).cast("long")).alias("n_exact_dups"),
+        F.sum((~F.col("c_keep")).cast("long")).alias("n_near_dups"),
+        F.sum((~F.col("lm_keep")).cast("long")).alias("n_lm_fail"),
+        F.sum((~F.col("s_keep")).cast("long")).alias("n_quota_fail"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0).cast("long")).alias(
+            "tokens_kept"
+        ),
     )
 
 
@@ -1313,6 +1591,97 @@ def image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "resized_image_profile",
+    """
+    WITH base AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('BMP-%06d', t.i) AS asset_id,
+               md5('7#bmp#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(400) t(i)
+    ),
+    dims AS (
+        SELECT asset_id, h,
+               CAST(('0x' || substring(md5(h || 'w'), 1, 8)) AS BIGINT) % 8 + 2 AS w0,
+               CAST(('0x' || substring(md5(h || 'h'), 1, 8)) AS BIGINT) % 8 + 2 AS h0
+        FROM base
+    ),
+    chain AS (
+        SELECT asset_id, w0, h0,
+               ((3 * w0 + 3) // 4) * 4 AS row0,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+               || md5(h || '4') || md5(h || '5') || md5(h || '6') || md5(h || '7')
+               || md5(h || '8') || md5(h || '9') || md5(h || '10') || md5(h || '11')
+               || md5(h || '12') || md5(h || '13') || md5(h || '14') || md5(h || '15')
+                   AS cx
+        FROM dims
+    ),
+    src AS (
+        SELECT asset_id, w0, h0, row0, cx,
+               (CAST(t.i AS BIGINT) // 4) * h0 // 3 AS sy,
+               (CAST(t.i AS BIGINT) % 4) * w0 // 4 AS sx
+        FROM chain CROSS JOIN range(12) t(i)
+    ),
+    px AS (
+        SELECT asset_id,
+               CAST(('0x' || substring(cx, 2 * ((h0-1-sy) * row0 + 3*sx + 0) + 1, 2)) AS BIGINT) AS b_b,
+               CAST(('0x' || substring(cx, 2 * ((h0-1-sy) * row0 + 3*sx + 1) + 1, 2)) AS BIGINT) AS b_g,
+               CAST(('0x' || substring(cx, 2 * ((h0-1-sy) * row0 + 3*sx + 2) + 1, 2)) AS BIGINT) AS b_r
+        FROM src
+    )
+    SELECT asset_id, CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+           CAST(90 AS BIGINT) AS n_bytes,
+           CAST(SUM(299 * b_r + 587 * b_g + 114 * b_b) AS BIGINT) AS luma_millis,
+           CAST(SUM(299 * b_r + 587 * b_g + 114 * b_b) AS DOUBLE) / 12000 AS mean_luma
+    FROM px GROUP BY asset_id
+    """,
+)
+def resized_image_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL-pixel multimodal chain, hash-verified: synthesize
+    complete uncompressed BMPs (`multimodal.media.synthesize_decodable_images`,
+    md5-derived dims + payload), resize them 4x3 with the strict NumPy
+    path (decode -> nearest-neighbor -> re-encode; `_np_decode_bmp` /
+    `_np_resize_nn` / `_np_encode_bmp` — no Pillow, no fakes), then
+    profile the RESIZED bytes with the pure-Catalyst byte extractor:
+    integer ITU-R 601 luma-millis summed over the 12 target pixels (one
+    division at the end keeps doubles bit-identical).  The oracle
+    recomputes the same pixels arithmetically from the md5 chain —
+    nearest-neighbor source positions, bottom-up row layout, 4-byte
+    padding — so a bug anywhere in generator, NumPy codec, resize
+    kernel, or byte extractor hash-mismatches.  Asset count is fixed
+    (400): media assets are synthesized, not testdata-scaled.
+
+    Scale: generation + resize are embarrassingly parallel (Arrow
+    mapInPandas); the profile is a narrow projection — no shuffles."""
+    from ..multimodal.media import (
+        _byte_array,
+        resize_images,
+        synthesize_decodable_images,
+    )
+
+    bmps = synthesize_decodable_images(spark, 400)
+    resized = resize_images(bmps, 4, 3, strict=True)
+    ba = _byte_array(F.col("content"))
+
+    def px(y: int, x: int, c: int) -> F.Column:
+        # resized layout: 54-byte header, rowSize 12, bottom-up rows
+        return F.element_at(ba, 54 + (2 - y) * 12 + 3 * x + c + 1)
+
+    luma_millis = sum(
+        299 * px(y, x, 2) + 587 * px(y, x, 1) + 114 * px(y, x, 0)
+        for y in range(3)
+        for x in range(4)
+    )
+    return resized.select(
+        "asset_id",
+        "width",
+        "height",
+        F.size(ba).cast("long").alias("n_bytes"),
+        luma_millis.cast("long").alias("luma_millis"),
+        (luma_millis.cast("double") / F.lit(12000.0)).alias("mean_luma"),
+    )
+
+
+@_spec(
     "embedding_centroid_per_label",
     """
     WITH flat AS (
@@ -1565,14 +1934,78 @@ def curriculum_bin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("kmeans_cell_profile", None)
+def _kmeans_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of the ENTIRE distributed k-means trainer
+    (seeded md5 init → ``iters`` Lloyd rounds with the fixed-point mean
+    update → final assignment/profile).  Possible because every step of
+    ``operators.similarity.kmeans_centroids`` is order-free: init ranks
+    by md5, assignment argmax ties to the larger cell (``array_max``
+    struct order), and means are integer sums of ``floor(v·2²⁰)``."""
+    cte = [
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5('42:' || CAST(vec_id AS VARCHAR))) - 1
+               AS INTEGER) AS cell, v AS cv
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY md5('42:' || CAST(vec_id AS VARCHAR)) LIMIT 8)
+    )""",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        cte.append(f"""a{i} AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cell DESC) AS rk
+            FROM e CROSS JOIN c{p} c
+        ) WHERE rk = 1
+    )""")
+        cte.append(f"""m{i} AS (
+        SELECT cell, CAST(list(mv ORDER BY dim) AS DOUBLE[]) AS cv FROM (
+            SELECT cell, dim,
+                   CAST(SUM(CAST(FLOOR(val * 1048576.0) AS BIGINT)) AS DOUBLE)
+                       / (1048576.0 * COUNT(*)) AS mv
+            FROM (SELECT cell, CAST(t.i AS INTEGER) AS dim,
+                         v[CAST(t.i AS INTEGER) + 1] AS val
+                  FROM a{i} CROSS JOIN range(64) t(i))
+            GROUP BY cell, dim
+        ) GROUP BY cell
+    )""")
+        cte.append(f"""c{i} AS (
+        SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
+        FROM c{p} p LEFT JOIN m{i} n USING (cell)
+    )""")
+    return (
+        "WITH " + ",\n    ".join(cte) + f""",
+    af AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cell DESC) AS rk
+            FROM e CROSS JOIN c{iters} c
+        ) WHERE rk = 1
+    )
+    SELECT a.cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(CAST(SUM(CAST(FLOOR({_sql_cos('a.v', 'c.cv')} * 1048576.0)
+                              AS BIGINT)) AS DOUBLE)
+                 / (1048576.0 * COUNT(*)), 4) AS mean_cos_to_centroid
+    FROM af a JOIN c{iters} c USING (cell)
+    GROUP BY a.cell
+    """
+    )
+
+
+@_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))
 def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (3 Lloyd rounds, K=8, seeded deterministic
     init) over the embeddings, then the per-cell profile (size, mean
     cosine to centroid) — the trained-centroid upgrade for the IVF ANN
-    family.  Rows-only by design (iterative refinement has no SQL
-    oracle); determinism and monotone convergence are pytest-asserted
-    (`tests/test_similarity_recall.py`).
+    family.  The fixed-point mean update (round 6) makes the whole
+    iterative trainer bit-reproducible, so the oracle replays ALL THREE
+    Lloyd rounds in SQL and hash-verifies the final model's cell
+    profile; determinism and monotone convergence are additionally
+    pytest-asserted (`tests/test_similarity_recall.py`).
 
     Scale: per round, assignment is a narrow map (centroids are plan
     literals) and the update is ONE map-side-combined (cell, dim)
@@ -1586,12 +2019,18 @@ def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_to_own = F.array(*cvec)[F.col("cell")]
     from ..functions.vectors import cosine
 
+    q_sim = F.floor(
+        cosine(F.col("embedding"), sim_to_own) * F.lit(1048576.0)
+    ).cast("long")
     return (
-        assigned.withColumn("_sim", cosine(F.col("embedding"), sim_to_own))
+        assigned.withColumn("_q", q_sim)
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("_sim"), 4).alias("mean_cos_to_centroid"),
+            F.round(
+                F.sum("_q").cast("double") / (F.lit(1048576.0) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_cos_to_centroid"),
         )
         .orderBy("cell")
     )
@@ -1829,15 +2268,129 @@ def resample_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("ann_pq_topk", None)
+def _pq_oracle_sql(m: int = 8, kk: int = 16, sub: int = 8) -> str:
+    """DuckDB replay of the ENTIRE PQ-ANN path — L2 normalization, one
+    Lloyd round of codebook training per subspace (seeded md5 init,
+    argmin-L2 assignment with ties to the lowest code, fixed-point
+    means), encoding, the query ADC lookup table, shortlist-100 and the
+    exact-cosine rerank.  Every float fold is an ORDERED sum so the
+    doubles match ``operators.similarity.pq_train`` / ``pq_topk``
+    bit-for-bit."""
+
+    def sq(a: str, b: str) -> str:
+        return f"(({a}) - ({b})) * (({a}) - ({b}))"
+
+    cte = [
+        """x AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v0
+             FROM embeddings)""",
+        """u AS (
+        SELECT vec_id, label,
+               CASE WHEN sqrt(list_dot_product(v0, v0)) = 0 THEN v0
+                    ELSE list_transform(v0, e -> e / sqrt(list_dot_product(v0, v0)))
+               END AS v
+        FROM x
+    )""",
+        "q AS (SELECT v AS qv FROM u WHERE vec_id = 0)",
+    ]
+    adc_branches = []
+    for j in range(m):
+        base = j * sub + 1
+        el_v = f"u.v[{base} + CAST(t.i AS INTEGER)]"
+        el_cw = "cw[CAST(t.i AS INTEGER) + 1]"
+        seed = f"md5('42:{j}:' || CAST(vec_id AS VARCHAR))"
+        cte.append(f"""i{j} AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY {seed}) - 1 AS INTEGER) AS code,
+               sv AS cw
+        FROM (SELECT vec_id, v[{base}:{j * sub + sub}] AS sv FROM u
+              ORDER BY {seed} LIMIT {kk})
+    )""")
+        cte.append(f"""a{j} AS (
+        SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, code ASC) AS rk
+            FROM (
+                SELECT vec_id, code, sum(dd ORDER BY dim) AS dist FROM (
+                    SELECT u.vec_id, i.code, CAST(t.i AS INTEGER) AS dim,
+                           {sq(el_v, f'i.{el_cw}')} AS dd
+                    FROM u CROSS JOIN i{j} i CROSS JOIN range({sub}) t(i)
+                )
+                GROUP BY vec_id, code
+            )
+        ) WHERE rk = 1
+    )""")
+        cte.append(f"""b{j} AS (
+        SELECT i.code, COALESCE(n.cw, i.cw) AS cw
+        FROM i{j} i LEFT JOIN (
+            SELECT code, CAST(list(mv ORDER BY dim) AS DOUBLE[]) AS cw FROM (
+                SELECT a.code, CAST(t.i AS INTEGER) AS dim,
+                       CAST(SUM(CAST(FLOOR({el_v} * 1048576.0) AS BIGINT)) AS DOUBLE)
+                           / (1048576.0 * COUNT(*)) AS mv
+                FROM a{j} a JOIN u USING (vec_id) CROSS JOIN range({sub}) t(i)
+                GROUP BY a.code, CAST(t.i AS INTEGER)
+            ) GROUP BY code
+        ) n USING (code)
+    )""")
+        cte.append(f"""e{j} AS (
+        SELECT vec_id, code FROM (
+            SELECT vec_id, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist ASC, code ASC) AS rk
+            FROM (
+                SELECT vec_id, code, sum(dd ORDER BY dim) AS dist FROM (
+                    SELECT u.vec_id, b.code, CAST(t.i AS INTEGER) AS dim,
+                           {sq(el_v, f'b.{el_cw}')} AS dd
+                    FROM u CROSS JOIN b{j} b CROSS JOIN range({sub}) t(i)
+                )
+                GROUP BY vec_id, code
+            )
+        ) WHERE rk = 1
+    )""")
+        cte.append(f"""lut{j} AS (
+        SELECT code, sum(dd ORDER BY dim) AS dist FROM (
+            SELECT b.code, CAST(t.i AS INTEGER) AS dim,
+                   {sq(f'q.qv[{base} + CAST(t.i AS INTEGER)]', f'b.{el_cw}')} AS dd
+            FROM b{j} b CROSS JOIN q CROSS JOIN range({sub}) t(i)
+        )
+        GROUP BY code
+    )""")
+        adc_branches.append(
+            f"SELECT e{j}.vec_id, {j} AS j, lut{j}.dist "
+            f"FROM e{j} JOIN lut{j} USING (code)"
+        )
+    cte.append(
+        "adc AS (\n        SELECT vec_id, sum(dist ORDER BY j) AS adc_dist FROM (\n            "
+        + "\n            UNION ALL\n            ".join(adc_branches)
+        + "\n        ) GROUP BY vec_id\n    )"
+    )
+    cte.append("""short AS (
+        SELECT vec_id, adc_dist FROM adc WHERE vec_id != 0
+        ORDER BY adc_dist ASC, vec_id LIMIT 100
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(cte)
+        + f"""
+    SELECT u.vec_id, u.label, s.adc_dist,
+           {_sql_cos('u.v', 'q.qv')} AS cosine_sim
+    FROM short s JOIN u USING (vec_id) CROSS JOIN q
+    ORDER BY cosine_sim DESC, u.vec_id LIMIT 10
+    """
+    )
+
+
+@_spec("ann_pq_topk", _pq_oracle_sql(m=8, kk=16, sub=8))
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-10 by asymmetric distance (ADC):
     corpus vectors are m=8 codeword indices, the query's m×k lookup
     table is a plan literal, and scoring is a pure table-lookup sum —
     no vector math touches the corpus at query time; a 100-wide ADC
     shortlist is then reranked with exact cosine (the FAISS refine
-    pattern).  Approximate; recall vs the brute-force baseline is
-    asserted in tests, no SQL oracle."""
+    pattern).  With the fixed-point codeword means (round 6) the whole
+    train → encode → ADC → rerank path is deterministic, and the oracle
+    retrains the codebooks in DuckDB and hash-verifies the result;
+    recall vs the brute-force baseline is additionally asserted in
+    tests."""
     from ..functions.vectors import l2_normalize
 
     emb = table(spark, sf_dir, "embeddings")
