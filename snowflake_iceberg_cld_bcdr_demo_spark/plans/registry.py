@@ -59,13 +59,13 @@ _OFFICIALLY_CHECKED: frozenset[str] = frozenset({
 })
 
 
-def _officially_checked() -> frozenset[str]:
-    """The hardcoded r01/r02 set plus every query name whose *latest*
-    appearance in a ``CORRECTNESS_r*.json`` at the repo root PASSED
-    (rows/schema/hash all matched, no error) — so each round's newly
-    certified queries automatically rotate behind the still-unchecked
-    ones next round, while a query that FAILED its official check
-    re-fronts the driver's bounded window until it is re-certified."""
+def _certification_rounds() -> dict[str, int]:
+    """name → round of the most recent PASSING official check (rows,
+    schema, and hash all matched, no error) in a ``CORRECTNESS_r*.json``
+    at the repo root.  The hardcoded r01/r02 baseline names start at
+    round 2 unless a later file re-checks them.  Names whose LATEST
+    appearance failed are absent — they re-front the driver's bounded
+    window until re-certified."""
     import glob
     import json
     import re
@@ -78,7 +78,7 @@ def _officially_checked() -> frozenset[str]:
         return int(m.group(1)) if m else 0
 
     # Latest round wins: walk files in round order, overwrite per-name status.
-    latest: dict[str, bool] = {name: True for name in _OFFICIALLY_CHECKED}
+    latest: dict[str, int | None] = {name: 2 for name in _OFFICIALLY_CHECKED}
     for p in sorted(glob.glob(str(root / "CORRECTNESS_r*.json")), key=round_no):
         try:
             with open(p) as f:
@@ -90,13 +90,41 @@ def _officially_checked() -> frozenset[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            latest[name] = bool(
+            passed = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
                 and row.get("err") in (None, "")
             )
-    return frozenset(name for name, passed in latest.items() if passed)
+            latest[name] = round_no(p) if passed else None
+    return {name: rnd for name, rnd in latest.items() if rnd is not None}
+
+
+def _officially_checked() -> frozenset[str]:
+    """Query names whose latest official check passed (see
+    :func:`_certification_rounds`)."""
+    return frozenset(_certification_rounds())
+
+
+def _order_specs(ordered: list[QuerySpec], cert_rounds: dict[str, int]) -> list[QuerySpec]:
+    """The driver records a bounded prefix (50 entries) of ``queries()``
+    in CORRECTNESS_r{N}.json, so ordering decides what gets (re)checked.
+    Priority: (1) oracle-bearing queries that have never been on the
+    official record or whose last check failed, (2) certified oracle
+    queries, LEAST-RECENTLY-CERTIFIED FIRST (ties keep SPECS order, so
+    the sort is a stable rotation: with ~140 certified names and a
+    50-entry window the whole surface re-certifies on a ~3-round cycle
+    instead of the same static prefix forever), (3) rows-only
+    (approximate) queries, which only ever get a weaker rows-only
+    check."""
+    return [
+        *(s for s in ordered if s.oracle is not None and s.name not in cert_rounds),
+        *sorted(
+            (s for s in ordered if s.oracle is not None and s.name in cert_rounds),
+            key=lambda s: cert_rounds[s.name],
+        ),
+        *(s for s in ordered if s.oracle is None),
+    ]
 
 
 def _collect() -> dict[str, QuerySpec]:
@@ -108,21 +136,8 @@ def _collect() -> dict[str, QuerySpec]:
         if spec.name in seen:
             raise ValueError(f"duplicate query name {spec.name!r}")
         seen.add(spec.name)
-    # The driver records a bounded prefix of queries() in
-    # CORRECTNESS_r{N}.json.  Priority: (1) oracle-bearing queries that have
-    # never been on the official record, (2) already-certified oracle
-    # queries (rotating them back through the window), (3) rows-only
-    # (approximate) queries, which only ever get a weaker rows-only check.
-    checked = _officially_checked()
     return {
-        spec.name: spec
-        for spec in [
-            *(s for s in ordered
-              if s.oracle is not None and s.name not in checked),
-            *(s for s in ordered
-              if s.oracle is not None and s.name in checked),
-            *(s for s in ordered if s.oracle is None),
-        ]
+        spec.name: spec for spec in _order_specs(ordered, _certification_rounds())
     }
 
 

@@ -90,3 +90,28 @@ def test_failed_official_rows_refront_rotation(tmp_path, monkeypatch):
     assert "d" in checked
     # the hardcoded r01/r02 baseline names stay certified
     assert "q1_pricing_summary" in checked
+    # least-recently-certified ordering data: 'b' carries its r10 round,
+    # 'a' its r01 round
+    rounds = registry._certification_rounds()
+    assert rounds["a"] == 1 and rounds["b"] == 10 and rounds["d"] == 2
+
+
+def test_rotation_covers_whole_certified_surface():
+    """With every oracle query certified and a 50-entry driver window,
+    the least-recently-certified ordering must walk the ENTIRE certified
+    surface across consecutive rounds (ceil(N/50) rounds), instead of
+    re-checking a static prefix forever — simulate three driver rounds
+    and assert full coverage."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import registry
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans.registry import QuerySpec
+
+    n, window = 140, 50
+    specs = [QuerySpec(f"q{i:03d}", build=None, oracle="SELECT 1") for i in range(n)]
+    cert = {s.name: 5 for s in specs}  # all certified in the same round
+    seen: set[str] = set()
+    for rnd in (6, 7, 8):
+        prefix = [s.name for s in registry._order_specs(specs, cert)[:window]]
+        seen.update(prefix)
+        for name in prefix:
+            cert[name] = rnd  # the driver re-certifies the window
+    assert seen == {s.name for s in specs}
