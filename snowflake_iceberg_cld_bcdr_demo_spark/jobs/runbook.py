@@ -26,9 +26,17 @@ def build_reference_schedule(
     namespace: str,
     monitoring: LakehouseCatalog | None = None,
     with_mv_refresh: bool = False,
+    streams: list | None = None,
 ) -> Scheduler:
     """Assemble the full task graph the reference deploys.  Drive it with
-    ``sched.tick()`` (tests / virtual time) or ``sched.run_loop()``."""
+    ``sched.tick()`` (tests / virtual time) or ``sched.run_loop()``.
+
+    The heartbeat task gets the schedule itself (its task-resume pass,
+    `31:328-376`, re-enables tasks the failover replication landed
+    suspended — including siblings in this very schedule) and the
+    optional ``streams`` list (running Structured Streaming queries) so
+    every cycle records the full check battery: link status, counts,
+    grants, task resume, table lifecycle, stream progress."""
     monitoring = monitoring or primary.catalog
     sched = Scheduler()
 
@@ -42,7 +50,13 @@ def build_reference_schedule(
     sched.add(
         "secondary_heartbeat",
         lambda: heartbeat.secondary_heartbeat(
-            spark, secondary.catalog, namespace, secondary.prod, monitoring
+            spark,
+            secondary.catalog,
+            namespace,
+            secondary.prod,
+            monitoring,
+            scheduler=sched,
+            streams=streams,
         ),
         HEARTBEAT_INTERVAL_S,
     )

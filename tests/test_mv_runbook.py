@@ -161,3 +161,63 @@ def test_noop_refresh_advances_cursor_past_empty_delta(spark, stack):
     after = mv._read_cursors(cat, view)["conversions"]["snapshot_id"]
     assert after > before
     assert after == cat.snapshots("advertising", "conversions")[-1].snapshot_id
+
+
+def test_runbook_hour_simulation_full_composition(spark, stack):
+    """F1-F5 composed end-to-end for a simulated hour (mock clock, 30 s
+    ticks): sync + heartbeat fire at the reference 5-min cadence
+    (`16:483-489` / `31:531-537`), definition replication at 10 min
+    (`20:113,137,171`), the drift check once (daily, `33:504-509`); a
+    task suspended mid-hour is re-enabled by the heartbeat's resume pass
+    WITHOUT losing its cadence; and every heartbeat cycle records the
+    round-5 lifecycle + streaming-progress checks in the monitoring
+    log."""
+    wh = stack["wh"]
+    primary = bcdr.make_account(spark, wh, "hp", role="primary")
+    secondary = bcdr.make_account(spark, wh, "hs", role="replica")
+    sched = runbook.build_reference_schedule(
+        spark, primary, secondary, "advertising", streams=[]
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs.logs import MONITORING_NS
+
+    # accounts share the warehouse (zero-copy DR), so earlier tests'
+    # heartbeat cycles share this log — count only rows from this hour
+    def _log_ids():
+        if not primary.catalog.table_exists(MONITORING_NS, "secondary_heartbeat_log"):
+            return set()
+        log = primary.catalog.load(MONITORING_NS, "secondary_heartbeat_log")
+        return {r.heartbeat_id for r in log.select("heartbeat_id").collect()}
+
+    before_ids = _log_ids()
+    for now in range(0, 3600, 30):
+        if now == 330:
+            sched.suspend("replicate_definitions")
+        sched.tick(now=float(now))
+
+    t = sched.tasks
+    assert t["sync_prod"].runs == 12            # 0, 300, ..., 3300
+    assert t["secondary_heartbeat"].runs == 12
+    assert t["schema_drift_check"].runs == 1    # daily: t0 only
+    # suspended at 330 (missing its t=600 slot), resumed by the t=600
+    # heartbeat, back on cadence from 630 -> same 6 runs as undisturbed
+    assert t["replicate_definitions"].runs == 6
+    assert not t["replicate_definitions"].suspended
+    assert all(task.failures == 0 for task in t.values()), {
+        n: task.last_error for n, task in t.items()
+    }
+
+    log = primary.catalog.load(MONITORING_NS, "secondary_heartbeat_log")
+    rows = [r for r in log.collect() if r.heartbeat_id not in before_ids]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.check_type, []).append(r)
+    # every cycle records the full battery, incl. the round-5 checks
+    assert len(by_type["TABLE_LIFECYCLE"]) == 12
+    assert len(by_type["STREAM_PROGRESS"]) == 12
+    assert all(r.status == "SUCCESS" for r in by_type["TABLE_LIFECYCLE"])
+    # streams=[] exercises the REAL branch (not SKIPPED)
+    assert all(r.status == "SUCCESS" for r in by_type["STREAM_PROGRESS"])
+    assert all("0 streams healthy" in r.details for r in by_type["STREAM_PROGRESS"])
+    # the resume pass logged re-enabling the suspended sibling
+    resumes = [r for r in by_type["TASK_RESUME"] if "replicate_definitions" in (r.details or "")]
+    assert len(resumes) == 1 and resumes[0].status == "SUCCESS"
