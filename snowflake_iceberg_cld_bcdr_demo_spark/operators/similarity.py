@@ -407,6 +407,56 @@ def kmeans_centroids(
     return centroids, history
 
 
+def semdedup(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with k-means, compute pairwise cosine ONLY within a
+    cluster, connect pairs above ``threshold`` into duplicate groups,
+    and keep one representative (the min id) per group.  Returns one row
+    per vector: ``(id, cell, cluster_id, is_kept)``.
+
+    Scale: this is the composition that makes embedding-level dedup
+    tractable at 100 TB — the quadratic term is n²/K per cell instead
+    of n² (the paper's core trick); the trained centroids are plan
+    literals; duplicate groups resolve with the same edge-touched-only
+    label propagation as text near-dup (``dedup.neardup_clusters``), so
+    the iterative stage only ever touches pair endpoints.  With the
+    fixed-point k-means (round 6) every stage is deterministic — the
+    ``semdedup_decisions`` oracle replays train → assign → pair →
+    connected components end to end in SQL."""
+    from .dedup import neardup_clusters
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) > threshold)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    clusters = neardup_clusters(emb.select(id_col), pairs, id_col=id_col)
+    return (
+        assigned.select(F.col(id_col), F.col("cell"))
+        .join(clusters.withColumnRenamed("doc_id", id_col), id_col)
+        .select(
+            id_col,
+            "cell",
+            "cluster_id",
+            (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+        )
+    )
+
+
 # -- product quantization (the 100 TB embedding-store compression) -------
 
 def _l2_argmin(sub_col, codewords: list[list[float]]):

@@ -1934,13 +1934,12 @@ def curriculum_bin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(iters: int = 3) -> str:
-    """DuckDB replay of the ENTIRE distributed k-means trainer
-    (seeded md5 init → ``iters`` Lloyd rounds with the fixed-point mean
-    update → final assignment/profile).  Possible because every step of
-    ``operators.similarity.kmeans_centroids`` is order-free: init ranks
-    by md5, assignment argmax ties to the larger cell (``array_max``
-    struct order), and means are integer sums of ``floor(v·2²⁰)``."""
+def _kmeans_ctes(iters: int) -> list[str]:
+    """The shared CTE chain replaying ``kmeans_centroids`` in DuckDB:
+    double-cast input ``e``, seeded init ``c0``, then per round
+    assignment ``a{i}`` / quantized means ``m{i}`` / next centroids
+    ``c{i}``.  Consumers append their own tail (cell profile,
+    SemDeDup)."""
     cte = [
         """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
         """c0 AS (
@@ -1976,8 +1975,18 @@ def _kmeans_oracle_sql(iters: int = 3) -> str:
         SELECT p.cell, COALESCE(n.cv, p.cv) AS cv
         FROM c{p} p LEFT JOIN m{i} n USING (cell)
     )""")
+    return cte
+
+
+def _kmeans_oracle_sql(iters: int = 3) -> str:
+    """DuckDB replay of the ENTIRE distributed k-means trainer
+    (seeded md5 init → ``iters`` Lloyd rounds with the fixed-point mean
+    update → final assignment/profile).  Possible because every step of
+    ``operators.similarity.kmeans_centroids`` is order-free: init ranks
+    by md5, assignment argmax ties to the larger cell (``array_max``
+    struct order), and means are integer sums of ``floor(v·2²⁰)``."""
     return (
-        "WITH " + ",\n    ".join(cte) + f""",
+        "WITH " + ",\n    ".join(_kmeans_ctes(iters)) + f""",
     af AS (
         SELECT vec_id, v, cell FROM (
             SELECT e.vec_id, e.v, c.cell,
@@ -1994,6 +2003,62 @@ def _kmeans_oracle_sql(iters: int = 3) -> str:
     GROUP BY a.cell
     """
     )
+
+
+def _semdedup_oracle_sql(iters: int = 2, threshold: float = 0.4) -> str:
+    """DuckDB replay of the full SemDeDup path: the shared k-means CTEs,
+    final cell assignment, within-cell cosine pairs above threshold, and
+    duplicate groups via a recursive min-label CTE (the text near-dup
+    precedent) — keep flag = vector is its group's min id."""
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(_kmeans_ctes(iters))
+        + f""",
+    asgn AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cell DESC) AS rk
+            FROM e CROSS JOIN c{iters} c
+        ) WHERE rk = 1
+    ),
+    dup_pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE {_sql_cos('a.v', 'b.v')} > {threshold}
+    ),
+    edges AS (
+        SELECT va AS a, vb AS b FROM dup_pairs
+        UNION SELECT vb, va FROM dup_pairs
+    ),
+    reach(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT ed.b, r.comp FROM reach r JOIN edges ed ON ed.a = r.id
+    ),
+    clusters AS (
+        SELECT id AS vec_id, CAST(MIN(comp) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY id
+    )
+    SELECT a.vec_id, a.cell, c.cluster_id,
+           a.vec_id = c.cluster_id AS is_kept
+    FROM asgn a JOIN clusters c USING (vec_id)
+    """
+    )
+
+
+@_spec("semdedup_decisions", _semdedup_oracle_sql(iters=2, threshold=0.4))
+def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end to end, hash-verified: k-means
+    (2 Lloyd rounds, K=8, fixed-point means) partitions the embedding
+    space, cosine pairs form ONLY within a cell (the n²/K trick that
+    makes embedding dedup tractable at corpus scale), pairs above 0.4
+    connect into duplicate groups, and the min-id representative of each
+    group is kept.  The oracle replays training, assignment, pairing,
+    and the connected components in SQL."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return similarity.semdedup(emb, cents, threshold=0.4)
 
 
 @_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))
@@ -2642,6 +2707,52 @@ def duplicate_spans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     that whole-doc near-dup misses.  See
     :func:`operators.dedup.duplicate_spans`."""
     return dedup.duplicate_spans(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_block_removal",
+    """
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    tiles AS (
+        SELECT doc_id, CAST(p AS INTEGER) AS pos,
+               substring(nt, CAST(p AS INTEGER), 50) AS tile
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 50)) AS p
+              FROM norm WHERE length(nt) >= 1)
+    ),
+    dup AS (
+        SELECT md5(tile) AS h FROM tiles
+        GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+    ),
+    rebuilt AS (
+        SELECT t.doc_id,
+               count(*) AS n_blocks,
+               count(d.h) AS n_dup_blocks,
+               string_agg(CASE WHEN d.h IS NULL THEN t.tile END, ''
+                          ORDER BY t.pos) AS ct
+        FROM tiles t LEFT JOIN dup d ON md5(t.tile) = d.h
+        GROUP BY t.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(r.n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(r.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+           coalesce(r.ct, '') AS clean_text,
+           CAST(coalesce(length(r.ct), 0) AS BIGINT) AS clean_len,
+           md5(coalesce(r.ct, '')) AS clean_hash
+    FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (ExactSubstr restricted to a
+    non-overlapping 50-char tiling): cross-document duplicated tiles are
+    dropped and each document's surviving text reassembled in order —
+    the acting counterpart of `duplicate_spans_profile`.  The oracle
+    rebuilds every cleaned document independently and compares the full
+    text (plus md5) — see
+    :func:`operators.dedup.remove_duplicate_blocks`."""
+    return dedup.remove_duplicate_blocks(table(spark, sf_dir, "documents"))
 
 
 @_spec(

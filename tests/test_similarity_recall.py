@@ -314,3 +314,38 @@ def test_ivfpq_index_incremental_refresh(spark, emb, tmp_path):
     a = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in full.collect()}
     b = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in stored.collect()}
     assert a == b
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """SemDeDup invariants on planted near-duplicates: a cloned vector
+    (cosine ~1 with its source, same cell by construction) is dropped in
+    favor of the min-id representative; vectors with no near pair keep
+    themselves; every duplicate group's kept member is its min id."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = base.count()
+    # plant: clone vec 3 as id n+3 with a tiny deterministic scale (same
+    # direction => cosine 1.0 with the original)
+    clone = base.filter("vec_id = 3").select(
+        (F.col("vec_id") + n).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+        "label",
+    )
+    emb = base.unionByName(clone)
+    cents, _ = similarity.kmeans_centroids(emb, k=4, iters=2)
+    out = {r.vec_id: r for r in similarity.semdedup(emb, cents, threshold=0.9).collect()}
+    assert len(out) == n + 1
+    # the clone collapses onto vec 3 (min id of the pair) and is dropped
+    assert out[n + 3].cluster_id == 3 and not out[n + 3].is_kept
+    assert out[3].cluster_id == 3 and out[3].is_kept
+    # group representative is always the group min; singletons keep themselves
+    groups: dict[int, list] = {}
+    for r in out.values():
+        groups.setdefault(r.cluster_id, []).append(r)
+    for cid, members in groups.items():
+        assert cid == min(m.vec_id for m in members)
+        assert sum(m.is_kept for m in members) == 1
+        assert next(m for m in members if m.is_kept).vec_id == cid
