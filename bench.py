@@ -66,6 +66,7 @@ HEADLINE = [
     "resample_linear_daily",
     "winnow_shared_spans",
     "neardup_skewsafe_pairs",
+    "dedup_block_removal",
 ]
 
 #: sf1 spot-check set: the most expensive headline queries.

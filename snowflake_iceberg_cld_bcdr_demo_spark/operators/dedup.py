@@ -689,3 +689,88 @@ def duplicate_spans(
             F.coalesce(frac >= 0.5, F.lit(False)).alias("mostly_duplicated"),
         )
     )
+
+def remove_duplicate_blocks(
+    docs: DataFrame,
+    block: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the acting counterpart of
+    :func:`duplicate_spans`' profile (the ExactSubstr idea of
+    "Deduplicating Training Data Makes Language Models Better",
+    restricted to a NON-OVERLAPPING ``block``-char tiling so removal
+    needs no interval merging): tile the normalized text, drop every
+    tile whose exact content occurs in MORE THAN ONE document, and
+    reassemble the survivors in document order.  Boilerplate passages
+    shared across pages disappear while unique prose survives.
+
+    Output per doc: ``n_blocks``, ``n_dup_blocks``, the reassembled
+    ``clean_text``, its length, and ``clean_hash`` (md5 of the clean
+    text — what the SQL oracle compares, full text being impractical to
+    hash-diff by eye).  Docs too short to tile (empty normalized text)
+    keep a zero row with an empty clean text.
+
+    Scale: tiles build row-locally and explode (narrow); the ONLY wide
+    stages are the tile-hash → distinct-doc count (32-byte uniform
+    keys, map-side combined) and the doc_id reassembly shuffle, whose
+    payload is exactly the surviving text — never more than the corpus.
+    The tiling trade-off vs true suffix-array ExactSubstr: a duplicated
+    passage is only removed where tile boundaries align, which the
+    profile's strided windows (:func:`duplicate_spans`) quantify."""
+    norm = normalized_text(F.col(text_col))
+    tiles = (
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .filter(F.length("nt") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(nt), {block}), "
+                    f"i -> substring(nt, i, {block}))"
+                )
+            ).alias("pos", "tile"),
+        )
+    )
+    dup = (
+        tiles.groupBy(F.md5("tile").alias("h"))
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    rebuilt = (
+        tiles.withColumn("h", F.md5("tile"))
+        .join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.count(F.col("n_docs")).alias("n_dup_blocks"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("n_docs").isNull(),
+                                F.struct(F.col("pos"), F.col("tile")),
+                            )
+                        )
+                    ),
+                    lambda s: s["tile"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
+            F.coalesce("n_dup_blocks", F.lit(0).cast("long")).alias("n_dup_blocks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_len"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+    )

@@ -97,8 +97,11 @@ def boilerplate_share(
             ),
         )
     )
+    from .dedup import _parallelize_scan
+
     grams = (
-        docs.select(id_col, group_col, toks)
+        _parallelize_scan(docs)
+        .select(id_col, group_col, toks)
         .filter(F.size("_toks") >= n)
         .select(id_col, group_col, F.explode(grams_arr).alias("gram"))
     )

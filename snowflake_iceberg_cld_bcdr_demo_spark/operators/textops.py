@@ -649,8 +649,14 @@ def unigram_logprob(
     Scale: ONE map-side-combined token-count shuffle (vocab-sized
     output), one token-key join (hot tokens are fine — the join fans
     out, never collects), one doc_id shuffle for the ordered fold.
-    Per-doc state is bounded by document length."""
-    tok = docs.select(
+    Per-doc state is bounded by document length.  The tokenizing
+    projection feeds two branches (counts + scoring), each replaying
+    the regexp from the scan — the scan-parallelism guard
+    (:func:`.dedup._parallelize_scan`) keeps that CPU work on every
+    core when the input is a single small file."""
+    from .dedup import _parallelize_scan
+
+    tok = _parallelize_scan(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)

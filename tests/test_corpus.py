@@ -587,3 +587,31 @@ def test_approx_percentile_error_within_bound(spark):
     for r in rows:
         for p in (50, 90, 99):
             assert r[f"rel_err_p{p}"] <= 0.05, (r["source"], p, r[f"rel_err_p{p}"])
+
+
+def test_remove_duplicate_blocks_drops_shared_boilerplate(spark):
+    """Planted boilerplate: a 50-char block shared by two docs is
+    removed from BOTH while each doc's unique prose survives verbatim;
+    a doc with no shared tile is untouched; empty docs keep a zero row."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    boiler = ("subscribe to our newsletter for daily updates now" + " " * 50)[:50]
+    assert len(boiler) == 50
+    u1 = "alpha bravo charlie delta echo foxtrot golf hotel"[:49]
+    u2 = "november oscar papa quebec romeo sierra tango unif"[:49]
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + u1),          # tile1 = boiler (shared), tile2 = u1
+            (2, boiler + u2),          # tile1 = boiler (shared), tile2 = u2
+            (3, "completely unique prose with no shared passages"),
+            (4, "   "),                # whitespace-only -> empty normalized
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.remove_duplicate_blocks(docs, block=50).collect()}
+    assert out[1].n_blocks == 2 and out[1].n_dup_blocks == 1
+    assert out[1].clean_text == u1
+    assert out[2].clean_text == u2
+    assert out[3].n_dup_blocks == 0
+    assert out[3].clean_text == "completely unique prose with no shared passages"
+    assert out[4].n_blocks == 0 and out[4].clean_text == "" and out[4].clean_len == 0
