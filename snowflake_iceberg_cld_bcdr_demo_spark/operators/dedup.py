@@ -22,9 +22,15 @@ def _parallelize_scan(df: DataFrame) -> DataFrame:
     session's parallelism (a single small local file — one parquet row
     group is unsplittable), redistribute round-robin so the per-character
     hashing uses every core.  With a real multi-file corpus the scan is
-    already parallel and this is a no-op."""
+    already parallel and this is a no-op; the redistribution only
+    triggers when it at least DOUBLES parallelism (31 partitions on 32
+    cores is not worth shuffling the corpus for).  Streaming frames
+    pass through untouched (no ``.rdd`` on an unbounded plan;
+    micro-batch parallelism is the source's concern)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if df.rdd.getNumPartitions() * 2 <= sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 
@@ -410,6 +416,7 @@ def neardup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    driver_edge_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id),
     cluster_id = min doc_id reachable (singletons cluster with themselves).
@@ -418,19 +425,59 @@ def neardup_clusters(
     canonical doc per cluster (the min id), everything else a removable
     duplicate — the last stage of a MinHash/LSH dedup pipeline.
 
-    Scale: iterative min-label propagation, the standard distributed CC,
-    restricted to EDGE-TOUCHED vertices only — documents in no candidate
-    pair (the overwhelming majority of any real corpus) never enter the
-    loop and are stitched back as their own singleton cluster with one
-    final left join, so per-round shuffle is ∝ |pair endpoints|, not
-    |corpus|.  Each round is one join + groupBy on the edge list; change
-    detection rides the checkpointed round result (a ``_chg`` column
-    counted off the materialized RDD — no extra old-vs-new join).
-    Rounds needed ∝ the longest path in a component, and near-dup
-    components are tiny dense clusters, so this converges in a handful
-    of rounds.  ``localCheckpoint`` truncates lineage every round so
-    plans don't grow with iterations; early-exits when no label changes.
+    Scale: the pair list is usually TINY relative to the corpus (LSH
+    collisions only), so when it fits ``driver_edge_threshold`` rows the
+    components resolve with one collect + union-find on the driver
+    (exact same min-label result, zero iterative Spark jobs — the
+    one-collect BPE-trainer precedent; 1M edges ≈ 16 MB).  Above the
+    threshold: iterative min-label propagation, the standard distributed
+    CC, restricted to EDGE-TOUCHED vertices only — documents in no
+    candidate pair never enter the loop and are stitched back as their
+    own singleton cluster with one final left join, so per-round shuffle
+    is ∝ |pair endpoints|, not |corpus|.  Each round is one join +
+    groupBy on the edge list; change detection rides the checkpointed
+    round result (a ``_chg`` column counted off the materialized RDD —
+    no extra old-vs-new join).  Rounds needed ∝ the longest path in a
+    component (tiny dense clusters → a handful); ``localCheckpoint``
+    truncates lineage every round; early-exits when no label changes.
+    The two paths are bit-equality-asserted against each other in
+    ``tests/test_corpus.py``.
     """
+    head = (
+        pairs.select("doc_a", "doc_b").limit(driver_edge_threshold + 1).collect()
+        if driver_edge_threshold
+        else None
+    )
+    if head is not None and len(head) <= driver_edge_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in head:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN label: a root is always its component's min
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        labels_df = docs.sparkSession.createDataFrame(
+            rows, schema="doc_id long, cluster_id long"
+        ) if rows else None
+        base = docs.select(F.col(id_col).alias("doc_id"))
+        if labels_df is None:
+            return base.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        return base.join(F.broadcast(labels_df), "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -615,3 +615,25 @@ def test_remove_duplicate_blocks_drops_shared_boilerplate(spark):
     assert out[3].n_dup_blocks == 0
     assert out[3].clean_text == "completely unique prose with no shared passages"
     assert out[4].n_blocks == 0 and out[4].clean_text == "" and out[4].clean_len == 0
+
+
+def test_neardup_clusters_driver_vs_distributed_paths(spark):
+    """The driver union-find shortcut and the distributed label
+    propagation must produce bit-identical components: chains (long
+    paths), a cycle, and singletons, labeled by component min."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # chain 0-1-2-3, cycle 4-5-6-4, pair 7-8; 9..11 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (7, 8)],
+        "doc_a long, doc_b long",
+    )
+    fast = {r.doc_id: r.cluster_id for r in D.neardup_clusters(docs, pairs).collect()}
+    slow = {
+        r.doc_id: r.cluster_id
+        for r in D.neardup_clusters(docs, pairs, driver_edge_threshold=0).collect()
+    }
+    assert fast == slow
+    assert fast == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7,
+                    9: 9, 10: 10, 11: 11}
