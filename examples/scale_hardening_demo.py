@@ -89,6 +89,31 @@ def main() -> None:
         ),
     }
 
+    # 5c. exact-substring block removal: duplicated tiles dropped, the
+    # cleaned corpus rebuilt (the acting counterpart of the profile)
+    removed = dedup.remove_duplicate_blocks(docs)
+    report["block_removal"] = {
+        "docs_touched": removed.filter("n_dup_blocks > 0").count(),
+        "blocks_removed": int(
+            removed.agg(F.sum("n_dup_blocks").alias("c")).collect()[0].c
+        ),
+        "surviving_chars": int(
+            removed.agg(F.sum("clean_len").alias("c")).collect()[0].c
+        ),
+    }
+
+    # 5d. SemDeDup: embedding-space dedup — k-means cells bound the
+    # pair join (n^2/K); the fixed-point trainer is bit-reproducible
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
+    sd = similarity.semdedup(emb, cents, threshold=0.4)
+    report["semdedup"] = {
+        "vectors": sd.count(),
+        "dropped": sd.filter("NOT is_kept").count(),
+    }
+
     # 6. the conf this pipeline would ship with on a real cluster
     report["cluster_conf_example"] = {
         k: v

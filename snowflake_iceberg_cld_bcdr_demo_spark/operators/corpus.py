@@ -772,3 +772,104 @@ def approx_percentile_audit(
             F.col(f"exact_p{int(p * 100)}"), F.col(f"approx_p{int(p * 100)}")
         )
     ], *errs)
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 64,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023): score every document by how much more likely its hashed
+    word-bigram features are under a TARGET distribution (a trusted
+    high-quality slice, ``target_filter``) than under the raw SOURCE
+    pool (everything else) — the standard importance weight
+    ``Σ_grams log p_target(bucket) / p_source(bucket)`` used to
+    up-sample web data that "looks like" the curated corpus.
+
+    Features are md5-hashed bigram buckets (portable, fixed ``buckets``
+    dimensionality as in the paper's hashed n-gram model), both
+    distributions add-α smoothed.  One row per doc:
+    ``(id, n_grams, avg_importance)`` — the mean per-gram log ratio,
+    NULL for docs with fewer than two tokens.
+
+    Float determinism: the bucket log-ratio is a single fixed
+    arithmetic shape (one multiply each side, one division, one ln),
+    the per-doc sum folds in EXPLICIT position order, and the mean
+    divides once — bit-identical cross-engine (the unigram-LM
+    precedent).
+
+    Scale: bucket histograms are ONE map-side-combined shuffle each of
+    O(buckets) output; the per-gram join is against a broadcast
+    ``buckets``-row table; one doc_id shuffle for the ordered fold."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("_toks") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
+        ),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            target_filter.alias("_is_target"),
+            toks.alias("_toks"),
+        )
+        .filter(F.size("_toks") >= 2)
+        .select(
+            "doc_id",
+            "_is_target",
+            F.posexplode(grams_arr).alias("pos", "gram"),
+        )
+        .select("doc_id", "_is_target", "pos", bucket.alias("b"))
+    )
+    hist = base.groupBy("b").agg(
+        F.sum(F.col("_is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("_is_target")).cast("long")).alias("cs"),
+    )
+    tot = hist.agg(
+        F.sum("ct").alias("tt"), F.sum("cs").alias("ts")
+    )
+    ab = float(alpha * buckets)
+    ratio = (
+        (F.col("ct").cast("double") + F.lit(float(alpha)))
+        * (F.col("ts").cast("double") + F.lit(ab))
+    ) / (
+        (F.col("cs").cast("double") + F.lit(float(alpha)))
+        * (F.col("tt").cast("double") + F.lit(ab))
+    )
+    lr = hist.crossJoin(F.broadcast(tot)).select("b", F.log(ratio).alias("lr"))
+    folded = (
+        base.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("lr")))
+                    ),
+                    lambda s: s["lr"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_sum"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.round(F.col("_sum") / F.col("n_grams"), 8).alias("avg_importance"),
+        )
+    )

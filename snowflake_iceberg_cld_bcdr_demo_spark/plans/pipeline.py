@@ -1103,6 +1103,60 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "dsir_importance_weights",
+    """
+    WITH base AS (
+        SELECT doc_id, source = 'src0' AS is_t,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_t, CAST(p AS INTEGER) AS pos,
+               t[CAST(p AS INTEGER)] || ' ' || t[CAST(p AS INTEGER) + 1] AS gram
+        FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t))) AS p
+              FROM base WHERE len(t) >= 2)
+    ),
+    bg AS (
+        SELECT doc_id, is_t, pos,
+               CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT) % 64 AS b
+        FROM grams
+    ),
+    hist AS (
+        SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs
+        FROM bg GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM hist),
+    lr AS (
+        SELECT b,
+               ln(((CAST(ct AS DOUBLE) + 0.5) * (CAST(ts AS DOUBLE) + 32.0))
+                  / ((CAST(cs AS DOUBLE) + 0.5) * (CAST(tt AS DOUBLE) + 32.0)))
+                   AS lr
+        FROM hist CROSS JOIN tot
+    ),
+    folded AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+               sum(lr ORDER BY pos) AS s
+        FROM bg JOIN lr USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(f.n_grams, 0) AS BIGINT) AS n_grams,
+           round(f.s / f.n_grams, 8) AS avg_importance
+    FROM documents d LEFT JOIN folded f USING (doc_id)
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document mean log
+    ratio of hashed-bigram likelihood under the trusted target slice
+    ('src0') vs the raw pool — the data-selection signal that up-samples
+    web text resembling the curated corpus.  64 hashed buckets, add-0.5
+    smoothing, position-ordered log fold for bit-identical doubles.
+    See :func:`operators.corpus.dsir_importance`."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.dsir_importance(docs, F.col("source") == "src0")
+
+
+@_spec(
     "prepare_corpus_report",
     f"""
     WITH RECURSIVE {_DUP_EDGE_CTES},

@@ -637,3 +637,33 @@ def test_neardup_clusters_driver_vs_distributed_paths(spark):
     assert fast == slow
     assert fast == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7,
                     9: 9, 10: 10, 11: 11}
+
+
+def test_dsir_importance_separates_target_like_docs(spark):
+    """DSIR sanity: a doc whose bigrams only ever occur in the target
+    slice scores a positive mean log ratio, one whose bigrams only occur
+    in the source pool scores negative, and short docs (< 2 tokens) get
+    NULL with n_grams 0."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus as C
+
+    rows = []
+    # target slice: 5 docs of "curated prose" bigrams
+    for i in range(5):
+        rows.append((i, "tgt", "curated encyclopedic prose reads cleanly here"))
+    # source pool: 5 docs of junk bigrams
+    for i in range(5, 10):
+        rows.append((i, "web", "zz1 zz2 zz3 zz4 zz5 zz6 spam spam click here"))
+    rows.append((10, "web", "curated encyclopedic prose reads cleanly here"))
+    rows.append((11, "web", "zz1 zz2 zz3 zz4 zz5 zz6"))
+    rows.append((12, "web", "one"))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in C.dsir_importance(docs, F.col("source") == "tgt").collect()
+    }
+    assert out[10].avg_importance > 0  # looks like the target corpus
+    assert out[11].avg_importance < 0  # source-only n-grams
+    assert out[10].avg_importance > out[11].avg_importance
+    assert out[12].n_grams == 0 and out[12].avg_importance is None
