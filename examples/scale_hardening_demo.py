@@ -92,14 +92,15 @@ def main() -> None:
     # 5c. exact-substring block removal: duplicated tiles dropped, the
     # cleaned corpus rebuilt (the acting counterpart of the profile)
     removed = dedup.remove_duplicate_blocks(docs)
+    br = removed.agg(
+        F.sum((F.col("n_dup_blocks") > 0).cast("long")).alias("touched"),
+        F.sum("n_dup_blocks").alias("blocks"),
+        F.sum("clean_len").alias("chars"),
+    ).collect()[0]  # one job, one pass
     report["block_removal"] = {
-        "docs_touched": removed.filter("n_dup_blocks > 0").count(),
-        "blocks_removed": int(
-            removed.agg(F.sum("n_dup_blocks").alias("c")).collect()[0].c
-        ),
-        "surviving_chars": int(
-            removed.agg(F.sum("clean_len").alias("c")).collect()[0].c
-        ),
+        "docs_touched": int(br.touched),
+        "blocks_removed": int(br.blocks),
+        "surviving_chars": int(br.chars),
     }
 
     # 5d. SemDeDup: embedding-space dedup — k-means cells bound the
@@ -108,11 +109,11 @@ def main() -> None:
 
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
-    sd = similarity.semdedup(emb, cents, threshold=0.4)
-    report["semdedup"] = {
-        "vectors": sd.count(),
-        "dropped": sd.filter("NOT is_kept").count(),
-    }
+    sd = similarity.semdedup(emb, cents, threshold=0.4).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("is_kept")).cast("long")).alias("d"),
+    ).collect()[0]  # one job
+    report["semdedup"] = {"vectors": int(sd.n), "dropped": int(sd.d)}
 
     # 6. the conf this pipeline would ship with on a real cluster
     report["cluster_conf_example"] = {

@@ -591,10 +591,12 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
 
     Dimensions are REAL either way — parsed JVM-side from the container
     header (:func:`image_header`) before any byte reaches Python.
-    Decoder resolution per asset: Pillow when installed (any format) →
-    NumPy for complete uncompressed 24-bit BMPs
-    (:func:`_np_decode_bmp` — real pixels, ``decoder='numpy-bmp'``;
-    what :func:`synthesize_decodable_images` emits) → otherwise:
+    Decoder resolution per asset: NumPy FIRST for complete uncompressed
+    24-bit BMPs (:func:`_np_decode_bmp` — real pixels,
+    ``decoder='numpy-bmp'``; what :func:`synthesize_decodable_images`
+    emits — deterministic and library-independent, so results don't
+    change when Pillow appears) → Pillow for compressed formats when
+    installed → otherwise:
 
     - ``strict=True`` emits NULL ``mean_luma`` with
       ``decoder='undecoded'`` — strict means real pixel statistics or
@@ -619,15 +621,15 @@ def decode_images(df: DataFrame, strict: bool = False) -> DataFrame:
             from PIL import Image
 
         def stats(b, w, h):
+            arr = _np_decode_bmp(b)
+            if arr is not None:
+                ph, pw = arr.shape[:2]
+                return pw, ph, pw * ph, _np_luma(arr), "numpy-bmp"
             if has_pil:
                 img = Image.open(io.BytesIO(b)).convert("L")
                 pw, ph = img.size
                 data = list(img.getdata())
                 return pw, ph, pw * ph, float(sum(data)) / max(len(data), 1), "pillow"
-            arr = _np_decode_bmp(b)
-            if arr is not None:
-                ph, pw = arr.shape[:2]
-                return pw, ph, pw * ph, _np_luma(arr), "numpy-bmp"
             pw = int(w) if pd.notna(w) else 0
             ph = int(h) if pd.notna(h) else 0
             if strict:
@@ -663,11 +665,13 @@ RESIZED_SCHEMA = StructType(
 def resize_images(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
     """Resize image assets to (width, height).
 
-    Decoder resolution per asset: Pillow when installed (any format,
-    PNG output) → NumPy for complete uncompressed 24-bit BMPs
-    (:func:`_np_decode_bmp` → nearest-neighbor :func:`_np_resize_nn` →
-    re-encode :func:`_np_encode_bmp`; real pixels end to end,
-    ``resizer='numpy-bmp'``) → otherwise ``strict=True`` raises
+    Decoder resolution per asset: NumPy FIRST for complete uncompressed
+    24-bit BMPs (:func:`_np_decode_bmp` → nearest-neighbor
+    :func:`_np_resize_nn` → re-encode :func:`_np_encode_bmp`; real
+    pixels end to end, ``resizer='numpy-bmp'`` — deterministic and
+    library-independent, so the ``resized_image_profile`` oracle holds
+    whether or not Pillow is installed) → Pillow for compressed formats
+    when installed (PNG output) → otherwise ``strict=True`` raises
     ``ValueError`` naming the asset (strict means real pixels or an
     error — never fabricated bytes), while ``strict=False`` emits
     deterministic correctly-shaped stand-in bytes labeled
@@ -683,14 +687,14 @@ def resize_images(df: DataFrame, width: int, height: int, strict: bool = False) 
             from PIL import Image
 
         def do(asset_id, b):
+            arr = _np_decode_bmp(b)
+            if arr is not None:
+                return _np_encode_bmp(_np_resize_nn(arr, width, height)), "numpy-bmp"
             if has_pil:
                 img = Image.open(io.BytesIO(b)).resize((width, height))
                 buf = io.BytesIO()
                 img.save(buf, format="PNG")
                 return buf.getvalue(), "pillow"
-            arr = _np_decode_bmp(b)
-            if arr is not None:
-                return _np_encode_bmp(_np_resize_nn(arr, width, height)), "numpy-bmp"
             if strict:
                 raise ValueError(
                     f"strict resize: asset {asset_id!r} is not an uncompressed "

@@ -819,7 +819,10 @@ def dsir_importance(
     base = (
         docs.select(
             F.col(id_col).alias("doc_id"),
-            target_filter.alias("_is_target"),
+            # NULL predicate (e.g. NULL source) counts as SOURCE, matching
+            # the oracle's CASE WHEN ... ELSE — a doc not provably in the
+            # target slice belongs to the raw pool
+            F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
             toks.alias("_toks"),
         )
         .filter(F.size("_toks") >= 2)

@@ -443,11 +443,17 @@ def neardup_clusters(
     The two paths are bit-equality-asserted against each other in
     ``tests/test_corpus.py``.
     """
-    head = (
-        pairs.select("doc_a", "doc_b").limit(driver_edge_threshold + 1).collect()
-        if driver_edge_threshold
-        else None
-    )
+    if driver_edge_threshold:
+        # persist BEFORE probing: if the threshold is exceeded, the
+        # distributed loop below reuses whatever partitions the probe
+        # already materialized instead of recomputing the (expensive)
+        # candidate-pair plan from scratch
+        from pyspark.storagelevel import StorageLevel
+
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        head = pairs.select("doc_a", "doc_b").limit(driver_edge_threshold + 1).collect()
+    else:
+        head = None
     if head is not None and len(head) <= driver_edge_threshold:
         parent: dict = {}
 
@@ -468,9 +474,12 @@ def neardup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(x, find(x)) for x in parent]
+        # id type follows the input (the distributed path is generic too)
+        id_type = docs.schema[id_col].dataType.simpleString()
         labels_df = docs.sparkSession.createDataFrame(
-            rows, schema="doc_id long, cluster_id long"
+            rows, schema=f"doc_id {id_type}, cluster_id {id_type}"
         ) if rows else None
+        pairs.unpersist()  # labels live in driver memory now
         base = docs.select(F.col(id_col).alias("doc_id"))
         if labels_df is None:
             return base.select("doc_id", F.col("doc_id").alias("cluster_id"))
@@ -512,6 +521,8 @@ def neardup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if driver_edge_threshold:
+        pairs.unpersist()  # edges were materialized; the probe cache is done
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, "doc_id", "left")
@@ -594,16 +605,18 @@ def winnow_fingerprints(
             )
         ).alias("hs"),
     )
-    least_chain = ", ".join(f"element_at(hs, j + {d})" for d in range(window))
+    if window == 1:  # degenerate: every k-gram hash is selected
+        mins = "array_distinct(hs)"
+    else:
+        least_chain = ", ".join(f"element_at(hs, j + {d})" for d in range(window))
+        mins = (
+            f"array_distinct(transform(sequence(1, size(hs) - {window - 1}), "
+            f"j -> least({least_chain})))"
+        )
     return (
         hashed.select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform(sequence(1, size(hs) - {window - 1}), "
-                    f"j -> least({least_chain})))"
-                )
-            ).alias("fingerprint"),
+            F.explode(F.expr(mins)).alias("fingerprint"),
         )
         .distinct()
     )
@@ -762,9 +775,15 @@ def remove_duplicate_blocks(
     stages are the tile-hash → distinct-doc count (32-byte uniform
     keys, map-side combined) and the doc_id reassembly shuffle, whose
     payload is exactly the surviving text — never more than the corpus.
-    The tiling trade-off vs true suffix-array ExactSubstr: a duplicated
-    passage is only removed where tile boundaries align, which the
-    profile's strided windows (:func:`duplicate_spans`) quantify."""
+    The tile table feeds two branches (dup count + reassembly), so it
+    is persisted — corpus-sized text but computed/normalized ONCE (the
+    winnow/minhash cache contract: callers that keep the session alive
+    should ``clearCache()`` after consuming the result).  The tiling
+    trade-off vs true suffix-array ExactSubstr: a duplicated passage is
+    only removed where tile boundaries align, which the profile's
+    strided windows (:func:`duplicate_spans`) quantify."""
+    from pyspark.storagelevel import StorageLevel
+
     norm = normalized_text(F.col(text_col))
     tiles = (
         _parallelize_scan(docs)
@@ -779,6 +798,7 @@ def remove_duplicate_blocks(
                 )
             ).alias("pos", "tile"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         tiles.groupBy(F.md5("tile").alias("h"))
