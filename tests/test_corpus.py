@@ -667,3 +667,26 @@ def test_dsir_importance_separates_target_like_docs(spark):
     assert out[11].avg_importance < 0  # source-only n-grams
     assert out[10].avg_importance > out[11].avg_importance
     assert out[12].n_grams == 0 and out[12].avg_importance is None
+
+
+def test_neardup_clusters_string_ids_driver_path(spark):
+    """The driver union-find shortcut must honor the generic id_col
+    contract (any orderable id type), like the distributed path."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], "doc_id string")
+    pairs = spark.createDataFrame([("b", "c")], "doc_a string, doc_b string")
+    out = {r.doc_id: r.cluster_id for r in D.neardup_clusters(docs, pairs).collect()}
+    assert out == {"a": "a", "b": "b", "c": "b", "d": "d"}
+
+
+def test_winnow_window_one_selects_every_kgram(spark):
+    """window=1 degenerates to 'every k-gram hash is a fingerprint' —
+    the least-chain needs >= 2 args, so this exercises the direct
+    array_distinct branch."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    docs = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    fp = D.winnow_fingerprints(docs, k=4, window=1).collect()
+    # 8-char text, k=4 -> 5 k-grams, all distinct -> 5 fingerprints
+    assert len(fp) == 5
