@@ -167,6 +167,56 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "tokenizer_fertility_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS total_ws_tokens,
+           CAST(SUM(length(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')))
+               AS BIGINT) AS total_bpe_pieces,
+           CAST(SUM(length(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')))
+               AS DOUBLE)
+               / SUM(length(regexp_extract_all(text, '\\S+'))) AS fertility,
+           CAST(SUM(length(text)) AS DOUBLE)
+               / SUM(length(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')))
+               AS chars_per_piece
+    FROM documents GROUP BY source
+    """,
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source — pieces per whitespace word
+    and characters per piece under the BPE-ish pre-tokenizer.  THE
+    budgeting signal for mixture planning: a source with high fertility
+    (code, non-Latin scripts, number-dense text) consumes proportionally
+    more of a fixed token budget than its character share suggests.
+    Integer sums with single final divisions — bit-identical doubles.
+
+    Scale: one map-side-combined shuffle to O(sources) rows."""
+    from ..functions.text import bpe_piece_count, token_count as ws_count
+
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        F.length("text").alias("_chars"),
+        ws_count(F.col("text")).alias("_ws"),
+        bpe_piece_count(F.col("text")).alias("_bpe"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").cast("long").alias("total_chars"),
+        F.sum("_ws").cast("long").alias("total_ws_tokens"),
+        F.sum("_bpe").cast("long").alias("total_bpe_pieces"),
+        (F.sum("_bpe").cast("double") / F.sum("_ws")).alias("fertility"),
+        (F.sum("_chars").cast("double") / F.sum("_bpe")).alias("chars_per_piece"),
+    )
+
+
+@_spec(
     "text_quality",
     """
     SELECT doc_id, n_tokens, n_chars_calc, punct_ratio, digit_ratio,
