@@ -106,24 +106,56 @@ def _officially_checked() -> frozenset[str]:
     return frozenset(_certification_rounds())
 
 
-def _order_specs(ordered: list[QuerySpec], cert_rounds: dict[str, int]) -> list[QuerySpec]:
+def _recorded_names() -> frozenset[str]:
+    """Every query name that has appeared in ANY official
+    ``CORRECTNESS_r*.json`` row, passing or not.  Rows-only queries get
+    the driver's weaker rows-only check — for them, *appearing at all*
+    is the record; :func:`_certification_rounds` only tracks full hash
+    certifications."""
+    import glob
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent.parent
+    names: set[str] = set(_OFFICIALLY_CHECKED)
+    for p in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(rows, dict):
+            names.update(k for k in rows if isinstance(k, str))
+    return frozenset(names)
+
+
+def _order_specs(
+    ordered: list[QuerySpec],
+    cert_rounds: dict[str, int],
+    recorded: frozenset[str] | None = None,
+) -> list[QuerySpec]:
     """The driver records a bounded prefix (50 entries) of ``queries()``
     in CORRECTNESS_r{N}.json, so ordering decides what gets (re)checked.
     Priority: (1) oracle-bearing queries that have never been on the
-    official record or whose last check failed, (2) certified oracle
-    queries, LEAST-RECENTLY-CERTIFIED FIRST (ties keep SPECS order, so
-    the sort is a stable rotation: with ~140 certified names and a
-    50-entry window the whole surface re-certifies on a ~3-round cycle
-    instead of the same static prefix forever), (3) rows-only
-    (approximate) queries, which only ever get a weaker rows-only
-    check."""
+    official record or whose last check failed, (2) rows-only
+    (approximate) queries that have NEVER appeared in any official file
+    — their weaker rows-only check is still a check, and without this
+    tier they would sit behind ~150 certified names forever, (3)
+    certified oracle queries, LEAST-RECENTLY-CERTIFIED FIRST (ties keep
+    SPECS order, so the sort is a stable rotation: with ~140 certified
+    names and a 50-entry window the whole surface re-certifies on a
+    ~3-round cycle instead of the same static prefix forever), (4)
+    rows-only queries already on the record."""
+    if recorded is None:
+        recorded = frozenset(cert_rounds)
     return [
         *(s for s in ordered if s.oracle is not None and s.name not in cert_rounds),
+        *(s for s in ordered if s.oracle is None and s.name not in recorded),
         *sorted(
             (s for s in ordered if s.oracle is not None and s.name in cert_rounds),
             key=lambda s: cert_rounds[s.name],
         ),
-        *(s for s in ordered if s.oracle is None),
+        *(s for s in ordered if s.oracle is None and s.name in recorded),
     ]
 
 
@@ -137,7 +169,8 @@ def _collect() -> dict[str, QuerySpec]:
             raise ValueError(f"duplicate query name {spec.name!r}")
         seen.add(spec.name)
     return {
-        spec.name: spec for spec in _order_specs(ordered, _certification_rounds())
+        spec.name: spec
+        for spec in _order_specs(ordered, _certification_rounds(), _recorded_names())
     }
 
 

@@ -36,21 +36,50 @@ def test_rows_only_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_oracle_bearing_queries_lead_registry_order():
+def test_registry_order_tiers():
     """The external driver records a bounded prefix of queries() in
-    CORRECTNESS_r{N}.json — hash-checkable (oracle-bearing) queries must
-    come before rows-only ones so approximate variants never crowd them
-    out of the official record."""
+    CORRECTNESS_r{N}.json.  Ordering contract: (1) never-certified
+    oracle-bearing queries first, (2) rows-only queries never recorded
+    in ANY official file next — so they finally reach the window, (3)
+    certified oracle queries (LRU rotation), (4) recorded rows-only
+    last."""
     import __spark_entry__ as e
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import registry
 
     names = list(e.queries())
     oracles = set(e.oracle_sql())
-    seen_rows_only = False
-    for n in names:
+    cert = set(registry._certification_rounds())
+    recorded = registry._recorded_names()
+
+    def tier(n: str) -> int:
         if n in oracles:
-            assert not seen_rows_only, f"oracle-bearing {n!r} after a rows-only entry"
-        else:
-            seen_rows_only = True
+            return 1 if n not in cert else 3
+        return 2 if n not in recorded else 4
+
+    tiers = [tier(n) for n in names]
+    assert tiers == sorted(tiers), (
+        "registry order violates tier contract: "
+        + str([(n, t) for n, t in zip(names, tiers)][:20])
+    )
+
+
+def test_never_recorded_rows_only_land_in_driver_window():
+    """The 8 rows-only queries that spent six rounds outside the
+    driver's 50-entry window must now sort inside it (they sit right
+    after the never-certified oracle tier, which is small once the
+    surface is green)."""
+    import __spark_entry__ as e
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans import registry
+
+    names = list(e.queries())
+    oracles = set(e.oracle_sql())
+    recorded = registry._recorded_names()
+    never_recorded_rows_only = [
+        n for n in names if n not in oracles and n not in recorded
+    ]
+    window = set(names[:50])
+    missing = [n for n in never_recorded_rows_only if n not in window]
+    assert not missing, f"never-recorded rows-only outside window: {missing}"
 
 
 def test_failed_official_rows_refront_rotation(tmp_path, monkeypatch):
