@@ -774,6 +774,56 @@ def approx_percentile_audit(
     ], *errs)
 
 
+def approx_percentile_bound_audit(
+    df: DataFrame,
+    value_col: str,
+    strata_col: str = "source",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    accuracy: int = 10_000,
+    rank_margin: float = 2.0,
+) -> DataFrame:
+    """Deterministic (oracle-checkable) form of
+    :func:`approx_percentile_audit`: the sketch internals are not
+    reproducible across engines, but the EXACT percentiles and the
+    bound-check VERDICT are.  ``percentile_approx(v, p, accuracy)``
+    guarantees rank error ≤ n/accuracy, so the returned element must lie
+    between the exact ``percentile_disc`` values at ``p ± margin`` where
+    ``margin = rank_margin/accuracy`` (rank_margin=2 doubles the
+    contractual slack).  Emits the exact sides plus one boolean
+    ``within_bound`` — a sketch whose error ever exceeded the contract
+    flips the boolean and fails the hash oracle."""
+    ps = list(percentiles)
+    tags = [int(p * 100) for p in ps]
+    delta = rank_margin / accuracy
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for p, tag in zip(ps, tags):
+        lo, hi = max(0.0, p - delta), min(1.0, p + delta)
+        aggs += [
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"exact_p{tag}"),
+            F.expr(
+                f"percentile_disc({lo}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"_lo{tag}"),
+            F.expr(
+                f"percentile_disc({hi}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"_hi{tag}"),
+            F.percentile_approx(value_col, p, accuracy).alias(f"_ap{tag}"),
+        ]
+    out = df.groupBy(strata_col).agg(*aggs)
+    ok = F.lit(True)
+    for tag in tags:
+        ok = ok & (F.col(f"_ap{tag}") >= F.col(f"_lo{tag}")) & (
+            F.col(f"_ap{tag}") <= F.col(f"_hi{tag}")
+        )
+    return out.select(
+        strata_col,
+        "n_rows",
+        *[F.col(f"exact_p{tag}") for tag in tags],
+        ok.alias("within_bound"),
+    )
+
+
 def dsir_importance(
     docs: DataFrame,
     target_filter,

@@ -3013,22 +3013,52 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.unigram_logprob(table(spark, sf_dir, "documents"))
 
 
-@_spec("approx_distinct_audit", None)
+@_spec(
+    "approx_distinct_audit",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS exact_distinct,
+           TRUE AS within_bound
+    FROM documents GROUP BY source
+    """,
+)
 def approx_distinct_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ sketch vs exact distinct per source with relative
-    error — rows-only (Spark's HLL is not DuckDB-reproducible); the
-    error bound is pytest-asserted against the exact twin.  See
-    :func:`operators.corpus.approx_distinct_audit`."""
-    return corpus.approx_distinct_audit(table(spark, sf_dir, "documents"))
+    """HyperLogLog++ sketch vs exact distinct per source, bounds-checked:
+    the sketch value itself is not DuckDB-reproducible, but the exact
+    side and the error-bound verdict ARE deterministic — the query emits
+    ``within_bound = rel_error <= 4*rsd`` and the oracle expects TRUE, so
+    a sketch drifting outside its contract fails the hash.  See
+    :func:`operators.corpus.approx_distinct_audit` (rsd=0.05)."""
+    audit = corpus.approx_distinct_audit(table(spark, sf_dir, "documents"))
+    return audit.select(
+        "source",
+        "n_docs",
+        "exact_distinct",
+        (F.col("rel_error") <= F.lit(0.2)).alias("within_bound"),
+    )
 
 
-@_spec("approx_percentile_audit", None)
+@_spec(
+    "approx_percentile_audit",
+    """
+    SELECT source,
+           count(*) AS n_rows,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS exact_p50,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS exact_p90,
+           percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS exact_p99,
+           TRUE AS within_bound
+    FROM documents GROUP BY source
+    """,
+)
 def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest sketch vs exact percentiles (p50/p90/p99 of n_chars per
-    source) with relative errors — rows-only (the digest is not
-    DuckDB-reproducible); the error bound is pytest-asserted.  See
-    :func:`operators.corpus.approx_percentile_audit`."""
-    return corpus.approx_percentile_audit(
+    """t-digest-style sketch vs exact percentiles (p50/p90/p99 of
+    n_chars per source), bounds-checked: exact sides plus one boolean —
+    the approx value must lie between the exact percentiles at
+    ``p ± 2/accuracy`` (double the sketch's rank-error contract); the
+    oracle expects TRUE.  See
+    :func:`operators.corpus.approx_percentile_bound_audit`."""
+    return corpus.approx_percentile_bound_audit(
         table(spark, sf_dir, "documents"), value_col="n_chars"
     )
 
