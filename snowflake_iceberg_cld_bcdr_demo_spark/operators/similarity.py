@@ -149,8 +149,11 @@ def ivf_assign(
         cvec = F.array(*[F.lit(float(x)) for x in c])
         cells.append(F.struct(cosine(F.col(vec_col), cvec).alias("sim"), F.lit(k).alias("cell")))
     best = F.array_max(F.array(*cells))
+    # `label` rides along when the input has one (the ANN family always
+    # does); generic embedding frames without it work too (semdedup).
+    extras = [F.col("label")] if "label" in emb.columns else []
     return emb.select(
-        F.col(id_col), F.col(vec_col), F.col("label"), best["cell"].alias("cell")
+        F.col(id_col), F.col(vec_col), *extras, best["cell"].alias("cell")
     )
 
 
@@ -413,6 +416,7 @@ def semdedup(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cell: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     embedding space with k-means, compute pairwise cosine ONLY within a
@@ -428,14 +432,46 @@ def semdedup(
     the iterative stage only ever touches pair endpoints.  With the
     fixed-point k-means (round 6) every stage is deterministic — the
     ``semdedup_decisions`` oracle replays train → assign → pair →
-    connected components end to end in SQL."""
+    connected components end to end in SQL.
+
+    ``max_cell`` is the HOT-CELL guard (the embedding analog of the LSH
+    band join's ``max_band_bucket``, ``dedup.lsh_candidate_pairs``): a
+    skewed embedding distribution — a giant boilerplate cluster — can
+    collapse into ONE k-means cell, and the within-cell self-join is
+    quadratic in that cell.  When set, only the ``max_cell`` members
+    with the lowest seeded-md5 rank inside each cell participate in
+    pairing (the rank window rides the same cell partitioning the
+    self-join needs — O(B log B), never B²), bounding pair count at
+    ``K · max_cell²/2``.  Recall trade-off: capped-out members are never
+    paired, so a duplicate group larger than ``max_cell`` keeps its
+    over-cap members as false uniques — acceptable because such
+    mega-cells are near-certain exact-duplicate clusters that exact
+    dedup (``dedup_exact_groups``) removes upstream for a fraction of
+    the cost.  ``None`` keeps the paper-exact all-pairs-within-cell
+    contract.  Deterministic either way — the capped path is
+    SQL-replayable (``semdedup_capped_decisions`` oracle)."""
     from .dedup import neardup_clusters
 
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    a = assigned.select(
+    pairable = assigned
+    if max_cell is not None:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.partitionBy("cell").orderBy(
+                F.md5(F.concat_ws(":", F.lit("guard"), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+        )
+        pairable = (
+            assigned.withColumn("_rk", rk)
+            .filter(F.col("_rk") <= max_cell)
+            .drop("_rk")
+        )
+    a = pairable.select(
         F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cell"
     )
-    b = assigned.select(
+    b = pairable.select(
         F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cell"
     )
     pairs = (

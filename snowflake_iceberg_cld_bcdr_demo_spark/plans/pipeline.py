@@ -2109,11 +2109,27 @@ def _kmeans_oracle_sql(iters: int = 3) -> str:
     )
 
 
-def _semdedup_oracle_sql(iters: int = 2, threshold: float = 0.4) -> str:
+def _semdedup_oracle_sql(
+    iters: int = 2, threshold: float = 0.4, max_cell: int | None = None
+) -> str:
     """DuckDB replay of the full SemDeDup path: the shared k-means CTEs,
     final cell assignment, within-cell cosine pairs above threshold, and
     duplicate groups via a recursive min-label CTE (the text near-dup
-    precedent) — keep flag = vector is its group's min id."""
+    precedent) — keep flag = vector is its group's min id.  With
+    ``max_cell`` the replay includes the hot-cell guard: the same
+    seeded-md5 rank cut inside each cell before pairing."""
+    if max_cell is None:
+        pairable = "    pairable AS (SELECT vec_id, v, cell FROM asgn),"
+    else:
+        pairable = f"""    pairable AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT vec_id, v, cell,
+                   ROW_NUMBER() OVER (PARTITION BY cell
+                       ORDER BY md5('guard:' || CAST(vec_id AS VARCHAR)),
+                                vec_id) AS grk
+            FROM asgn
+        ) WHERE grk <= {max_cell}
+    ),"""
     return (
         "WITH RECURSIVE "
         + ",\n    ".join(_kmeans_ctes(iters))
@@ -2126,9 +2142,11 @@ def _semdedup_oracle_sql(iters: int = 2, threshold: float = 0.4) -> str:
             FROM e CROSS JOIN c{iters} c
         ) WHERE rk = 1
     ),
+{pairable}
     dup_pairs AS (
         SELECT a.vec_id AS va, b.vec_id AS vb
-        FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        FROM pairable a JOIN pairable b
+             ON a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE {_sql_cos('a.v', 'b.v')} > {threshold}
     ),
     edges AS (
@@ -2163,6 +2181,23 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
     return similarity.semdedup(emb, cents, threshold=0.4)
+
+
+@_spec(
+    "semdedup_capped_decisions",
+    _semdedup_oracle_sql(iters=2, threshold=0.4, max_cell=24),
+)
+def semdedup_capped_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the hot-cell guard ON (``max_cell=24`` — small
+    enough to bite at every test SF): only the 24 lowest seeded-md5-rank
+    members of each k-means cell participate in pairing, bounding the
+    within-cell quadratic term at ``K·max_cell²/2`` pairs no matter how
+    skewed the embedding distribution.  The oracle replays the identical
+    rank cut, so the guard itself is hash-verified, not just the happy
+    path.  See :func:`operators.similarity.semdedup`."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return similarity.semdedup(emb, cents, threshold=0.4, max_cell=24)
 
 
 @_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))

@@ -349,3 +349,41 @@ def test_semdedup_prunes_planted_duplicates(spark):
         assert cid == min(m.vec_id for m in members)
         assert sum(m.is_kept for m in members) == 1
         assert next(m for m in members if m.is_kept).vec_id == cid
+
+
+def test_semdedup_hot_cell_guard_bounds_pairs(spark):
+    """Hot-cell guard (``max_cell``): with 90% of vectors collapsing
+    into ONE k-means cell (the skewed-boilerplate scenario), the capped
+    run completes with at most ``max_cell`` members participating in
+    pairing — over-cap members come back as kept singletons — while the
+    uncapped run collapses the whole mega-cluster.  Also exercises
+    label-free embedding input (ivf_assign passthrough)."""
+    import math
+
+    # 90 near-identical vectors (one hot cell) + 10 spread on another axis
+    rows = [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(90)]
+    rows += [
+        (90 + i, [0.0, 0.0, math.cos((i + 1) * 0.14), math.sin((i + 1) * 0.14)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    uncapped = similarity.semdedup(emb, cents, threshold=0.999)
+    capped = similarity.semdedup(emb, cents, threshold=0.999, max_cell=16)
+    assert uncapped.count() == 100 and capped.count() == 100
+    # uncapped: the 90 near-identical vectors form one duplicate group
+    assert uncapped.filter("NOT is_kept").count() == 89
+    # capped: only <=16 hot-cell members were ever paired, so at most 15
+    # can be dropped; the rest survive as (false-unique) singletons —
+    # the documented recall trade-off, bounded pair count K*max_cell^2/2
+    dropped = capped.filter("NOT is_kept").count()
+    assert 0 < dropped <= 15
+    # every dropped member still resolves to a min-id representative
+    reps = capped.filter("NOT is_kept").select("cluster_id").distinct().collect()
+    kept_ids = {r.vec_id for r in capped.filter("is_kept").collect()}
+    assert all(r.cluster_id in kept_ids for r in reps)
