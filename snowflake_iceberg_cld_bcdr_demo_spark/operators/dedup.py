@@ -429,7 +429,11 @@ def neardup_clusters(
     collisions only), so when it fits ``driver_edge_threshold`` rows the
     components resolve with one collect + union-find on the driver
     (exact same min-label result, zero iterative Spark jobs — the
-    one-collect BPE-trainer precedent; 1M edges ≈ 16 MB).  Above the
+    one-collect BPE-trainer precedent; 1M bigint edges ≈ 16 MB).  The
+    row budget auto-shrinks 8x for non-integral id types (URL/hash
+    string ids carry ~8-16x the bytes per row), and the probe counts
+    BEFORE it collects, so the over-threshold case ships zero rows to
+    the driver whatever the id width.  Above the
     threshold: iterative min-label propagation, the standard distributed
     CC, restricted to EDGE-TOUCHED vertices only — documents in no
     candidate pair never enter the loop and are stitched back as their
@@ -451,10 +455,26 @@ def neardup_clusters(
         from pyspark.storagelevel import StorageLevel
 
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        head = pairs.select("doc_a", "doc_b").limit(driver_edge_threshold + 1).collect()
+        # The threshold is a ROW budget sized for ~16 MB of bigint pairs;
+        # wide ids (URL/hash strings) carry ~8-16x more bytes per row, so
+        # shrink the budget for non-integral id types to keep the driver
+        # probe bounded regardless of id width.
+        id_type = docs.schema[id_col].dataType.simpleString()
+        narrow = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+        eff_threshold = (
+            driver_edge_threshold
+            if id_type in narrow
+            else max(1, driver_edge_threshold // 8)
+        )
+        probe = pairs.select("doc_a", "doc_b").limit(eff_threshold + 1)
+        # count first — the over-threshold case decides WITHOUT shipping a
+        # single pair row to the driver; the under-threshold collect then
+        # reads the partitions the count already cached
+        head = probe.collect() if probe.count() <= eff_threshold else None
     else:
         head = None
-    if head is not None and len(head) <= driver_edge_threshold:
+        eff_threshold = 0
+    if head is not None and len(head) <= eff_threshold:
         parent: dict = {}
 
         def find(x):
@@ -498,6 +518,11 @@ def neardup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    if driver_edge_threshold:
+        # the labels checkpoint just scanned (and cached) every edges
+        # partition — the probe cache would only double-cache the same
+        # edge set for the whole CC loop; drop it now
+        pairs.unpersist()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -521,8 +546,6 @@ def neardup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    if driver_edge_threshold:
-        pairs.unpersist()  # edges were materialized; the probe cache is done
     return (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(labels, "doc_id", "left")

@@ -680,6 +680,57 @@ def test_neardup_clusters_string_ids_driver_path(spark):
     assert out == {"a": "a", "b": "b", "c": "b", "d": "d"}
 
 
+def test_neardup_clusters_threshold_boundary(spark):
+    """Crossing ``driver_edge_threshold`` mid-corpus must not change the
+    result: a pair graph slightly ABOVE the threshold (distributed path,
+    reusing the probe-persisted partitions) yields clusters identical to
+    the driver union-find (threshold comfortably above the edge count)
+    and to the pure-distributed path (threshold 0) — for bigint AND
+    string ids (whose row budget auto-shrinks 8x)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    n_edges = 40
+    # 20 chains of 2 edges each: doc 3i - 3i+1 - 3i+2, plus singletons
+    int_pairs = [(3 * i, 3 * i + 1) for i in range(20)] + [
+        (3 * i + 1, 3 * i + 2) for i in range(20)
+    ]
+    int_docs = spark.createDataFrame([(i,) for i in range(65)], "doc_id long")
+    ip = spark.createDataFrame(int_pairs, "doc_a long, doc_b long")
+    expected = {
+        r.doc_id: r.cluster_id
+        for r in D.neardup_clusters(int_docs, ip, driver_edge_threshold=0).collect()
+    }
+    for thr in (n_edges - 5, n_edges, n_edges + 5, 10 * n_edges):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in D.neardup_clusters(
+                int_docs, ip, driver_edge_threshold=thr
+            ).collect()
+        }
+        assert got == expected, f"threshold={thr} diverged"
+
+    str_docs = spark.createDataFrame(
+        [(f"url-{i:04d}",) for i in range(65)], "doc_id string"
+    )
+    sp = spark.createDataFrame(
+        [(f"url-{a:04d}", f"url-{b:04d}") for a, b in int_pairs],
+        "doc_a string, doc_b string",
+    )
+    s_expected = {
+        r.doc_id: r.cluster_id
+        for r in D.neardup_clusters(str_docs, sp, driver_edge_threshold=0).collect()
+    }
+    # 8x shrink: thresholds straddling both n_edges and 8*n_edges
+    for thr in (n_edges - 5, n_edges * 8, n_edges * 8 + 50, 10 * n_edges * 8):
+        got = {
+            r.doc_id: r.cluster_id
+            for r in D.neardup_clusters(
+                str_docs, sp, driver_edge_threshold=thr
+            ).collect()
+        }
+        assert got == s_expected, f"string threshold={thr} diverged"
+
+
 def test_winnow_window_one_selects_every_kgram(spark):
     """window=1 degenerates to 'every k-gram hash is a fingerprint' —
     the least-chain needs >= 2 args, so this exercises the direct
