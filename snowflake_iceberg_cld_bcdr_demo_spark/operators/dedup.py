@@ -798,15 +798,17 @@ def remove_duplicate_blocks(
     stages are the tile-hash → distinct-doc count (32-byte uniform
     keys, map-side combined) and the doc_id reassembly shuffle, whose
     payload is exactly the surviving text — never more than the corpus.
-    The tile table feeds two branches (dup count + reassembly), so it
-    is persisted — corpus-sized text but computed/normalized ONCE (the
-    winnow/minhash cache contract: callers that keep the session alive
-    should ``clearCache()`` after consuming the result).  The tiling
-    trade-off vs true suffix-array ExactSubstr: a duplicated passage is
-    only removed where tile boundaries align, which the profile's
-    strided windows (:func:`duplicate_spans`) quantify."""
-    from pyspark.storagelevel import StorageLevel
-
+    The dup-count and reassembly branches each re-derive the tiling
+    from the (pruned) corpus scan instead of sharing a persisted tile
+    table: the tiling is row-local and md5-per-50-chars cheap, while a
+    cached tile table is CORPUS-SIZED TEXT — at 100 TB a second
+    column-pruned parquet scan beats materializing 60 TB of cache (and
+    long-lived sessions no longer need a ``clearCache()`` contract;
+    see :func:`...session.cache_scope` for operators that do cache).
+    The tiling trade-off vs true suffix-array ExactSubstr: a
+    duplicated passage is only removed where tile boundaries align,
+    which the profile's strided windows (:func:`duplicate_spans`)
+    quantify and :func:`remove_duplicate_blocks_overlap` halves."""
     norm = normalized_text(F.col(text_col))
     tiles = (
         _parallelize_scan(docs)
@@ -821,7 +823,6 @@ def remove_duplicate_blocks(
                 )
             ).alias("pos", "tile"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
         tiles.groupBy(F.md5("tile").alias("h"))
