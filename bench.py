@@ -69,6 +69,34 @@ HEADLINE = [
     "dedup_block_removal",
 ]
 
+#: Per-query wall-clock budgets (seconds, sf0.1 medians): ~3x the
+#: round-8 recorded medians — generous enough for host noise, tight
+#: enough that a structural regression (r7's winnow_shared_spans ran
+#: 2.5-4x its median after a plan-shape change went unnoticed) lands in
+#: ``budget_breaches`` of the bench JSON the same round it ships.
+#: tests/test_bench_budget.py enforces the winnow budget in pytest.
+BUDGETS = {
+    "order_performance": 6.5,
+    "q1_pricing_summary": 4.0,
+    "q3_top_orders": 2.5,
+    "q5_region_revenue": 3.0,
+    "fanout_count_distinct": 5.5,
+    "minhash_near_dup_pairs": 4.5,
+    "ann_cosine_topk": 1.5,
+    "text_quality": 1.2,
+    "dedup_exact_groups": 0.8,
+    "window_topk_per_group": 1.2,
+    "asof_click_to_view": 1.5,
+    "corpus_pipeline_report": 8.5,
+    "stats_corr_by_flag": 4.0,
+    "session_window_rollup": 2.0,
+    "html_extract_stats": 1.5,
+    "resample_linear_daily": 1.5,
+    "winnow_shared_spans": 4.5,
+    "neardup_skewsafe_pairs": 6.0,
+    "dedup_block_removal": 4.5,
+}
+
 #: sf1 spot-check set: the most expensive headline queries.
 SF1_SPOT_QUERIES = [
     "order_performance",
@@ -113,12 +141,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    breaches = {
+        n: {"median": timings[n], "budget": BUDGETS[n]}
+        for n in timings
+        if n in BUDGETS and timings[n] > BUDGETS[n]
+    }
+    for n, b in breaches.items():
+        print(f"# BUDGET BREACH {n}: {b['median']}s > {b['budget']}s", file=sys.stderr)
     out = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": runs,
+        "budget_breaches": breaches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

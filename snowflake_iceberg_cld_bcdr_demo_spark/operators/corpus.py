@@ -453,6 +453,91 @@ def mixture_sample(
     )
 
 
+def mixture_token_budget(
+    docs: DataFrame,
+    token_budget: int,
+    shares: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_buckets: int = 64,
+) -> DataFrame:
+    """Token-budgeted data mixture — :func:`mixture_sample`'s doc-count
+    quotas re-expressed in the currency that actually matters for LLM
+    training: each source gets ``floor(token_budget × share)`` TOKENS
+    (BPE-ish pieces, the same pre-tokenizer the
+    ``tokenizer_fertility_by_source`` audit measures), and documents are
+    admitted in stable ``md5(id)`` order until the source's token target
+    is exhausted (a doc is kept iff the tokens consumed BEFORE it are
+    still under target, so the boundary doc may overshoot by less than
+    its own size — never undershoot).  This is the fertility coupling the
+    doc-count mixture lacks: a piece-dense source (code, numbers,
+    non-Latin scripts) fills its share with proportionally FEWER
+    documents, automatically.  Sources absent from ``shares`` get target
+    0 and are dropped.
+
+    Output per admitted doc: ``(id, group, n_tokens, tok_before)`` where
+    ``tok_before`` is the group's exact token consumption before this
+    doc in admission order — the full audit trail of the budget walk.
+
+    Scale (same skew-proof construction as :func:`mixture_sample`): the
+    per-source cumulative token sum never funnels a whole source through
+    one reducer — the md5 key space is range-bucketed by its leading
+    16 bits, a tiny (groups × ``key_buckets``) token-total table
+    localizes each bucket's starting offset, and the wide cumulative sum
+    runs only within (group, bucket).  ``bucket_offset + local_cumsum``
+    IS the global cumulative count, bit-identical to the single-window
+    formulation the DuckDB oracle replays."""
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_piece_count
+
+    share = F.coalesce(
+        *[
+            F.when(F.col(group_col) == k, F.lit(float(v)))
+            for k, v in sorted(shares.items())
+        ],
+        F.lit(0.0),
+    )
+    target = F.floor(F.lit(float(token_budget)) * share).cast("long")
+    key = F.md5(F.col(id_col).cast("string"))
+    kb = (
+        F.conv(F.substring(key, 1, 4), 16, 10).cast("long") * key_buckets / 65536
+    ).cast("int")
+    tagged = docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        key.alias("_k"),
+        kb.alias("_kb"),
+        bpe_piece_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    counts = tagged.groupBy(group_col, "_kb").agg(F.sum("n_tokens").alias("_tb"))
+    wg = Window.partitionBy(group_col)
+    wcum = wg.orderBy("_kb").rowsBetween(Window.unboundedPreceding, -1)
+    bounds = counts.select(
+        group_col,
+        "_kb",
+        F.coalesce(F.sum("_tb").over(wcum), F.lit(0)).cast("long").alias("_cumt"),
+    )
+    wlocal = (
+        Window.partitionBy(group_col, "_kb")
+        .orderBy("_k", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(bounds), [group_col, "_kb"])
+        .withColumn(
+            "tok_before",
+            (
+                F.col("_cumt")
+                + F.coalesce(F.sum("n_tokens").over(wlocal), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("tok_before") < target)
+        .select(id_col, group_col, "n_tokens", "tok_before")
+    )
+
+
 def incremental_dedup(
     new_docs: DataFrame,
     existing_docs: DataFrame,
@@ -816,10 +901,15 @@ def approx_percentile_bound_audit(
         ok = ok & (F.col(f"_ap{tag}") >= F.col(f"_lo{tag}")) & (
             F.col(f"_ap{tag}") <= F.col(f"_hi{tag}")
         )
+    # percentile_disc returns DOUBLE in Spark but the INPUT's type in
+    # DuckDB; since it selects an actual element of the input, casting
+    # back to the input column's type is lossless and keeps the oracle
+    # hash (driver repr() semantics: 196 != 196.0) type-aligned.
+    vtype = df.schema[value_col].dataType
     return out.select(
         strata_col,
         "n_rows",
-        *[F.col(f"exact_p{tag}") for tag in tags],
+        *[F.col(f"exact_p{tag}").cast(vtype).alias(f"exact_p{tag}") for tag in tags],
         ok.alias("within_bound"),
     )
 

@@ -65,6 +65,7 @@ def char_shingles(
     id_col: str = "doc_id",
     k: int = 8,
     dedup_shingles: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each doc into its character k-shingles of the normalized
     text → (id, shingle).  Built-ins only: sequence + explode + substring;
@@ -78,14 +79,21 @@ def char_shingles(
     doc) and only then exploded: exploding positions first would make the
     Generate node copy the full ``norm_text`` into every one of the
     |text| output rows before the substring projection — measured 28%
-    slower at sf0.1 from that row-width alone."""
+    slower at sf0.1 from that row-width alone.
+
+    ``carry_cols`` are doc-level attributes (functionally dependent on
+    the id) threaded through the explode so downstream aggregations can
+    recover them with ``first()`` instead of a second join back to
+    ``docs`` — a few bytes per shingle row vs another consumer branch of
+    the input plan."""
     norm = normalized_text(F.col(text_col))
     out = (
         _parallelize_scan(docs)
-        .select(F.col(id_col).alias("doc_id"), norm.alias("norm_text"))
+        .select(F.col(id_col).alias("doc_id"), *carry_cols, norm.alias("norm_text"))
         .filter(F.length("norm_text") >= k)
         .select(
             "doc_id",
+            *carry_cols,
             F.explode(
                 F.expr(
                     f"transform(sequence(1, length(norm_text) - {k - 1}), "
@@ -109,17 +117,23 @@ def _hash_pair(shingle: Column) -> tuple[Column, Column]:
     return h1, h2
 
 
-def minhash_signatures(shingled: DataFrame, num_hashes: int = 16) -> DataFrame:
+def minhash_signatures(
+    shingled: DataFrame,
+    num_hashes: int = 16,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """(doc_id, h0..h{n-1}) MinHash signature matrix.
 
     One groupBy(doc_id) computes all family members as MIN aggregates —
     a single shuffle regardless of signature width, with map-side partial
-    MINs doing almost all the work in the scan stage."""
+    MINs doing almost all the work in the scan stage.  ``carry_cols``
+    (doc-level attributes threaded through :func:`char_shingles`) are
+    recovered with ``first()`` in the same aggregation — no extra join."""
     h1, h2 = _hash_pair(F.col("shingle"))
     aggs = [
         F.min(F.pmod(h1 + F.lit(i) * h2, F.lit(1 << 32))).alias(f"h{i}")
         for i in range(num_hashes)
-    ]
+    ] + [F.first(c).alias(c) for c in carry_cols]
     return shingled.groupBy("doc_id").agg(*aggs)
 
 
@@ -231,37 +245,73 @@ def minhash_similarity(
     k: int = 8,
     num_hashes: int = 16,
     bands: int = 4,
-    persist_signatures: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """MinHash+LSH near-dup pipeline: shingle → signature → band → candidate
-    pairs → estimated Jaccard (fraction of agreeing signature rows).
+    """MinHash+LSH near-dup pipeline: shingle → signature → band →
+    candidate pairs → estimated Jaccard (fraction of agreeing signature
+    rows).
 
-    The signature matrix feeds four plan branches (band explode + both
-    self-join sides); it is persisted so the expensive shingle scan runs
-    once.  Sized n_docs × num_hashes longs — thousands of times smaller
-    than the corpus, safe to cache at any scale (MEMORY_AND_DISK spills
-    if not)."""
-    from pyspark.storagelevel import StorageLevel
+    The signature matrix is CARRIED through the band explode (16 longs
+    = ~128 bytes per banded row) so the band self-join emits both sides'
+    signatures directly — no join-back to a signature table and, unlike
+    the pre-r8 shape, NO persisted intermediate: the expensive shingle
+    scan is consumed exactly once and the library leaves no cache behind
+    (``spark.catalog.clearCache()`` contract gone).  The duplicate
+    candidates a multi-band collision produces are collapsed by the
+    final ``distinct`` — est_jaccard and ``carry_cols`` are functions of
+    the id pair, so distinct-over-the-row equals distinct-over-the-pair.
 
-    sh = char_shingles(docs, text_col, id_col, k, dedup_shingles=False)
-    sig = minhash_signatures(sh, num_hashes)
-    if persist_signatures:
-        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = lsh_candidate_pairs(sig, num_hashes, bands)
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
+    ``carry_cols``: doc-level columns of ``docs`` (e.g. a copy count)
+    emitted per pair as ``{c}_a`` / ``{c}_b`` — how
+    :func:`neardup_skewsafe` gets its weights without re-consuming its
+    canonical table."""
+    sh = char_shingles(
+        docs, text_col, id_col, k, dedup_shingles=False, carry_cols=carry_cols
+    )
+    sig = minhash_signatures(sh, num_hashes, carry_cols=carry_cols)
+    rows = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sig.select(
+            "doc_id", *hcols, *carry_cols,
+            F.explode(F.array(*band_structs)).alias("bk"),
+        )
+        .select(
+            "doc_id", *hcols, *carry_cols,
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("band_key"),
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     agree = sum(
-        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
     return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
-        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in carry_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in carry_cols],
+        )
+        .distinct()
     )
 
 
@@ -287,55 +337,38 @@ def neardup_skewsafe(
     Output: (doc_a, doc_b, est_jaccard, copies_a, copies_b,
     pair_weight) over canonical ids.
 
-    The canonical table feeds three plan branches (the text join for
-    shingling plus both copies joins), so it is persisted — narrow
-    (hash, id, count) rows, far smaller than the corpus — or each
-    branch would replay the corpus-wide content-hash groupBy
-    (measured: 21 shuffles unpersisted vs 10 persisted).
-
-    Return contract: the returned plan references that persisted
-    canonical table (and minhash's persisted signature matrix); both
-    caches live until the session drops them.  Long-lived sessions that
-    invoke this repeatedly should ``spark.catalog.clearCache()`` (as
-    bench.py does between runs) or unpersist after consuming the
-    result — the cache is per-plan, so repeated invocations do NOT
-    reuse each other's entries."""
-    from pyspark.storagelevel import StorageLevel
-
+    The canonical table is consumed exactly ONCE: its ``n_copies``
+    column rides through the near-dup pipeline as a
+    :func:`minhash_similarity` ``carry_col`` (8 bytes per shingle row,
+    recovered with ``first()`` in the signature aggregation), so the
+    old copies-join-back branches — and the persist that kept the
+    corpus-wide content-hash groupBy from replaying per branch
+    (measured then: 21 shuffles unpersisted vs 10 persisted) — are
+    gone.  The library leaves no cache behind; no
+    ``clearCache()`` contract for callers."""
     th = F.md5(normalized_text(F.col(text_col)))
     canon = docs.groupBy(th.alias("th")).agg(
         F.min(F.col(id_col)).alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cdocs = canon.select("doc_id").join(
+    )
+    cdocs = canon.select("doc_id", "n_copies").join(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
         "doc_id",
     )
     sim = minhash_similarity(
-        cdocs.select("doc_id", "text"), k=k, num_hashes=num_hashes, bands=bands
+        cdocs,
+        k=k,
+        num_hashes=num_hashes,
+        bands=bands,
+        carry_cols=("n_copies",),
     )
-    copies = canon.select("doc_id", "n_copies")
-    return (
-        sim.join(
-            copies.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_copies").alias("copies_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            copies.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_copies").alias("copies_b")
-            ),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "est_jaccard",
-            "copies_a",
-            "copies_b",
-            (F.col("copies_a") * F.col("copies_b")).cast("long").alias("pair_weight"),
-        )
+    return sim.select(
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
+        F.col("n_copies_a").alias("copies_a"),
+        F.col("n_copies_b").alias("copies_b"),
+        (F.col("n_copies_a") * F.col("n_copies_b")).cast("long").alias("pair_weight"),
     )
 
 
@@ -657,31 +690,24 @@ def winnow_span_profile(
     document (certain detection of any shared run >= k+window-1 chars).
     One row per doc_id (zero-filled for docs too short to fingerprint).
 
-    Scale: the fingerprint table feeds two branches (cross-doc counts
-    + join back), so it is persisted once (MEMORY_AND_DISK, selected
-    fingerprints only — ~2/(window+1) of k-gram positions) rather than
-    re-running the hash scan per branch; callers that keep the session
-    alive after materializing should ``unpersist`` via the returned
-    plan's lineage or ``spark.catalog.clearCache()``.  ONE
-    fingerprint-hash shuffle for the cross-doc counts; the join back
-    rides the same partitioning; the coverage base is the distinct id
-    set (cheap, same join key)."""
-    from pyspark.storagelevel import StorageLevel
+    Scale: the fingerprint table is consumed in ONE pass — per-print
+    doc counts come from a ``count() over (partition by fingerprint)``
+    window instead of the old aggregate-then-join-back shape (the rows
+    are distinct per (doc, fingerprint), so the partition row count IS
+    the distinct-doc count), so the expensive winnowing scan runs once
+    with no persisted intermediate and the library leaves no cache
+    behind.  Same two shuffles as before (fingerprint, then doc_id);
+    the coverage base is the distinct id set (cheap, same join key)."""
+    from pyspark.sql import Window
 
-    fp = winnow_fingerprints(docs, text_col, id_col, k, window).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    cross = (
-        fp.groupBy("fingerprint")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-    )
+    fp = winnow_fingerprints(docs, text_col, id_col, k, window)
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
     prof = (
-        fp.join(cross, "fingerprint", "left")
+        fp.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_fingerprints"),
-            F.count(F.col("n_docs")).alias("n_shared"),
+            F.count(F.when(F.col("n_docs") > 1, 1)).alias("n_shared"),
         )
     )
     frac = F.col("n_shared").cast("double") / F.col("n_fingerprints")
@@ -808,7 +834,14 @@ def remove_duplicate_blocks(
     The tiling trade-off vs true suffix-array ExactSubstr: a
     duplicated passage is only removed where tile boundaries align,
     which the profile's strided windows (:func:`duplicate_spans`)
-    quantify and :func:`remove_duplicate_blocks_overlap` halves."""
+    quantify and :func:`remove_duplicate_blocks_overlap` halves.
+
+    Determinism caveat (standard Spark recomputation rule): because the
+    dup-count and reassembly branches re-derive the tiling from the
+    input plan independently, ``docs`` must be DETERMINISTIC — a plan
+    containing ``sample``/``limit``/shuffle-order-dependent ids can
+    present divergent corpora to the two branches; checkpoint or persist
+    such inputs upstream first."""
     norm = normalized_text(F.col(text_col))
     tiles = (
         _parallelize_scan(docs)
@@ -850,6 +883,120 @@ def remove_duplicate_blocks(
                     lambda s: s["tile"],
                 ),
             ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
+            F.coalesce("n_dup_blocks", F.lit(0).cast("long")).alias("n_dup_blocks"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_len"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
+def remove_duplicate_blocks_overlap(
+    docs: DataFrame,
+    block: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Two-phase ExactSubstr block removal — closes (half of) the
+    boundary-straddle blind spot of :func:`remove_duplicate_blocks`
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): the single-phase tiling only removes a duplicated
+    passage where it happens to contain a whole aligned tile, so a
+    passage shorter than ``2·block−1`` chars can straddle a boundary
+    and survive.  Here the detector scans ``block``-char windows at
+    stride ``block/2`` — phase A (offset 0) plus phase B (offset
+    block/2) — and a phase-A tile is dropped when ANY duplicated
+    window overlaps it, so the guaranteed-detection length falls from
+    ``2·block−1`` to ``1.5·block`` (straddle windows align at the
+    half-tile).  Removal granularity stays whole phase-A tiles (no
+    interval merging); a duplicated straddling window therefore drops
+    BOTH tiles it touches — slightly more aggressive removal in
+    exchange for the recall.
+
+    Output schema identical to :func:`remove_duplicate_blocks`
+    (``n_dup_blocks`` = tiles dropped, which the two-phase flagging
+    makes a superset of the single-phase count on the same corpus —
+    asserted in tests).
+
+    Scale: windows explode row-locally at 2× the single-phase tile
+    count (still narrow); the wide stages are the window-hash count
+    (32-byte uniform keys, map-side combined), a doc-sized
+    dropped-index ``collect_set`` (indices only, bounded by
+    chars/block per doc), and ONE corpus-text shuffle joining those
+    index sets back to the documents — where the surviving text is
+    reassembled ROW-LOCALLY from the doc's own tiling (no
+    tile-level reassembly shuffle, unlike the single-phase shape).
+
+    Determinism caveat: as with :func:`remove_duplicate_blocks`, the
+    detector and reassembly branches re-derive the normalized text
+    from the input plan independently — ``docs`` must be a
+    deterministic plan (checkpoint/persist upstream otherwise)."""
+    hb = block // 2
+    norm = normalized_text(F.col(text_col))
+    base = (
+        _parallelize_scan(docs)
+        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
+        .filter(F.length("nt") >= 1)
+    )
+    wins = base.select(
+        "doc_id",
+        F.length("nt").alias("ln"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(nt), {hb}), "
+                f"i -> md5(substring(nt, i, {block})))"
+            )
+        ).alias("j", "h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h", "left_semi")
+    # window j starts at char j*hb (0-based): it always overlaps tile
+    # j div 2; an odd-j (half-aligned) window also overlaps the next
+    # tile iff it extends past that tile's start, i.e. ln > (j+1)*hb
+    dropped = flagged.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(array(CAST(j DIV 2 AS BIGINT), "
+                f"CASE WHEN j % 2 = 1 AND ln > (j + 1) * {hb} "
+                f"THEN CAST((j + 1) DIV 2 AS BIGINT) END), "
+                f"x -> x IS NOT NULL)"
+            )
+        ).alias("t"),
+    )
+    drops = dropped.groupBy("doc_id").agg(F.collect_set("t").alias("ts"))
+    rebuilt = (
+        base.join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, length(nt), {block}), "
+                f"i -> substring(nt, i, {block}))"
+            ).alias("tiles"),
+            F.coalesce("ts", F.expr("array()")).alias("ts"),
+        )
+        .select(
+            "doc_id",
+            F.size("tiles").cast("long").alias("n_blocks"),
+            F.expr(
+                "concat_ws('', filter(tiles, "
+                "(x, i) -> NOT array_contains(ts, CAST(i AS BIGINT))))"
+            ).alias("clean_text"),
+            F.size("ts").cast("long").alias("n_dup_blocks"),
         )
     )
     return (

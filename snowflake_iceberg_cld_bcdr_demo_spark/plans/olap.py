@@ -442,14 +442,23 @@ def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+               -- decimal→double via VARCHAR: DuckDB's direct cast
+               -- double-rounds ≥17-digit decimals (…835.8685 → .869);
+               -- the string path is correctly rounded and matches
+               -- Spark's BigDecimal conversion bit-for-bit
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n AS n_rows,

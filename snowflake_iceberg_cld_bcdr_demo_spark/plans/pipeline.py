@@ -1355,6 +1355,57 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: token-budget mixture plan shared by the Spark query and its oracle:
+#: 20k-piece budget, curated sources upweighted, web tail (src10+) cut
+_MIX_BUDGET = 20_000
+_MIX_SHARES = {
+    "src0": 0.20, "src1": 0.15, "src2": 0.15, "src3": 0.10, "src4": 0.10,
+    "src5": 0.06, "src6": 0.06, "src7": 0.06, "src8": 0.06, "src9": 0.06,
+}
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(_MIX_SHARES.items())
+) + " ELSE 0.0 END"
+
+
+@_spec(
+    "mixture_token_budget",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                   AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_before
+        FROM tok
+    )
+    SELECT doc_id, source, n_tokens, tok_before
+    FROM cum
+    WHERE tok_before < CAST(floor({_MIX_BUDGET} * ({_MIX_CASE})) AS BIGINT)
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted mixture (closes the fertility loop the doc-count
+    mixture leaves open): each source receives a share of a 20k-piece
+    budget metered in the SAME BPE-ish pre-tokenizer pieces that
+    `tokenizer_fertility_by_source` audits, admitting docs in stable
+    md5 order until the share is spent — piece-dense sources fill their
+    share with fewer docs automatically.  The oracle replays the
+    single-window cumulative-token walk that the skew-proof bucketed
+    plan is bit-identical to.  See
+    :func:`operators.corpus.mixture_token_budget`."""
+    return corpus.mixture_token_budget(
+        table(spark, sf_dir, "documents"), _MIX_BUDGET, _MIX_SHARES
+    )
+
+
 @_spec(
     "repetition_stats",
     """
@@ -2892,6 +2943,69 @@ def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (plus md5) — see
     :func:`operators.dedup.remove_duplicate_blocks`."""
     return dedup.remove_duplicate_blocks(table(spark, sf_dir, "documents"))
+
+
+@_spec(
+    "dedup_block_removal_overlap",
+    """
+    WITH norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, length(nt) AS ln,
+               CAST((p - 1) / 25 AS BIGINT) AS j,
+               md5(substring(nt, CAST(p AS INTEGER), 50)) AS h
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 25)) AS p
+              FROM norm WHERE length(nt) >= 1)
+    ),
+    dup AS (
+        SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    ),
+    flagged AS (SELECT w.doc_id, w.j, w.ln FROM wins w JOIN dup USING (h)),
+    dropped AS (
+        SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, CAST(j // 2 AS BIGINT) AS t FROM flagged
+            UNION ALL
+            SELECT doc_id, CAST((j + 1) // 2 AS BIGINT) AS t FROM flagged
+            WHERE j % 2 = 1 AND ln > (j + 1) * 25
+        )
+    ),
+    tiles AS (
+        SELECT doc_id, CAST((p - 1) / 50 AS BIGINT) AS t,
+               CAST(p AS INTEGER) AS pos,
+               substring(nt, CAST(p AS INTEGER), 50) AS tile
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 50)) AS p
+              FROM norm WHERE length(nt) >= 1)
+    ),
+    rebuilt AS (
+        SELECT t.doc_id,
+               count(*) AS n_blocks,
+               count(d.t) AS n_dup_blocks,
+               string_agg(CASE WHEN d.t IS NULL THEN t.tile END, ''
+                          ORDER BY t.pos) AS ct
+        FROM tiles t
+        LEFT JOIN dropped d ON t.doc_id = d.doc_id AND t.t = d.t
+        GROUP BY t.doc_id
+    )
+    SELECT doc.doc_id,
+           CAST(coalesce(r.n_blocks, 0) AS BIGINT) AS n_blocks,
+           CAST(coalesce(r.n_dup_blocks, 0) AS BIGINT) AS n_dup_blocks,
+           coalesce(r.ct, '') AS clean_text,
+           CAST(coalesce(length(r.ct), 0) AS BIGINT) AS clean_len,
+           md5(coalesce(r.ct, '')) AS clean_hash
+    FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_block_removal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ExactSubstr block removal: 50-char duplicate windows
+    scanned at stride 25 (offsets 0 AND block/2) so passages straddling
+    single-phase tile boundaries are caught — guaranteed-detection
+    length drops from 2·block−1 to 1.5·block.  The oracle recomputes
+    flagged windows, maps them to covered tiles, and rebuilds every
+    cleaned document — see
+    :func:`operators.dedup.remove_duplicate_blocks_overlap`."""
+    return dedup.remove_duplicate_blocks_overlap(table(spark, sf_dir, "documents"))
 
 
 @_spec(

@@ -18,6 +18,7 @@ are stable across engines.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -86,6 +87,35 @@ def get_session() -> SparkSession:
     """Return the active session, building one with defaults if needed."""
     active = SparkSession.getActiveSession()
     return active if active is not None else build_session()
+
+
+@contextlib.contextmanager
+def cache_scope(spark: SparkSession | None = None):
+    """Bound the lifetime of any DataFrame/RDD caches created inside the
+    block: on exit, every persistent RDD that did not exist on entry is
+    unpersisted (non-blocking).
+
+    The library's relational/dedup/similarity operators no longer cache
+    internally (r8 removed the last ``persist`` contracts), but USER code
+    composing them may still ``df.persist()`` around a fan-out — this
+    scope releases those without nuking caches the caller set up earlier
+    (unlike ``spark.catalog.clearCache()``).
+
+    Caveat: for ``df.persist()`` the SQL ``CacheManager`` entry survives
+    the RDD-level unpersist, so a later reuse of the SAME DataFrame
+    recomputes and re-caches rather than erroring — acceptable for a
+    cleanup scope; call ``df.unpersist()`` on handles you still hold for
+    a full release."""
+    spark = spark or get_session()
+    jsc = spark.sparkContext._jsc
+    before = {int(rid) for rid in jsc.getPersistentRDDs().keySet().toArray()}
+    try:
+        yield spark
+    finally:
+        after = jsc.getPersistentRDDs()
+        for rid in list(after.keySet().toArray()):
+            if int(rid) not in before:
+                after.get(rid).unpersist(False)
 
 
 def cluster_conf(

@@ -1,0 +1,62 @@
+"""Cache-contract hygiene (round-8): the library must leave NO persistent
+RDDs behind after a registry query materializes — the pre-r8 minhash /
+skew-safe / winnowing persists are gone (single-pass plan shapes), and the
+operators that still persist internally (union-find's bounded iteration,
+BPE's per-merge state) release everything before returning.
+
+`getPersistentRDDs()` is the ground truth the old `clearCache()` docstring
+contract could only ask callers to manage."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+
+from .conftest import SF_SMALL
+
+# the query families that historically persisted (VERDICT r6/r7 task #7)
+# plus the union-find consumers whose internal persists must self-release
+_HYGIENE_QUERIES = [
+    "minhash_near_dup_pairs",
+    "neardup_skewsafe_pairs",
+    "winnow_shared_spans",
+    "dedup_block_removal",
+    "neardup_clusters",
+    "dedup_decisions",
+]
+
+
+def _persistent_rdd_ids(spark) -> list[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return [int(rid) for rid in jmap.keySet().toArray()]
+
+
+@pytest.mark.parametrize("name", _HYGIENE_QUERIES)
+def test_query_leaves_no_persistent_rdds(spark, name):
+    # delta-based: a shared pytest session may hold localCheckpoint
+    # blocks from EARLIER tests (released by GC, not clearCache) — the
+    # contract under test is that THIS query adds none of its own
+    spark.catalog.clearCache()
+    before = set(_persistent_rdd_ids(spark))
+    QUERY_SPECS[name].build(spark, SF_SMALL).count()
+    leaked = [r for r in _persistent_rdd_ids(spark) if r not in before]
+    assert leaked == [], f"{name} left persistent RDDs: {leaked}"
+
+
+def test_cache_scope_releases_inner_caches_only(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.session import cache_scope
+
+    spark.catalog.clearCache()
+    base = set(_persistent_rdd_ids(spark))
+    outer = spark.range(100).toDF("v").persist()
+    outer.count()
+    assert len(set(_persistent_rdd_ids(spark)) - base) == 1
+    with cache_scope(spark):
+        inner = spark.range(50).toDF("w").persist()
+        inner.count()
+        assert len(set(_persistent_rdd_ids(spark)) - base) == 2
+    # inner released, outer untouched
+    assert len(set(_persistent_rdd_ids(spark)) - base) == 1
+    outer.unpersist(blocking=True)
+    assert set(_persistent_rdd_ids(spark)) - base == set()

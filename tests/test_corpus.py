@@ -617,6 +617,88 @@ def test_remove_duplicate_blocks_drops_shared_boilerplate(spark):
     assert out[4].n_blocks == 0 and out[4].clean_text == "" and out[4].clean_len == 0
 
 
+def test_mixture_token_budget_lands_within_budget(spark):
+    """The token-budget contract: per source, admitted docs consume
+    min(target, available) tokens up to one boundary-doc overshoot —
+    the last admitted doc STRADDLES the target (tok_before < target <=
+    tok_before + n_tokens), never undershoots; tok_before is the exact
+    cumulative audit trail; sources outside `shares` are dropped."""
+    from collections import defaultdict
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.text import bpe_piece_count
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    docs = table(spark, SF_SMALL, "documents")
+    budget, shares = 3000, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = corpus.mixture_token_budget(docs, budget, shares).collect()
+    avail = {
+        r.source: r.t
+        for r in docs.groupBy("source")
+        .agg(F.sum(bpe_piece_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    per = defaultdict(list)
+    for r in out:
+        per[r.source].append(r)
+    assert set(per) <= set(shares)
+    for s, share in shares.items():
+        target = int(budget * share)
+        rows = sorted(per[s], key=lambda r: r.tok_before)
+        # audit trail: tok_before is the exact running sum in admission order
+        acc = 0
+        for r in rows:
+            assert r.tok_before == acc, (s, r)
+            acc += r.n_tokens
+        if avail[s] <= target:
+            assert acc == avail[s], s  # everything admitted
+        else:
+            last = rows[-1]
+            assert last.tok_before < target <= last.tok_before + last.n_tokens
+            assert acc < target + last.n_tokens
+
+
+def test_overlap_block_removal_catches_boundary_straddlers(spark):
+    """The two-phase recall claim (round-7 task): a 50-char passage
+    planted to STRADDLE the single-phase tile boundary (starting at
+    char offset 25, i.e. aligned with phase B) is invisible to
+    `remove_duplicate_blocks` but removed by the overlap variant; and
+    on the same corpus the two-phase dropped-tile count is a superset
+    (>=) of the single-phase count per document."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    # deterministic filler with no cross-doc repeats (digits vary by doc)
+    def filler(tag: str, n: int) -> str:
+        return ("".join(f"{tag}{i:03d}." for i in range(200)))[:n]
+
+    passage = ("the quick brown fox jumps over the lazy dog again." * 2)[:50]
+    assert len(passage) == 50
+    # passage occupies chars [25, 75): straddles the 50-boundary, and is
+    # exactly a phase-B window (offset 25) => detected only two-phase
+    d1 = filler("aa", 25) + passage + filler("bb", 75)
+    d2 = filler("cc", 25) + passage + filler("dd", 75)
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, filler("ee", 150))], "doc_id long, text string"
+    )
+    single = {r.doc_id: r for r in D.remove_duplicate_blocks(docs, block=50).collect()}
+    two = {
+        r.doc_id: r
+        for r in D.remove_duplicate_blocks_overlap(docs, block=50).collect()
+    }
+    # single-phase blind: no aligned tile equals across docs
+    assert single[1].n_dup_blocks == 0 and single[2].n_dup_blocks == 0
+    assert passage in single[1].clean_text
+    # two-phase: the straddling window flags BOTH covered tiles (0 and 1)
+    assert two[1].n_dup_blocks == 2 and two[2].n_dup_blocks == 2
+    assert passage not in two[1].clean_text
+    assert two[1].clean_text == d1[100:150]  # tile 2 survives verbatim
+    # untouched doc stays intact under both
+    assert two[3].n_dup_blocks == 0 and two[3].clean_text == filler("ee", 150)
+    # superset property on every doc
+    for i in (1, 2, 3):
+        assert two[i].n_dup_blocks >= single[i].n_dup_blocks
+
+
 def test_neardup_clusters_driver_vs_distributed_paths(spark):
     """The driver union-find shortcut and the distributed label
     propagation must produce bit-identical components: chains (long

@@ -59,11 +59,17 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("image_byte_profile", 0),   # all-Catalyst byte folds: pure projection
         ("source_quota_audit", 1),   # ONE strata shuffle, rank-cut pushed down
         ("term_postings_index", 2),  # (term,doc) dedup + term rollup
-        # winnow: selection is now fully row-local (no per-character
-        # window shuffle); exchanges are fingerprint distinct (persisted,
-        # printed once per consuming branch so it counts twice here but
-        # executes once) + fp cross-count + doc rollup + coverage-ids
-        ("winnow_shared_spans", 6),
+        # winnow: selection is row-local and the fingerprint table is
+        # consumed single-pass (r8): fp distinct + fingerprint-partition
+        # window + doc rollup + coverage-ids
+        ("winnow_shared_spans", 4),
+        # r8 carry-through-band shape: signature groupBy + pair distinct
+        # (band self-join reuses the banded exchange; no sig join-back,
+        # no persist)
+        ("minhash_near_dup_pairs", 3),
+        # exact-collapse groupBy + canon-docs join + carry-through
+        # minhash (no copies join-backs, no persist)
+        ("neardup_skewsafe_pairs", 7),
         ("lm_quality_scores", 5),    # token count + token join + doc fold
     ],
 )
@@ -105,17 +111,20 @@ def test_pack_contiguous_never_single_partitions_the_fact(spark):
 
 def test_winnow_selection_is_row_local(spark):
     """The round-6 rewrite's contract: winnowing selects fingerprints
-    row-locally — no Window node (the old per-character doc_id sort
-    shuffle), and the md5 k-gram hashing appears exactly once in the
-    plan (the Generate barrier stops CollapseProject from inlining it
-    into the sliding-min lambda, which would re-hash per position)."""
+    row-locally — no per-character doc_id sort shuffle (any Window in
+    the plan must partition by FINGERPRINT, the r8 single-pass doc-count
+    shape, never by doc_id over positions), and the md5 k-gram producer
+    appears exactly ONCE in the whole plan: the fingerprint table is
+    consumed single-pass with no persisted/duplicated subtree, and the
+    Generate barrier stops CollapseProject from inlining the hash into
+    the sliding-min lambda (which would re-hash per position)."""
     plan = _plan(spark, "winnow_shared_spans")
-    assert "Window" not in plan
-    # persisted fingerprint subtree prints once per consuming branch;
-    # each print must contain exactly one md5 (producer projection only)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(fingerprint" in line, line
     generates = [l for l in plan.splitlines() if "md5" in l]
-    assert generates, "expected the md5 k-gram producer in the plan"
-    assert all(l.count("md5") == 1 for l in generates)
+    assert len(generates) == 1, f"md5 producer not single-pass: {generates}"
+    assert generates[0].count("md5") == 1
 
 
 def test_ann_cosine_topk_uses_take_ordered(spark):
