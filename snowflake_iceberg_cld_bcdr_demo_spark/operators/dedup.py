@@ -238,6 +238,48 @@ def lsh_candidate_pairs(
     )
 
 
+def _banded_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shingle → signature → band explode, signatures carried: one row
+    per (doc, band) holding the band join key, ALL signature columns
+    (so a downstream join needs no signature-table join-back), and any
+    ``carry_cols``.  Shared by the self-join (:func:`minhash_similarity`)
+    and bipartite (:func:`neardup_decontaminate`) LSH shapes."""
+    sh = char_shingles(
+        docs, text_col, id_col, k, dedup_shingles=False, carry_cols=carry_cols
+    )
+    sig = minhash_signatures(sh, num_hashes, carry_cols=carry_cols)
+    rows = num_hashes // bands
+    hcols = [f"h{i}" for i in range(num_hashes)]
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    return (
+        sig.select(
+            "doc_id", *hcols, *carry_cols,
+            F.explode(F.array(*band_structs)).alias("bk"),
+        )
+        .select(
+            "doc_id", *hcols, *carry_cols,
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("band_key"),
+        )
+    )
+
+
 def minhash_similarity(
     docs: DataFrame,
     text_col: str = "text",
@@ -265,31 +307,8 @@ def minhash_similarity(
     emitted per pair as ``{c}_a`` / ``{c}_b`` — how
     :func:`neardup_skewsafe` gets its weights without re-consuming its
     canonical table."""
-    sh = char_shingles(
-        docs, text_col, id_col, k, dedup_shingles=False, carry_cols=carry_cols
-    )
-    sig = minhash_signatures(sh, num_hashes, carry_cols=carry_cols)
-    rows = num_hashes // bands
-    hcols = [f"h{i}" for i in range(num_hashes)]
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"h{b * rows + i}") for i in range(rows)])
-            ).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    banded = (
-        sig.select(
-            "doc_id", *hcols, *carry_cols,
-            F.explode(F.array(*band_structs)).alias("bk"),
-        )
-        .select(
-            "doc_id", *hcols, *carry_cols,
-            F.col("bk.band").alias("band"),
-            F.col("bk.key").alias("band_key"),
-        )
+    banded = _banded_signatures(
+        docs, text_col, id_col, k, num_hashes, bands, carry_cols
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -369,6 +388,75 @@ def neardup_skewsafe(
         F.col("n_copies_a").alias("copies_a"),
         F.col("n_copies_b").alias("copies_b"),
         (F.col("n_copies_a") * F.col("n_copies_b")).cast("long").alias("pair_weight"),
+    )
+
+
+def neardup_decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate decontamination of a training corpus against an
+    eval/benchmark split (Lee et al. 2022 §6: test-set passages leak
+    into web corpora in paraphrased/partial form the exact n-gram
+    check misses): MinHash signatures for both sides, and a BIPARTITE
+    LSH band join — train rows probe eval band buckets, never each
+    other — scoring est_jaccard from the carried signatures.
+
+    Output: one row per TRAIN doc (coverage-complete):
+    ``(train_doc_id, n_eval_matches, max_est_jaccard, contaminated)``
+    where matches are distinct eval docs sharing any band.
+
+    Scale — the key asymmetry: eval sets are FIXED-SIZE (thousands of
+    docs) while the corpus is 100 TB, so the eval side's banded
+    signatures BROADCAST and the training side is never shuffled by
+    band at all — decontamination degenerates to a map-side hash probe
+    over the corpus scan, one doc_id rollup, nothing quadratic.  Same
+    signature family as :func:`minhash_similarity`, so the DuckDB
+    oracle replays both sides bit-exactly."""
+    tb = _banded_signatures(train_docs, text_col, id_col, k, num_hashes, bands)
+    eb = _banded_signatures(eval_docs, text_col, id_col, k, num_hashes, bands)
+    t, e = tb.alias("t"), eb.alias("e")
+    agree = sum(
+        F.when(F.col(f"t.h{i}") == F.col(f"e.h{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    scored = (
+        t.join(
+            F.broadcast(e),
+            (F.col("t.band") == F.col("e.band"))
+            & (F.col("t.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("t.doc_id").alias("train_doc_id"),
+            F.col("e.doc_id").alias("eval_doc_id"),
+            F.round(agree / F.lit(float(num_hashes)), 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+    prof = scored.groupBy("train_doc_id").agg(
+        F.count(F.lit(1)).alias("n_eval_matches"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+    return (
+        train_docs.select(F.col(id_col).alias("train_doc_id"))
+        .distinct()
+        .join(prof, "train_doc_id", "left")
+        .select(
+            "train_doc_id",
+            F.coalesce("n_eval_matches", F.lit(0).cast("long")).alias(
+                "n_eval_matches"
+            ),
+            F.coalesce("max_est_jaccard", F.lit(0.0)).alias("max_est_jaccard"),
+            F.coalesce(
+                F.col("max_est_jaccard") >= threshold, F.lit(False)
+            ).alias("contaminated"),
+        )
     )
 
 

@@ -125,3 +125,121 @@ def boilerplate_share(
             (ratio >= 0.5).alias("is_templated"),
         )
     )
+
+
+def remove_boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """ACTING counterpart of :func:`boilerplate_share` (the
+    CCNet/RefinedWeb boilerplate-removal step, not just its profile):
+    every token covered by a boilerplate word n-gram — one appearing in
+    at least ``min_docs`` distinct documents of the same source — is
+    dropped, and the surviving tokens are reassembled in order.
+    Navigation menus, legal footers, and shared headers disappear from
+    every document at once while unique prose survives.
+
+    Output per doc: ``(id, n_tokens, n_dropped_tokens, clean_text,
+    clean_hash)``; ``clean_text`` is in NORMALIZED token form
+    (lowercased, single-spaced — the same canonicalization the dedup
+    family uses).  Docs with fewer than ``n`` tokens pass through
+    normalized but untouched; empty docs keep a zero row.
+
+    Scale: four wide stages, none quadratic — (1) the (source, gram)
+    frequency count over ROW-LOCALLY deduped grams (count(*) IS the
+    distinct-doc count, no countDistinct expand), (2) the flagged-gram
+    join back to positioned grams on the same (source, gram) key,
+    (3) a (doc, position) distinct for covered token positions (each
+    flagged gram start explodes to its n covered positions), and
+    (4) the doc_id reassembly rollup whose payload is the surviving
+    tokens — never more than the corpus.  Mirrors the
+    ``remove_duplicate_blocks`` sort_array(collect_list) rebuild, so
+    the DuckDB oracle replays it with a string_agg."""
+    from .dedup import _parallelize_scan
+
+    toks_col = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+    ).alias("t")
+    base = _parallelize_scan(docs).select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"), toks_col
+    )
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+    )
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)), gram
+    )
+    # counting side: row-local dedup -> count(*) per (source, gram) is
+    # the distinct-doc count (boilerplate_share's trick)
+    counts = (
+        base.filter(F.size("t") >= n)
+        .select("grp", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+        .groupBy("grp", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = counts.filter(F.col("n_docs") >= min_docs).select("grp", "gram")
+    # marking side: positioned grams (1-based start) joined to the
+    # boilerplate set; each hit covers token positions [pos, pos+n)
+    gp = (
+        base.filter(F.size("t") >= n)
+        .select("doc_id", "grp", F.posexplode(grams_arr).alias("p0", "gram"))
+        .select("doc_id", "grp", (F.col("p0") + 1).alias("pos"), "gram")
+    )
+    covered = (
+        gp.join(boiler, ["grp", "gram"])
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+    )
+    tokrows = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    rebuilt = (
+        tokrows.join(
+            covered,
+            (tokrows.doc_id == covered.doc_id) & (tokrows.p == covered.cpos),
+            "left",
+        )
+        .select(tokrows.doc_id, "p", "tok", "cpos")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count("cpos").alias("n_dropped_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("cpos").isNull(),
+                                F.struct(F.col("p"), F.col("tok")),
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_dropped_tokens", F.lit(0).cast("long")).alias(
+                "n_dropped_tokens"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+    )

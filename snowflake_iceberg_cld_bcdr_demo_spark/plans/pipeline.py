@@ -406,6 +406,54 @@ def neardup_skewsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "neardup_decontaminate",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    bp AS (
+        SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+        FROM banded t JOIN banded e
+          ON t.band = e.band AND t.band_key = e.band_key
+        WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    ),
+    scored AS (
+        SELECT p.train_doc_id, p.eval_doc_id,
+               ROUND(({_AGREE}) / 16.0, 4) AS est_jaccard
+        FROM bp p
+        JOIN sig sa ON p.train_doc_id = sa.doc_id
+        JOIN sig sb ON p.eval_doc_id = sb.doc_id
+    ),
+    prof AS (
+        SELECT train_doc_id, count(*) AS n_eval_matches,
+               max(est_jaccard) AS max_est_jaccard
+        FROM scored GROUP BY train_doc_id
+    )
+    SELECT d.doc_id AS train_doc_id,
+           CAST(coalesce(p.n_eval_matches, 0) AS BIGINT) AS n_eval_matches,
+           coalesce(p.max_est_jaccard, 0.0) AS max_est_jaccard,
+           coalesce(p.max_est_jaccard >= 0.5, FALSE) AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+    LEFT JOIN prof p ON d.doc_id = p.train_doc_id
+    """,
+)
+def neardup_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate decontamination of the training split (doc_id %
+    10 != 0) against the eval split (doc_id % 10 == 0) via a BIPARTITE
+    MinHash/LSH band join — catches paraphrased/partial benchmark leaks
+    the exact n-gram `decontaminate_eval_overlap` misses.  The eval
+    side broadcasts (fixed-size benchmark vs 100 TB corpus: the
+    training side is a map-side hash probe, never shuffled by band).
+    See :func:`operators.dedup.neardup_decontaminate`."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.neardup_decontaminate(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+        num_hashes=16,
+        bands=4,
+    )
+
+
+@_spec(
     "neardup_edit_distance",
     f"""
     WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
@@ -2444,6 +2492,67 @@ def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import extract
 
     return extract.boilerplate_share(
+        table(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+@_spec(
+    "boilerplate_removal",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    gp AS (
+        SELECT doc_id, source, CAST(p AS BIGINT) AS pos,
+               array_to_string(t[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)],
+                               ' ') AS gram
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS p
+              FROM toks WHERE len(t) >= 5)
+    ),
+    boiler AS (
+        SELECT source, gram FROM gp
+        GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 3
+    ),
+    covered AS (
+        SELECT DISTINCT g.doc_id, g.pos + u.o AS cpos
+        FROM gp g
+        JOIN boiler b ON g.source = b.source AND g.gram = b.gram
+        CROSS JOIN range(0, 5) AS u(o)
+    ),
+    tokrows AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks)
+    ),
+    rebuilt AS (
+        SELECT tr.doc_id,
+               count(*) AS n_tokens,
+               count(c.cpos) AS n_dropped_tokens,
+               string_agg(CASE WHEN c.cpos IS NULL THEN tr.tok END, ' '
+                          ORDER BY tr.p) AS ct
+        FROM tokrows tr
+        LEFT JOIN covered c ON tr.doc_id = c.doc_id AND tr.p = c.cpos
+        GROUP BY tr.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_dropped_tokens, 0) AS BIGINT)
+               AS n_dropped_tokens,
+           coalesce(r.ct, '') AS clean_text,
+           md5(coalesce(r.ct, '')) AS clean_hash
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTING boilerplate removal (the CCNet/RefinedWeb cleanup step the
+    `boilerplate_ngram_share` profile only measures): every token
+    covered by a word 5-gram shared by >= 3 docs of the same source is
+    dropped and the survivors reassembled in order.  The oracle rebuilds
+    every cleaned document token-by-token and the hash covers the full
+    text.  See :func:`operators.extract.remove_boilerplate_ngrams`."""
+    from ..operators import extract
+
+    return extract.remove_boilerplate_ngrams(
         table(spark, sf_dir, "documents"), n=5, min_docs=3
     )
 

@@ -617,6 +617,70 @@ def test_remove_duplicate_blocks_drops_shared_boilerplate(spark):
     assert out[4].n_blocks == 0 and out[4].clean_text == "" and out[4].clean_len == 0
 
 
+def test_remove_boilerplate_ngrams_drops_shared_footer(spark):
+    """A 5-gram footer planted in 3 docs of one source is stripped from
+    all of them (all covered tokens, including overlap-extended runs);
+    unique prose survives in normalized token form; a 2-doc phrase stays
+    (below min_docs); short and empty docs pass through."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import extract as E
+
+    footer = "subscribe to our daily newsletter"          # 5 tokens
+    rare = "limited time offer ends soon"                 # only in 2 docs
+    rows = [
+        (1, f"alpha bravo charlie {footer}", "s1"),
+        (2, f"delta echo foxtrot {footer} golf", "s1"),
+        (3, f"{footer} hotel india juliet", "s1"),
+        (4, f"kilo lima mike {rare}", "s1"),
+        (5, f"november oscar papa {rare}", "s1"),
+        (6, "tiny doc", "s1"),
+        (7, "   ", "s1"),
+        # same footer in ANOTHER source, only once there -> stays
+        (8, f"quebec romeo sierra {footer}", "s2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r.doc_id: r
+        for r in E.remove_boilerplate_ngrams(docs, n=5, min_docs=3).collect()
+    }
+    assert out[1].clean_text == "alpha bravo charlie"
+    assert out[1].n_dropped_tokens == 5
+    assert out[2].clean_text == "delta echo foxtrot golf"
+    assert out[3].clean_text == "hotel india juliet"
+    assert out[4].clean_text == f"kilo lima mike {rare}"   # below min_docs
+    assert out[6].clean_text == "tiny doc" and out[6].n_dropped_tokens == 0
+    assert out[7].n_tokens == 0 and out[7].clean_text == ""
+    assert out[8].clean_text == f"quebec romeo sierra {footer}"  # per-source
+
+
+def test_neardup_decontaminate_flags_planted_leak(spark):
+    """A training doc that PARAPHRASES an eval doc (shared prose with a
+    few words changed — invisible to exact-hash dedup) must be flagged
+    contaminated with a high estimated Jaccard; an unrelated training
+    doc reports zero matches and stays clean."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "in spain stays mainly in the plain and the cat sat on the mat "
+        "watching the dog chase the fox across the field all afternoon"
+    )
+    leaked = base.replace("afternoon", "evening")  # near-dup, not exact
+    clean = (
+        "completely unrelated prose about spark catalyst optimizer "
+        "plans shuffles broadcasts and adaptive query execution stages "
+        "with nothing in common with the benchmark passage at all here"
+    )
+    evald = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    )
+    out = {r.train_doc_id: r for r in D.neardup_decontaminate(train, evald).collect()}
+    assert out[1].contaminated and out[1].n_eval_matches == 1
+    assert out[1].max_est_jaccard >= 0.5
+    assert not out[2].contaminated and out[2].n_eval_matches == 0
+    assert out[2].max_est_jaccard == 0.0
+
+
 def test_mixture_token_budget_lands_within_budget(spark):
     """The token-budget contract: per source, admitted docs consume
     min(target, available) tokens up to one boundary-doc overshoot —

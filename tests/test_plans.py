@@ -127,6 +127,14 @@ def test_winnow_selection_is_row_local(spark):
     assert generates[0].count("md5") == 1
 
 
+def test_neardup_decontaminate_broadcasts_eval_side(spark):
+    """The bipartite LSH join's 100 TB contract: the (fixed-size) eval
+    side broadcasts, so the training corpus is probed map-side and never
+    exchanges on the band key."""
+    plan = _plan(spark, "neardup_decontaminate")
+    assert "BroadcastExchange" in plan
+
+
 def test_ann_cosine_topk_uses_take_ordered(spark):
     """Exact ANN baseline must not globally sort the corpus: top-k is a
     per-partition reduction (TakeOrderedAndProject)."""
