@@ -501,6 +501,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    docs: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    subsume_threshold: float = 0.9,
+) -> DataFrame:
+    """Containment verification for candidate pairs (Broder 1997's
+    second resemblance measure): ``|A∩B| / min(|A|, |B|)`` over the
+    k-shingle sets.  Jaccard misses SUBSUMED documents — a short doc
+    fully contained in a much longer one scores a low union-normalized
+    Jaccard but containment ≈ 1 — which is exactly the quote/excerpt/
+    wrapper-page duplication pattern corpus dedup needs to catch.
+    Emits both measures plus which doc is the contained one
+    (``contained_doc`` = the smaller shingle set, NULL when below
+    ``subsume_threshold``).
+
+    Scale: identical profile to :func:`ngram_jaccard_pairs` — the exact
+    shingle co-join is paid only on the (sub-quadratic) candidate set,
+    sizes come from one shingle aggregation, everything keyed on doc
+    ids or 8-char shingles (uniform)."""
+    sh = char_shingles(docs, text_col, id_col, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        candidate_pairs.join(a, candidate_pairs.doc_a == F.col("a.doc_id"))
+        .join(
+            b,
+            (candidate_pairs.doc_b == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common") / F.least("n_a", "n_b").cast("double")
+    jaccard = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            F.round(jaccard, 6).alias("jaccard"),
+            F.round(containment, 6).alias("containment"),
+            F.when(
+                containment >= subsume_threshold,
+                F.when(F.col("n_a") <= F.col("n_b"), F.col("doc_a")).otherwise(
+                    F.col("doc_b")
+                ),
+            ).alias("contained_doc"),
+        )
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens using portable md5-derived
     bit planes: bit_j = sign(Σ_tokens (md5_bit_j ? +1 : −1)).

@@ -493,6 +493,47 @@ def semdedup(
     )
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    per_cell: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling: assign every vector to its
+    k-means cell and keep the ``per_cell`` lowest seeded-md5-rank
+    members of EACH cell — the embedding-space analog of per-source
+    quotas.  Over-represented semantic regions (boilerplate clusters,
+    templated pages) are capped at the same mass as rare regions, the
+    standard cluster-balancing step between dedup and mixture in an
+    embedding-curated pipeline.
+
+    Output: kept vectors only — ``(id, cell, cell_rank)``, rank being
+    the deterministic admission order within the cell.
+
+    Scale: assignment is a narrow map (centroid literals — see the
+    PLANS.md note on the K ≳ 10⁴ broadcast-join alternative); the rank
+    is a ``row_number`` over the cell partition whose ``<= per_cell``
+    filter pushes down as a WindowGroupLimit (per-partition top-k,
+    O(B log per_cell) for a hot cell of B, the ``source_quota``
+    precedent) — one cell shuffle total.  Deterministic end to end, so
+    the DuckDB oracle replays trainer + assignment + rank cut."""
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    rk = F.row_number().over(
+        Window.partitionBy("cell").orderBy(
+            F.md5(F.concat_ws(":", F.lit("bal"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        )
+    )
+    return (
+        assigned.withColumn("cell_rank", rk)
+        .filter(F.col("cell_rank") <= per_cell)
+        .select(id_col, "cell", "cell_rank")
+    )
+
+
 # -- product quantization (the 100 TB embedding-store compression) -------
 
 def _l2_argmin(sub_col, codewords: list[list[float]]):

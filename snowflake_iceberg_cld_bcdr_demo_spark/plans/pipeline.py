@@ -545,6 +545,51 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, cands, k=8)
 
 
+@_spec(
+    "shingle_containment_pairs",
+    f"""
+    WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+        FROM pairs p
+        JOIN sh a ON p.doc_a = a.doc_id
+        JOIN sh b ON p.doc_b = b.doc_id AND a.shingle = b.shingle
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+           round(i.n_common / CAST(sa.n_shingles + sb.n_shingles - i.n_common
+                                   AS DOUBLE), 6) AS jaccard,
+           round(i.n_common / CAST(least(sa.n_shingles, sb.n_shingles)
+                                   AS DOUBLE), 6) AS containment,
+           CASE WHEN i.n_common / CAST(least(sa.n_shingles, sb.n_shingles)
+                                       AS DOUBLE) >= 0.9
+                THEN CASE WHEN sa.n_shingles <= sb.n_shingles
+                          THEN i.doc_a ELSE i.doc_b END
+           END AS contained_doc
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    """,
+)
+def shingle_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verification (Broder's second resemblance measure)
+    for the LSH candidate pairs: |A∩B|/min(|A|,|B|) catches SUBSUMED
+    documents — excerpts and wrapper pages that union-normalized
+    Jaccard under-scores — and names the contained side.  See
+    :func:`operators.dedup.shingle_containment_pairs`."""
+    docs = table(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(
+            dedup.char_shingles(docs, k=8, dedup_shingles=False), 16
+        ),
+        16,
+        4,
+    )
+    return dedup.shingle_containment_pairs(docs, cands, k=8)
+
+
 _SIMHASH_BITS = 32
 _SIMHASH_VOTES = ",\n".join(
     f"           SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
@@ -2297,6 +2342,43 @@ def semdedup_capped_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
     return similarity.semdedup(emb, cents, threshold=0.4, max_cell=24)
+
+
+def _cluster_balanced_oracle_sql(iters: int = 2, per_cell: int = 20) -> str:
+    """DuckDB replay of cluster-balanced sampling: the shared k-means
+    trainer CTEs, final assignment, and the identical seeded-md5 rank
+    cut per cell (the semdedup hot-cell-guard precedent)."""
+    return (
+        "WITH " + ",\n    ".join(_kmeans_ctes(iters)) + f""",
+    asgn AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('e.v', 'c.cv')} DESC, c.cell DESC) AS rk
+            FROM e CROSS JOIN c{iters} c
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, cell, CAST(cell_rank AS INTEGER) AS cell_rank FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                   ORDER BY md5('bal:' || CAST(vec_id AS VARCHAR)),
+                            vec_id) AS cell_rank
+        FROM asgn
+    ) WHERE cell_rank <= {per_cell}
+    """
+    )
+
+
+@_spec("cluster_balanced_sample", _cluster_balanced_oracle_sql(iters=2, per_cell=20))
+def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: k-means cells (2 Lloyd
+    rounds, K=8) cap every semantic region at 20 vectors via a
+    deterministic seeded-md5 rank — boilerplate clusters stop dominating
+    the mixture.  The oracle replays trainer, assignment, and rank cut.
+    See :func:`operators.similarity.cluster_balanced_sample`."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
+    return similarity.cluster_balanced_sample(emb, cents, per_cell=20)
 
 
 @_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))

@@ -617,6 +617,32 @@ def test_remove_duplicate_blocks_drops_shared_boilerplate(spark):
     assert out[4].n_blocks == 0 and out[4].clean_text == "" and out[4].clean_len == 0
 
 
+def test_shingle_containment_flags_subsumed_doc(spark):
+    """An excerpt doc fully contained in a longer doc gets containment
+    1.0 and is named as `contained_doc` even though its union-normalized
+    Jaccard is well below any dedup threshold; a disjoint pair scores
+    zero on both measures."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup as D
+
+    long_doc = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain stays mainly in the plain and the cat sat on the mat "
+        "watching the dog chase the fox across the field all afternoon"
+    )
+    excerpt = "the rain in spain stays mainly in the plain"
+    other = "zzz completely disjoint qqq material vvv"
+    docs = spark.createDataFrame(
+        [(1, excerpt), (2, long_doc), (3, other)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "doc_a long, doc_b long")
+    out = {(r.doc_a, r.doc_b): r for r in
+           D.shingle_containment_pairs(docs, pairs, k=8).collect()}
+    sub = out[(1, 2)]
+    assert sub.containment == 1.0 and sub.contained_doc == 1
+    assert sub.jaccard < 0.5  # union-normalized measure under-scores it
+    assert (1, 3) not in out or out[(1, 3)].n_common == 0
+
+
 def test_remove_boilerplate_ngrams_drops_shared_footer(spark):
     """A 5-gram footer planted in 3 docs of one source is stripped from
     all of them (all covered tokens, including overlap-extended runs);

@@ -387,3 +387,24 @@ def test_semdedup_hot_cell_guard_bounds_pairs(spark):
     reps = capped.filter("NOT is_kept").select("cluster_id").distinct().collect()
     kept_ids = {r.vec_id for r in capped.filter("is_kept").collect()}
     assert all(r.cluster_id in kept_ids for r in reps)
+
+
+def test_cluster_balanced_sample_caps_every_cell(spark, emb):
+    """Balance contract: no cell exceeds per_cell, a cell with fewer
+    members keeps them all, ranks are 1..n_kept dense per cell, and the
+    selection is deterministic across reruns."""
+    cents, _ = similarity.kmeans_centroids(emb, k=8, iters=2)
+    out = similarity.cluster_balanced_sample(emb, cents, per_cell=10)
+    rows = out.collect()
+    sizes = {}
+    for r in rows:
+        sizes.setdefault(r.cell, []).append(r.cell_rank)
+    full = {r.cell: 0 for r in similarity.ivf_assign(emb, cents).collect()}
+    for r in similarity.ivf_assign(emb, cents).collect():
+        full[r.cell] += 1
+    for cell, ranks in sizes.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) == min(10, full[cell])
+    again = {(r.vec_id, r.cell, r.cell_rank) for r in
+             similarity.cluster_balanced_sample(emb, cents, per_cell=10).collect()}
+    assert again == {(r.vec_id, r.cell, r.cell_rank) for r in rows}
