@@ -211,6 +211,76 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def collapse_repetitions(
+    docs: DataFrame,
+    max_run: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ACTING within-document repetition removal (the cleanup step the
+    Gopher-style :func:`repetition_stats` profile only measures; decoder
+    loops and templated spam emit exactly these patterns): cap every
+    consecutive IDENTICAL-token run at ``max_run`` occurrences, and cap
+    repeated BIGRAM loops ("a b a b a b…") at two periods — a token is
+    dropped when its trailing context shows the run/loop already at the
+    cap.  Both rules read only the ORIGINAL token sequence, so the
+    decision is per-position and the whole operator is ROW-LOCAL: one
+    ``filter`` lambda over the token array, zero shuffles before the
+    (optional) coverage join.
+
+    Output per doc: ``(id, n_tokens, n_collapsed, clean_text,
+    clean_hash)`` — ``clean_text`` in normalized token form (lowercase,
+    single-spaced), empty docs keep a zero row.
+
+    Portability: lookbacks use ``try_element_at`` (NULL out of bounds)
+    under null-safe equality, which the DuckDB oracle mirrors with
+    ``lag(...) IS NOT DISTINCT FROM`` window comparisons — identical
+    keep decisions position by position."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+
+    def keep(x, i):
+        # 1-based current position is i+1; lookback j tokens -> i+1-j.
+        # Guarded: index 0 throws and negatives count from the END in
+        # element_at semantics, so any lookback before the start is an
+        # explicit NULL (matching the oracle's lag()).
+        def prev(j):
+            return F.when(
+                i >= j, F.try_element_at(F.col("t"), i + 1 - j)
+            ).otherwise(F.lit(None))
+
+        drop_run = None
+        for j in range(1, max_run + 1):
+            c = prev(j).eqNullSafe(x)
+            drop_run = c if drop_run is None else (drop_run & c)
+        drop_loop = (
+            prev(2).eqNullSafe(x)
+            & prev(4).eqNullSafe(x)
+            & prev(1).eqNullSafe(prev(3))
+        )
+        return ~(drop_run | drop_loop)
+
+    kept = F.filter(F.col("t"), keep)
+    rebuilt = base.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("long").alias("n_collapsed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce("n_collapsed", F.lit(0).cast("long")).alias("n_collapsed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
 def build_vocab(docs: DataFrame, max_size: int = 1000, min_count: int = 1) -> DataFrame:
     """Frequency-ranked token vocabulary: ``(token, token_id, n_occurrences)``
     with ids assigned by (count DESC, token ASC) — the deterministic

@@ -342,6 +342,52 @@ def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "corpus_datasheet",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS total_ws_tokens,
+           CAST(SUM(length(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')))
+               AS BIGINT) AS total_bpe_pieces,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+           round(CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
+               AS distinct_frac,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (Gebru et al. 'Datasheets for Datasets'
+    composition section): doc/source/language counts, exact character /
+    whitespace-token / BPE-piece totals (the token figure every training
+    plan starts from), exact-dedup distinct fraction, and the length
+    envelope.  One map-side-combined global aggregate — O(1) output at
+    any corpus size."""
+    from ..functions.text import bpe_piece_count, token_count
+
+    d = table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_ws_tokens"),
+        F.sum(bpe_piece_count(F.col("text"))).cast("long").alias("total_bpe_pieces"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.round(
+            F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("distinct_frac"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+@_spec(
     "minhash_near_dup_pairs",
     f"""
     WITH {_SHINGLE_CTE}, {_SIG_CTE}, {_BAND_CTE}
@@ -1497,6 +1543,56 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.mixture_token_budget(
         table(spark, sf_dir, "documents"), _MIX_BUDGET, _MIX_SHARES
     )
+
+
+@_spec(
+    "collapse_repetitions",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    tr AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks)
+    ),
+    fl AS (
+        SELECT doc_id, p, tok,
+               lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2,
+               lag(tok, 3) OVER w AS p3, lag(tok, 4) OVER w AS p4
+        FROM tr WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    dec AS (
+        SELECT doc_id, p, tok,
+               NOT ((p1 IS NOT DISTINCT FROM tok
+                     AND p2 IS NOT DISTINCT FROM tok)
+                    OR (p2 IS NOT DISTINCT FROM tok
+                        AND p4 IS NOT DISTINCT FROM tok
+                        AND p1 IS NOT DISTINCT FROM p3)) AS keep
+        FROM fl
+    ),
+    rebuilt AS (
+        SELECT doc_id, count(*) AS n_tokens,
+               count(*) FILTER (WHERE NOT keep) AS n_collapsed,
+               string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY p) AS ct
+        FROM dec GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(r.n_collapsed, 0) AS BIGINT) AS n_collapsed,
+           coalesce(r.ct, '') AS clean_text,
+           md5(coalesce(r.ct, '')) AS clean_hash
+    FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def collapse_repetitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTING repetition removal (Gopher cleanup, decoder-loop repair):
+    identical-token runs capped at 2, bigram loops capped at two
+    periods — row-local lookbacks over the token array, zero shuffles;
+    the oracle replays the keep decision with lag() windows and the
+    hash covers every rebuilt document.  See
+    :func:`operators.textops.collapse_repetitions`."""
+    return textops.collapse_repetitions(table(spark, sf_dir, "documents"))
 
 
 @_spec(

@@ -297,3 +297,28 @@ def test_bpe_encode_ids_preserves_empty_docs(spark):
     assert out[2].token_ids == [] and out[2].n_tokens == 0
     assert out[3].token_ids == [] and out[3].n_tokens == 0
     assert out[1].n_tokens > 0
+
+
+def test_collapse_repetitions_caps_runs_and_loops(spark):
+    """Token runs cap at 2, bigram loops cap at two periods, clean prose
+    passes untouched, empty docs keep a zero row — and the decision
+    reads the ORIGINAL sequence (drops never cascade new drops)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam eggs"),
+            (2, "buy now buy now buy now buy now"),
+            (3, "perfectly normal prose with no repeats"),
+            (4, "a a b a a b"),     # run of 2 twice, period-3 loop: all kept
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in textops.collapse_repetitions(docs).collect()}
+    assert out[1].clean_text == "spam spam eggs" and out[1].n_collapsed == 2
+    assert out[2].clean_text == "buy now buy now" and out[2].n_collapsed == 4
+    assert out[3].clean_text == "perfectly normal prose with no repeats"
+    assert out[3].n_collapsed == 0
+    assert out[4].clean_text == "a a b a a b"  # period-3: outside v1 scope
+    assert out[5].n_tokens == 0 and out[5].clean_text == ""
