@@ -534,6 +534,49 @@ def cluster_balanced_sample(
     )
 
 
+def embedding_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination — the semantic complement of the
+    text-space :func:`dedup.neardup_decontaminate`: for every TRAINING
+    vector, find its nearest EVAL vector by cosine and flag training
+    docs whose nearest benchmark neighbor exceeds ``threshold``
+    (rewrites and translations land near the benchmark in embedding
+    space even when no n-gram or shingle survives).
+
+    Output per train vector: ``(id, nearest_eval_id, max_cosine,
+    leaked)``; argmax ties break to the larger eval id (struct-max
+    order, mirrored by the oracle's DESC row_number).
+
+    Scale: eval sets are fixed-size, so the eval side BROADCASTS and the
+    |train|×|eval| score space never materializes past the map side —
+    the broadcast nested-loop join feeds a partial max-struct aggregate
+    that collapses to ONE row per train vector before the only shuffle
+    (|train| rows).  Linear in the corpus, zero data-dependent skew."""
+    ev = eval_emb.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    )
+    sim = cosine(F.col(vec_col), F.col("ev"))
+    best = (
+        train_emb.select(id_col, vec_col)
+        .crossJoin(F.broadcast(ev))
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(sim.alias("cos"), F.col("eval_id"))).alias("b")
+        )
+    )
+    return best.select(
+        id_col,
+        F.col("b.eval_id").alias("nearest_eval_id"),
+        F.round(F.col("b.cos"), 6).alias("max_cosine"),
+        (F.col("b.cos") >= threshold).alias("leaked"),
+    )
+
+
 # -- product quantization (the 100 TB embedding-store compression) -------
 
 def _l2_argmin(sub_col, codewords: list[list[float]]):

@@ -2477,6 +2477,45 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cluster_balanced_sample(emb, cents, per_cell=20)
 
 
+@_spec(
+    "embedding_decontaminate",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    t AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+    ev AS (SELECT vec_id AS eval_id, v AS w FROM e WHERE vec_id % 10 = 0),
+    scored AS (
+        SELECT t.vec_id, ev.eval_id, {_sql_cos('t.v', 'ev.w')} AS cos
+        FROM t CROSS JOIN ev
+    ),
+    best AS (
+        SELECT vec_id, eval_id, cos FROM (
+            SELECT vec_id, eval_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, eval_id DESC) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, eval_id AS nearest_eval_id,
+           round(cos, 6) AS max_cosine, cos >= 0.9 AS leaked
+    FROM best
+    """,
+)
+def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination of the train split (vec_id % 10
+    != 0) against the eval split: nearest benchmark neighbor by cosine
+    per training vector, flagged above 0.9 — catches rewrites and
+    translations no shingle survives.  Eval side broadcast; the score
+    space collapses map-side to one row per train vector.  See
+    :func:`operators.similarity.embedding_decontaminate`."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.embedding_decontaminate(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        threshold=0.9,
+    )
+
+
 @_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))
 def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (3 Lloyd rounds, K=8, seeded deterministic

@@ -408,3 +408,26 @@ def test_cluster_balanced_sample_caps_every_cell(spark, emb):
     again = {(r.vec_id, r.cell, r.cell_rank) for r in
              similarity.cluster_balanced_sample(emb, cents, per_cell=10).collect()}
     assert again == {(r.vec_id, r.cell, r.cell_rank) for r in rows}
+
+
+def test_embedding_decontaminate_flags_planted_copy(spark):
+    """A training vector that is a tiny perturbation of an eval vector
+    must be flagged leaked with that eval id as nearest neighbor; an
+    orthogonal vector stays clean.  Plan: eval side broadcasts."""
+    base = [1.0] * 8 + [0.0] * 56
+    near = [1.0] * 8 + [0.01] * 56          # cosine ~ 0.9997
+    ortho = [0.0] * 56 + [1.0] * 8
+    evald = spark.createDataFrame(
+        [(100, base)], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [(1, near), (2, ortho)], "vec_id long, embedding array<float>"
+    )
+    out = {r.vec_id: r for r in
+           similarity.embedding_decontaminate(train, evald).collect()}
+    assert out[1].leaked and out[1].nearest_eval_id == 100
+    assert out[1].max_cosine > 0.99
+    assert not out[2].leaked and out[2].max_cosine < 0.1
+    plan = (similarity.embedding_decontaminate(train, evald)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
