@@ -1935,6 +1935,84 @@ def image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "audio_waveform_profile",
+    """
+    WITH base AS (
+        SELECT printf('WAV-%06d', t.i) AS asset_id,
+               md5('11#wav#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(400) t(i)
+    ),
+    par AS (
+        SELECT asset_id,
+               CAST(('0x' || substring(md5(h || 'n'), 1, 8)) AS BIGINT) % 17 + 8
+                   AS n,
+               [8000, 16000, 44100][CAST(
+                   CAST(('0x' || substring(md5(h || 'r'), 1, 8)) AS BIGINT) % 3
+                   + 1 AS INTEGER)] AS rate,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+                   AS cx
+        FROM base
+    ),
+    smp AS (
+        SELECT asset_id, n, rate,
+               list_transform(
+                   list_transform(range(0, CAST(n AS INTEGER)), k ->
+                       CAST(('0x' || substring(cx, CAST(4*k + 1 AS INTEGER), 2))
+                            AS BIGINT)
+                       + 256 * CAST(('0x' || substring(cx,
+                                     CAST(4*k + 3 AS INTEGER), 2)) AS BIGINT)),
+                   v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS s
+        FROM par
+    )
+    SELECT asset_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS sumsq,
+           CAST(list_sum(list_transform(range(1, CAST(n AS INTEGER)), k ->
+                CASE WHEN (s[CAST(k AS INTEGER)] < 0)
+                       <> (s[CAST(k + 1 AS INTEGER)] < 0)
+                     THEN 1 ELSE 0 END)) AS INTEGER) AS zero_crossings,
+           CAST(list_max(list_transform(s, v -> abs(v))) AS INTEGER)
+               AS peak_abs,
+           round(sqrt(CAST(list_sum(list_transform(s, v -> v * v)) AS DOUBLE)
+                      / n), 6) AS rms
+    FROM smp
+    """,
+)
+def audio_waveform_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL-sample audio chain, hash-verified — the audio
+    twin of `resized_image_profile`: synthesize complete PCM16 mono
+    WAVs (`multimodal.media.synthesize_decodable_wavs`, md5-derived
+    sample count / rate / payload), decode the actual bytes with the
+    NumPy PCM16 codec (`_np_decode_wav`, strict — never fabricates),
+    and emit waveform statistics: exact integer sum of squares (RMS =
+    one float division + sqrt at the end, bit-identical doubles),
+    zero crossings, peak amplitude.  The oracle reconstructs the same
+    int16 samples arithmetically from the md5 chain (little-endian
+    byte pairs, two's complement), so a bug in generator, codec, or
+    statistics hash-mismatches.  Asset count fixed (400): media assets
+    are synthesized, not testdata-scaled.
+
+    Scale: generation is pure Catalyst, decode is an Arrow-batched
+    narrow stage — no shuffles anywhere."""
+    from ..multimodal import media
+
+    assets = media.synthesize_decodable_wavs(spark, 400)
+    feats = media.audio_waveform_features(assets, strict=True)
+    return feats.select(
+        "asset_id",
+        "sample_rate",
+        "n_samples",
+        "sumsq",
+        "zero_crossings",
+        "peak_abs",
+        F.round(
+            F.sqrt(F.col("sumsq").cast("double") / F.col("n_samples")), 6
+        ).alias("rms"),
+    )
+
+
+@_spec(
     "resized_image_profile",
     """
     WITH base AS (
