@@ -2013,6 +2013,97 @@ def audio_waveform_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "video_frame_profile",
+    """
+    WITH base AS (
+        SELECT printf('VID-%06d', t.i) AS asset_id,
+               md5('13#vid#' || CAST(t.i AS VARCHAR)) AS hh
+        FROM range(400) t(i)
+    ),
+    par AS (
+        SELECT asset_id,
+               CAST(('0x' || substring(md5(hh || 'w'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS w,
+               CAST(('0x' || substring(md5(hh || 'h'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS ht,
+               CAST(('0x' || substring(md5(hh || 'f'), 1, 8)) AS BIGINT) % 4 + 3
+                   AS nf,
+               [10, 24, 30][CAST(
+                   CAST(('0x' || substring(md5(hh || 'p'), 1, 8)) AS BIGINT) % 3
+                   + 1 AS INTEGER)] AS fps,
+               md5(hh || '0') || md5(hh || '1') || md5(hh || '2')
+               || md5(hh || '3') || md5(hh || '4') || md5(hh || '5')
+               || md5(hh || '6') || md5(hh || '7') || md5(hh || '8')
+               || md5(hh || '9') || md5(hh || '10') || md5(hh || '11')
+               || md5(hh || '12') || md5(hh || '13') || md5(hh || '14')
+               || md5(hh || '15') || md5(hh || '16') || md5(hh || '17')
+               || md5(hh || '18') || md5(hh || '19') || md5(hh || '20')
+               || md5(hh || '21') || md5(hh || '22') || md5(hh || '23')
+               || md5(hh || '24') || md5(hh || '25') || md5(hh || '26')
+               || md5(hh || '27') || md5(hh || '28') AS cx
+        FROM base
+    ),
+    px AS (
+        SELECT asset_id, w, ht, nf, fps,
+               CAST(('0x' || substring(cx,
+                   CAST(2*(f.i*w*ht*3 + p.i*3 + 0) + 1 AS INTEGER), 2))
+                   AS BIGINT) AS bb,
+               CAST(('0x' || substring(cx,
+                   CAST(2*(f.i*w*ht*3 + p.i*3 + 1) + 1 AS INTEGER), 2))
+                   AS BIGINT) AS bg,
+               CAST(('0x' || substring(cx,
+                   CAST(2*(f.i*w*ht*3 + p.i*3 + 2) + 1 AS INTEGER), 2))
+                   AS BIGINT) AS br
+        FROM par
+        CROSS JOIN range(0, 6) f(i)
+        CROSS JOIN range(0, 25) p(i)
+        WHERE f.i < nf AND f.i % 2 = 0 AND p.i < w * ht
+    )
+    SELECT asset_id,
+           CAST(w AS INTEGER) AS width, CAST(ht AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames, CAST(fps AS INTEGER) AS fps,
+           CAST((nf + 1) // 2 AS INTEGER) AS n_sampled,
+           CAST(SUM(299*br + 587*bg + 114*bb) AS BIGINT) AS luma_millis,
+           CAST(SUM(299*br + 587*bg + 114*bb) AS DOUBLE)
+                 / (1000.0 * ((nf + 1) // 2) * w * ht) AS mean_luma
+    FROM px GROUP BY asset_id, w, ht, nf, fps
+    """,
+)
+def video_frame_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL-frame video chain, hash-verified — completing
+    the image/audio/video real-kernel set: synthesize raw uncompressed
+    RVID containers (`multimodal.media.synthesize_decodable_videos`),
+    decode the actual bytes with the NumPy kernel, sample every 2nd
+    frame, and accumulate exact integer ITU-R 601 luma-millis per
+    asset (mean luma = one float division at the end).  The oracle
+    reconstructs every sampled pixel arithmetically from the md5
+    chain.  Asset count fixed (400): media assets are synthesized, not
+    testdata-scaled."""
+    from ..multimodal import media
+
+    assets = media.synthesize_decodable_videos(spark, 400)
+    prof = media.video_frame_profile(assets, stride=2, strict=True)
+    return prof.select(
+        "asset_id",
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "n_sampled",
+        "luma_millis",
+        (
+            F.col("luma_millis").cast("double")
+            / (
+                F.lit(1000.0)
+                * F.col("n_sampled")
+                * F.col("width")
+                * F.col("height")
+            )
+        ).alias("mean_luma"),
+    )
+
+
+@_spec(
     "resized_image_profile",
     """
     WITH base AS (

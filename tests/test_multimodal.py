@@ -440,3 +440,38 @@ def test_wav_decode_roundtrip_and_strictness(spark):
     )
     jf = media.audio_waveform_features(junk, strict=True).collect()[0]
     assert jf.decoder == "undecoded" and jf.sumsq is None and jf.n_samples is None
+
+
+def test_video_decode_roundtrip_and_sampling(spark):
+    """RVID frames are real end to end: decode recovers (nf, h, w, 3)
+    uint8 frames matching the metadata; stride-2 sampling counts
+    ceil(nf/2); junk bytes yield NULL stats under strict."""
+    import numpy as np
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media
+
+    assets = media.synthesize_decodable_videos(spark, 10)
+    rows = assets.select(
+        "asset_id", "content",
+        F.col("metadata.width").alias("w"),
+        F.col("metadata.height").alias("h"),
+    ).collect()
+    for r in rows:
+        dec = media._np_decode_rvid(bytes(r.content))
+        assert dec is not None
+        fps, frames = dec
+        assert frames.dtype == np.uint8
+        assert frames.shape[1] == r.h and frames.shape[2] == r.w
+        assert 3 <= frames.shape[0] <= 6 and fps in (10, 24, 30)
+    prof = {p.asset_id: p for p in
+            media.video_frame_profile(assets, stride=2).collect()}
+    for p in prof.values():
+        assert p.decoder == "numpy-rvid"
+        assert p.n_sampled == (p.n_frames + 1) // 2
+        assert 0 <= p.luma_millis <= 1000 * 255 * p.n_sampled * p.width * p.height
+    junk = spark.createDataFrame(
+        [("J-1", "video", bytearray(b"RVIDxx"))],
+        "asset_id string, media_type string, content binary",
+    )
+    jp = media.video_frame_profile(junk).collect()[0]
+    assert jp.decoder == "undecoded" and jp.luma_millis is None
