@@ -726,6 +726,52 @@ def source_quota(
     )
 
 
+def conjunctive_term_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) term search — the query side of the
+    :func:`term_postings` index skeleton: documents containing EVERY
+    term in ``terms`` (case-insensitive whitespace tokens), with each
+    term's in-document frequency.  "Which training docs contain all the
+    words of this eval phrase" as a selective scan, not a corpus join.
+
+    Output: ``(id, n_terms_matched, total_hits)`` — only full matches
+    (``n_terms_matched = len(terms)``); ``total_hits`` sums the
+    per-term occurrence counts.
+
+    Scale: the ``term IN (...)`` filter applies IN THE SCAN PROJECTION
+    right after the explode (tokens that aren't query terms never
+    reach an exchange), so the one doc_id shuffle carries at most
+    |terms| rows per document.  Query terms are a literal list —
+    nothing to broadcast, nothing quadratic."""
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    ).alias("term")
+    wanted = [t.lower() for t in terms]
+    hits = (
+        docs.select(F.col(id_col).alias("doc_id"), toks)
+        .filter(F.col("term").isin(wanted))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_hits"),
+        )
+        .filter(F.col("n_terms_matched") == len(wanted))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_terms_matched",
+            F.col("total_hits").cast("long").alias("total_hits"),
+        )
+    )
+
+
 def term_postings(
     docs: DataFrame,
     text_col: str = "text",

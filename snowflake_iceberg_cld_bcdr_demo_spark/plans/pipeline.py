@@ -3623,6 +3623,34 @@ def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "conjunctive_term_search",
+    """
+    WITH hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+            FROM documents
+        ) WHERE term IN ('spark', 'window', 'join')
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(tf) AS BIGINT) AS total_hits
+    FROM hits GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def conjunctive_term_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search — the query side of the postings
+    skeleton: docs containing ALL of {spark, window, join}, with total
+    occurrence counts.  The term filter applies in the scan projection
+    (non-query tokens never reach an exchange).  See
+    :func:`operators.corpus.conjunctive_term_search`."""
+    return corpus.conjunctive_term_search(
+        table(spark, sf_dir, "documents"), ["spark", "window", "join"]
+    )
+
+
+@_spec(
     "lm_quality_scores",
     """
     WITH toks AS (

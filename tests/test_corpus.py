@@ -913,3 +913,22 @@ def test_winnow_window_one_selects_every_kgram(spark):
     fp = D.winnow_fingerprints(docs, k=4, window=1).collect()
     # 8-char text, k=4 -> 5 k-grams, all distinct -> 5 fingerprints
     assert len(fp) == 5
+
+
+def test_conjunctive_term_search_requires_all_terms(spark):
+    """AND semantics: only docs containing EVERY query term match;
+    total_hits counts all occurrences; matching is case-insensitive."""
+    docs = spark.createDataFrame(
+        [
+            (1, "Spark window join spark"),
+            (2, "spark join but no w-word"),
+            (3, "window join window"),
+            (4, "spark window join extra join"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in corpus.conjunctive_term_search(
+        docs, ["spark", "window", "join"]).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_terms_matched == 3 and out[1].total_hits == 4
+    assert out[4].total_hits == 4
