@@ -70,6 +70,13 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # exact-collapse groupBy + canon-docs join + carry-through
         # minhash (no copies join-backs, no persist)
         ("neardup_skewsafe_pairs", 7),
+        # round-8 additions
+        ("collapse_repetitions", 1),   # row-local lookbacks; coverage join
+        ("audio_waveform_profile", 0),  # generate + Arrow kernel: narrow
+        ("video_frame_profile", 0),     # same; per-asset agg kernel-local
+        ("corpus_datasheet", 1),        # one global aggregate
+        ("conjunctive_term_search", 2),  # (doc,term) agg + doc rollup
+        ("mixture_token_budget", 3),    # counts + bucket windows + final
         ("lm_quality_scores", 5),    # token count + token join + doc fold
     ],
 )
