@@ -647,6 +647,48 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> Dat
     ).orderBy("shuffle_key", id_col)
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    seed: int = 42,
+    fractions: tuple[tuple[str, float], ...] = (
+        ("train", 0.8),
+        ("val", 0.1),
+        ("test", 0.1),
+    ),
+) -> DataFrame:
+    """GROUP-aware (leakage-free) split: the split is a pure hash of
+    (seed, GROUP), so every document of a group — a source, a domain,
+    a crawl host — lands in the SAME split.  This is the assignment
+    that prevents near-duplicate leakage across train/val: doc-level
+    hashing (:func:`hash_split`) puts a page and its same-site near
+    duplicate in different splits with probability 2·p·(1−p); grouping
+    by origin makes that impossible by construction (the
+    GroupShuffleSplit discipline).
+
+    Trade-off (documented, inherent): split sizes converge to the
+    requested fractions only at the GROUP level — a heavy group drags
+    its whole mass into one split, so doc-level fractions have
+    group-size variance.  Audit with a per-split rollup before use.
+
+    Scale: zero shuffle — one codegen projection, same portable
+    md5-prefix hash as every split/sample operator here."""
+    if abs(sum(f for _, f in fractions) - 1.0) > 1e-9:
+        raise ValueError("group_split: fractions must sum to 1")
+    u = _portable_u32(F.col(group_col), seed)
+    expr = None
+    cum = 0.0
+    for name, frac in fractions[:-1]:
+        cum += frac
+        thresh = int(cum * _HASH_DOMAIN)
+        case = F.when(u < thresh, F.lit(name))
+        expr = case if expr is None else expr.when(u < thresh, F.lit(name))
+    expr = (
+        F.lit(fractions[-1][0]) if expr is None else expr.otherwise(F.lit(fractions[-1][0]))
+    )
+    return df.withColumn("split", expr)
+
+
 def stratified_split_flags(
     df: DataFrame,
     strata_col: str = "source",

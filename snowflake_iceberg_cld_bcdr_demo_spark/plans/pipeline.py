@@ -2355,6 +2355,46 @@ def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GRP_U32_SQL = (
+    "CAST(('0x' || substring(md5('42:' || source), 1, 8)) AS BIGINT)"
+)
+
+
+@_spec(
+    "group_split_counts",
+    f"""
+    WITH assigned AS (
+        SELECT source, n_chars,
+               CASE WHEN {_GRP_U32_SQL} < CAST(0.8 * 4294967296 AS BIGINT)
+                    THEN 'train'
+                    WHEN {_GRP_U32_SQL} < CAST(0.9 * 4294967296 AS BIGINT)
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware (leakage-free) 80/10/10 split audit: the split is a
+    pure hash of the SOURCE, so no source straddles train/val — the
+    assignment that prevents same-site near-duplicate leakage doc-level
+    hashing allows.  Per-split source/doc/char rollup (group-level
+    fractions converge; doc-level sizes inherit group-size variance —
+    this audit is how you check it).  See
+    :func:`operators.corpus.group_split`."""
+    assigned = corpus.group_split(table(spark, sf_dir, "documents"))
+    return assigned.groupBy("split").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
 @_spec(
     "shuffle_head",
     """

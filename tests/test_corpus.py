@@ -932,3 +932,16 @@ def test_conjunctive_term_search_requires_all_terms(spark):
     assert set(out) == {1, 4}
     assert out[1].n_terms_matched == 3 and out[1].total_hits == 4
     assert out[4].total_hits == 4
+
+
+def test_group_split_no_source_straddles(spark, docs):
+    """Leakage-free contract: every source lands in exactly one split,
+    assignment is deterministic, and all docs of a source share it."""
+    out = corpus.group_split(docs).cache()
+    per_source = out.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    )
+    assert per_source.filter(F.col("k") != 1).count() == 0
+    again = corpus.group_split(docs)
+    assert sorted(map(tuple, out.select("doc_id", "split").collect())) == \
+        sorted(map(tuple, again.select("doc_id", "split").collect()))
