@@ -1104,3 +1104,110 @@ def dsir_importance(
             F.round(F.col("_sum") / F.col("n_grams"), 8).alias("avg_importance"),
         )
     )
+
+
+def nb_quality_scores(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality FILTERING (the GPT-3 appendix-A classifier
+    stage, closed-form): train a Naive Bayes classifier distinguishing
+    a trusted TARGET slice (``target_filter`` — the curated corpus)
+    from the raw pool on hashed unigram features, then score every
+    document with its class log-odds and emit a ``keep`` decision
+    (log-odds > 0, i.e. the doc looks more curated than raw).
+
+    This differs from :func:`dsir_importance` exactly the way a
+    classifier differs from importance weighting: a CLASS PRIOR enters
+    the score (log of the smoothed doc-count ratio), the decision is a
+    hard keep flag rather than a resampling weight, and features are
+    unigrams (the fastText-classifier convention) rather than bigrams.
+    Training is closed-form counting — no iterations, no optimizer —
+    so the ENTIRE train→score path is one deterministic plan the
+    DuckDB oracle replays (md5 buckets, add-α smoothing,
+    position-ordered log folds).
+
+    Output per doc: ``(id, is_target, n_tokens, nb_logodds, keep)``;
+    docs with no tokens get NULL log-odds and keep=false.
+
+    Scale: identical profile to DSIR — one map-side-combined
+    O(buckets) histogram shuffle, a broadcast ``buckets``-row model
+    join (THE model: the classifier is a broadcastable table), one
+    doc_id fold shuffle.  The prior is an O(1) aggregate cross-joined
+    as a broadcast literal — nothing collects."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
+        F.lit(buckets),
+    )
+    tagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+        toks.alias("_toks"),
+    )
+    base = (
+        tagged.filter(F.size("_toks") >= 1)
+        .select("doc_id", "_is_target", F.posexplode("_toks").alias("pos", "tok"))
+        .select("doc_id", "_is_target", "pos", bucket.alias("b"))
+    )
+    hist = base.groupBy("b").agg(
+        F.sum(F.col("_is_target").cast("long")).alias("ct"),
+        F.sum((~F.col("_is_target")).cast("long")).alias("cs"),
+    )
+    tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cs").alias("ts"))
+    ab = float(alpha * buckets)
+    lo = F.log(
+        (
+            (F.col("ct").cast("double") + F.lit(float(alpha)))
+            * (F.col("ts").cast("double") + F.lit(ab))
+        )
+        / (
+            (F.col("cs").cast("double") + F.lit(float(alpha)))
+            * (F.col("tt").cast("double") + F.lit(ab))
+        )
+    )
+    model = hist.crossJoin(F.broadcast(tot)).select("b", lo.alias("lo"))
+    prior = tagged.agg(
+        F.log(
+            (F.sum(F.col("_is_target").cast("long")).cast("double") + F.lit(float(alpha)))
+            / (
+                F.sum((~F.col("_is_target")).cast("long")).cast("double")
+                + F.lit(float(alpha))
+            )
+        ).alias("log_prior")
+    )
+    folded = (
+        base.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.aggregate(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("lo")))
+                    ),
+                    lambda s: s["lo"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_sum"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    logodds = F.col("log_prior") + F.col("_sum")
+    return (
+        tagged.select("doc_id", F.col("_is_target").alias("is_target"))
+        .distinct()
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(logodds, 8).alias("nb_logodds"),
+            F.coalesce(logodds > 0, F.lit(False)).alias("keep"),
+        )
+    )

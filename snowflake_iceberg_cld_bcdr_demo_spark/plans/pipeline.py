@@ -1346,6 +1346,68 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "nb_quality_filter",
+    """
+    WITH tagged AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, is_t, CAST(p AS INTEGER) AS pos,
+               CAST(('0x' || substring(md5(t[CAST(p AS INTEGER)]), 1, 8))
+                    AS BIGINT) % 256 AS b
+        FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t) + 1)) AS p
+              FROM tagged WHERE len(t) >= 1)
+    ),
+    hist AS (
+        SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs
+        FROM bg GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM hist),
+    model AS (
+        SELECT b,
+               ln(((CAST(ct AS DOUBLE) + 0.5) * (CAST(ts AS DOUBLE) + 128.0))
+                  / ((CAST(cs AS DOUBLE) + 0.5)
+                     * (CAST(tt AS DOUBLE) + 128.0))) AS lo
+        FROM hist CROSS JOIN tot
+    ),
+    prior AS (
+        SELECT ln((CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) + 0.5)
+                  / (CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE)
+                     + 0.5)) AS log_prior
+        FROM tagged
+    ),
+    folded AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               sum(lo ORDER BY pos) AS s
+        FROM bg JOIN model USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.is_t AS is_target,
+           CAST(coalesce(f.n_tokens, 0) AS BIGINT) AS n_tokens,
+           round(p.log_prior + f.s, 8) AS nb_logodds,
+           coalesce(p.log_prior + f.s > 0, FALSE) AS keep
+    FROM tagged d
+    CROSS JOIN prior p
+    LEFT JOIN folded f USING (doc_id)
+    """,
+)
+def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3-style trained
+    classifier stage): closed-form Naive Bayes over hashed unigrams —
+    curated slice ('src0','src1') vs raw pool — scoring every doc with
+    prior + feature log-odds and a hard keep decision.  The classifier
+    IS a broadcastable 256-row table; train → score replays end to end
+    in the oracle.  See :func:`operators.corpus.nb_quality_scores`."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.nb_quality_scores(
+        docs, F.col("source").isin("src0", "src1"), buckets=256, alpha=0.5
+    )
+
+
+@_spec(
     "prepare_corpus_report",
     f"""
     WITH RECURSIVE {_DUP_EDGE_CTES},

@@ -945,3 +945,25 @@ def test_group_split_no_source_straddles(spark, docs):
     again = corpus.group_split(docs)
     assert sorted(map(tuple, out.select("doc_id", "split").collect())) == \
         sorted(map(tuple, again.select("doc_id", "split").collect()))
+
+
+def test_nb_quality_classifier_separates_planted_vocabularies(spark):
+    """With disjoint vocabularies, the classifier must keep a held-out
+    doc written in the TARGET vocabulary and reject one in the raw
+    pool's vocabulary; empty docs get NULL log-odds and keep=false."""
+    target_words = "curated prose elegant refined scholarly"
+    raw_words = "spammy clickbait junk noise garbage"
+    rows = (
+        [(i, f"{target_words} {target_words}", "good") for i in range(6)]
+        + [(10 + i, f"{raw_words} {raw_words}", "web") for i in range(6)]
+        + [(100, target_words, "web"),   # held-out: target vocab, raw label
+           (101, raw_words, "web"),
+           (102, "   ", "web")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in corpus.nb_quality_scores(
+        docs, F.col("source") == "good", buckets=64).collect()}
+    assert out[100].keep and out[100].nb_logodds > 0
+    assert not out[101].keep and out[101].nb_logodds < 0
+    assert out[102].nb_logodds is None and not out[102].keep
+    assert not out[100].is_target  # scored as pool member, kept anyway
