@@ -356,26 +356,28 @@ def neardup_skewsafe(
     Output: (doc_a, doc_b, est_jaccard, copies_a, copies_b,
     pair_weight) over canonical ids.
 
-    The canonical table is consumed exactly ONCE: its ``n_copies``
-    column rides through the near-dup pipeline as a
-    :func:`minhash_similarity` ``carry_col`` (8 bytes per shingle row,
-    recovered with ``first()`` in the signature aggregation), so the
-    old copies-join-back branches — and the persist that kept the
-    corpus-wide content-hash groupBy from replaying per branch
-    (measured then: 21 shuffles unpersisted vs 10 persisted) — are
-    gone.  The library leaves no cache behind; no
-    ``clearCache()`` contract for callers."""
+    The canonical table is consumed exactly ONCE and built in ONE
+    shuffle: the exact-collapse groupBy carries a representative text
+    with ``first(text)`` — every member of a content-hash group has
+    the SAME normalized text, and the downstream shingling normalizes
+    again, so any member's raw text is equivalent (map-side partial
+    ``first`` means the shuffle ships ~one text per distinct content
+    per partition, the same volume the old docs-join-back shipped,
+    minus the join's second exchange).  ``n_copies`` then rides the
+    near-dup pipeline as a :func:`minhash_similarity` ``carry_col``,
+    so the old copies-join-back branches — and the persist that kept
+    the content-hash groupBy from replaying per branch (measured then:
+    21 shuffles unpersisted vs 10 persisted) — are gone.  The library
+    leaves no cache behind; no ``clearCache()`` contract for
+    callers."""
     th = F.md5(normalized_text(F.col(text_col)))
-    canon = docs.groupBy(th.alias("th")).agg(
+    cdocs = docs.groupBy(th.alias("th")).agg(
         F.min(F.col(id_col)).alias("doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
-    )
-    cdocs = canon.select("doc_id", "n_copies").join(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        "doc_id",
+        F.first(F.col(text_col)).alias("text"),
     )
     sim = minhash_similarity(
-        cdocs,
+        cdocs.select("doc_id", "n_copies", "text"),
         k=k,
         num_hashes=num_hashes,
         bands=bands,

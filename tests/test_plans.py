@@ -67,9 +67,10 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # (band self-join reuses the banded exchange; no sig join-back,
         # no persist)
         ("minhash_near_dup_pairs", 3),
-        # exact-collapse groupBy + canon-docs join + carry-through
+        # ONE text-carrying exact-collapse groupBy (first(text) rides the
+        # content-hash shuffle; no docs join-back) + carry-through
         # minhash (no copies join-backs, no persist)
-        ("neardup_skewsafe_pairs", 7),
+        ("neardup_skewsafe_pairs", 4),
         # round-8 additions
         ("collapse_repetitions", 1),   # row-local lookbacks; coverage join
         ("audio_waveform_profile", 0),  # generate + Arrow kernel: narrow
