@@ -82,10 +82,11 @@ def boilerplate_share(
     boilerplate — headers, navigation, legal footers score high.
 
     Scale: grams are deduped ROW-LOCALLY (``array_distinct`` before the
-    explode, so count(*) per (source, gram) IS the distinct-doc count —
-    no countDistinct expand), then ONE shuffle on (source, gram) serves
-    both the frequency count and the join back to grams (AQE reuses the
-    partitioning); the final doc rollup is O(docs)."""
+    explode, so rows are unique per (doc, gram) and a plain ``count()
+    over (partition by source, gram)`` window IS the distinct-doc count
+    — no countDistinct expand, no aggregate-then-join-back: the gram
+    table is consumed in ONE pass, r8's winnow rewrite applied here),
+    then the doc rollup is O(docs)."""
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(r"\S+"), 0
     ).alias("_toks")
@@ -105,12 +106,12 @@ def boilerplate_share(
         .filter(F.size("_toks") >= n)
         .select(id_col, group_col, F.explode(grams_arr).alias("gram"))
     )
-    counts = grams.groupBy(group_col, "gram").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    from pyspark.sql import Window
+
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy(group_col, "gram"))
     ratio = F.col("n_boiler").cast("double") / F.col("n_grams")
     return (
-        grams.join(counts, [group_col, "gram"])
+        grams.withColumn("n_docs", n_docs)
         .groupBy(id_col, group_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
