@@ -792,7 +792,11 @@ def conjunctive_term_search(
     toks = F.explode(
         F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
     ).alias("term")
-    wanted = [t.lower() for t in terms]
+    # dedupe after lower(): the groupBy collapses per-term matches, so
+    # duplicate (or case-colliding) query terms would make
+    # n_terms_matched == len(terms) unsatisfiable and silently return
+    # zero rows.
+    wanted = sorted({t.lower() for t in terms})
     hits = (
         docs.select(F.col(id_col).alias("doc_id"), toks)
         .filter(F.col("term").isin(wanted))
@@ -1031,8 +1035,14 @@ def dsir_importance(
     precedent).
 
     Scale: bucket histograms are ONE map-side-combined shuffle each of
-    O(buckets) output; the per-gram join is against a broadcast
-    ``buckets``-row table; one doc_id shuffle for the ordered fold."""
+    O(buckets) output; the trained log-ratio table folds into a
+    ONE-ROW broadcast ``map_from_entries`` map and scoring is a single
+    NARROW projection — ``F.aggregate`` over each doc's own bigram
+    array with map lookups, O(1) aggregation state per doc regardless
+    of document length and ZERO scoring shuffles (no explode → join →
+    regroup round trip).  The fold runs left-to-right over the gram
+    array, the exact position order of the former sorted-struct fold —
+    same bits, same oracle."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.size("_toks") - 1),
@@ -1040,26 +1050,25 @@ def dsir_importance(
             " ", F.element_at("_toks", i), F.element_at("_toks", i + 1)
         ),
     )
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
-        F.lit(buckets),
+
+    def bucket(c):
+        return F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+
+    tagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        # NULL predicate (e.g. NULL source) counts as SOURCE, matching
+        # the oracle's CASE WHEN ... ELSE — a doc not provably in the
+        # target slice belongs to the raw pool
+        F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+        toks.alias("_toks"),
     )
     base = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            # NULL predicate (e.g. NULL source) counts as SOURCE, matching
-            # the oracle's CASE WHEN ... ELSE — a doc not provably in the
-            # target slice belongs to the raw pool
-            F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
-            toks.alias("_toks"),
-        )
-        .filter(F.size("_toks") >= 2)
-        .select(
-            "doc_id",
-            "_is_target",
-            F.posexplode(grams_arr).alias("pos", "gram"),
-        )
-        .select("doc_id", "_is_target", "pos", bucket.alias("b"))
+        tagged.filter(F.size("_toks") >= 2)
+        .select("_is_target", F.explode(grams_arr).alias("gram"))
+        .select("_is_target", bucket(F.col("gram")).alias("b"))
     )
     hist = base.groupBy("b").agg(
         F.sum(F.col("_is_target").cast("long")).alias("ct"),
@@ -1076,33 +1085,27 @@ def dsir_importance(
         (F.col("cs").cast("double") + F.lit(float(alpha)))
         * (F.col("tt").cast("double") + F.lit(ab))
     )
-    lr = hist.crossJoin(F.broadcast(tot)).select("b", F.log(ratio).alias("lr"))
-    folded = (
-        base.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
+    model_map = (
+        hist.crossJoin(F.broadcast(tot))
+        .select("b", F.log(ratio).alias("lr"))
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.aggregate(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("lr")))
-                    ),
-                    lambda s: s["lr"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_sum"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("b", "lr")))
+            ).alias("_mm")
         )
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(folded, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
-            F.round(F.col("_sum") / F.col("n_grams"), 8).alias("avg_importance"),
-        )
+    fold = F.aggregate(
+        F.transform(grams_arr, lambda g: F.element_at("_mm", bucket(g))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n_grams = F.when(F.size("_toks") >= 2, F.size("_toks") - 1).otherwise(0)
+    return tagged.crossJoin(F.broadcast(model_map)).select(
+        "doc_id",
+        n_grams.cast("long").alias("n_grams"),
+        F.round(
+            F.when(F.size("_toks") >= 2, fold) / n_grams, 8
+        ).alias("avg_importance"),
     )
 
 
@@ -1134,16 +1137,26 @@ def nb_quality_scores(
     Output per doc: ``(id, is_target, n_tokens, nb_logodds, keep)``;
     docs with no tokens get NULL log-odds and keep=false.
 
-    Scale: identical profile to DSIR — one map-side-combined
-    O(buckets) histogram shuffle, a broadcast ``buckets``-row model
-    join (THE model: the classifier is a broadcastable table), one
-    doc_id fold shuffle.  The prior is an O(1) aggregate cross-joined
-    as a broadcast literal — nothing collects."""
+    Scale: training is one map-side-combined O(buckets) histogram
+    shuffle; the trained model folds into a ONE-ROW broadcast
+    ``map_from_entries`` map (THE model: the classifier is a
+    broadcastable 256-entry table), and scoring is a single NARROW
+    projection — ``F.aggregate`` over each doc's own token array with
+    map lookups, O(1) aggregation state per doc regardless of document
+    length (a book-length 1M-token doc costs nothing extra) and ZERO
+    scoring shuffles (no explode → join → regroup round trip).  The
+    prior is an O(1) aggregate cross-joined as a broadcast literal —
+    nothing collects.  The fold runs left-to-right over the token
+    array, the exact position order of the former sorted-struct fold —
+    same bits, same oracle."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
-        F.lit(buckets),
-    )
+
+    def bucket(c):
+        return F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+
     tagged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
@@ -1151,8 +1164,8 @@ def nb_quality_scores(
     )
     base = (
         tagged.filter(F.size("_toks") >= 1)
-        .select("doc_id", "_is_target", F.posexplode("_toks").alias("pos", "tok"))
-        .select("doc_id", "_is_target", "pos", bucket.alias("b"))
+        .select("_is_target", F.explode("_toks").alias("tok"))
+        .select("_is_target", bucket(F.col("tok")).alias("b"))
     )
     hist = base.groupBy("b").agg(
         F.sum(F.col("_is_target").cast("long")).alias("ct"),
@@ -1170,7 +1183,15 @@ def nb_quality_scores(
             * (F.col("tt").cast("double") + F.lit(ab))
         )
     )
-    model = hist.crossJoin(F.broadcast(tot)).select("b", lo.alias("lo"))
+    model_map = (
+        hist.crossJoin(F.broadcast(tot))
+        .select("b", lo.alias("lo"))
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("b", "lo")))
+            ).alias("_mm")
+        )
+    )
     prior = tagged.agg(
         F.log(
             (F.sum(F.col("_is_target").cast("long")).cast("double") + F.lit(float(alpha)))
@@ -1180,33 +1201,19 @@ def nb_quality_scores(
             )
         ).alias("log_prior")
     )
-    folded = (
-        base.join(F.broadcast(model), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.aggregate(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct(F.col("pos"), F.col("lo")))
-                    ),
-                    lambda s: s["lo"],
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("_sum"),
-        )
-        .crossJoin(F.broadcast(prior))
+    fold = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.element_at("_mm", bucket(t))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    logodds = F.col("log_prior") + F.col("_sum")
+    logodds = F.when(F.size("_toks") >= 1, F.col("log_prior") + fold)
     return (
-        tagged.select("doc_id", F.col("_is_target").alias("is_target"))
-        .distinct()
-        .join(folded, "doc_id", "left")
+        tagged.crossJoin(F.broadcast(model_map))
+        .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
-            "is_target",
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.col("_is_target").alias("is_target"),
+            F.size("_toks").cast("long").alias("n_tokens"),
             F.round(logodds, 8).alias("nb_logodds"),
             F.coalesce(logodds > 0, F.lit(False)).alias("keep"),
         )

@@ -1101,6 +1101,13 @@ def remove_duplicate_blocks_overlap(
     detector and reassembly branches re-derive the normalized text
     from the input plan independently — ``docs`` must be a
     deterministic plan (checkpoint/persist upstream otherwise)."""
+    if block < 2 or block % 2 != 0:
+        # block=1 would make the stride-hb sequence step 0; any odd block
+        # breaks the window→tile index mapping (the j*hb arithmetic below
+        # assumes 2*hb == block) and silently drops the wrong tiles.
+        raise ValueError(
+            f"remove_duplicate_blocks_overlap: block must be an even int >= 2, got {block}"
+        )
     hb = block // 2
     norm = normalized_text(F.col(text_col))
     base = (

@@ -717,51 +717,59 @@ def unigram_logprob(
     (the PSI precedent).
 
     Scale: ONE map-side-combined token-count shuffle (vocab-sized
-    output), one token-key join (hot tokens are fine — the join fans
-    out, never collects), one doc_id shuffle for the ordered fold.
-    Per-doc state is bounded by document length.  The tokenizing
-    projection feeds two branches (counts + scoring), each replaying
-    the regexp from the scan — the scan-parallelism guard
-    (:func:`.dedup._parallelize_scan`) keeps that CPU work on every
-    core when the input is a single small file."""
+    output); the counts table then folds into a ONE-ROW broadcast
+    ``map_from_entries`` LM and scoring is a single NARROW projection —
+    ``F.aggregate`` over each doc's own token array with map lookups,
+    O(1) aggregation state per doc regardless of document length and
+    ZERO scoring shuffles (no explode → join → regroup round trip; the
+    fold runs left-to-right over the array, the exact position order
+    of the former sorted-struct fold — same bits, same oracle).
+    Boundary (documented, inherent to SELF-scoring): the broadcast map
+    is vocabulary-sized — fine through ~10^6 word types (a few tens of
+    MB); for open-vocabulary web scale, swap the counts table for the
+    hashed-bucket LM (:func:`..operators.corpus.nb_quality_scores`
+    infrastructure), which bounds the model at ``buckets`` entries.
+    The scan-parallelism guard (:func:`.dedup._parallelize_scan`)
+    keeps the tokenizing CPU work on every core when the input is a
+    single small file."""
     from .dedup import _parallelize_scan
 
-    tok = _parallelize_scan(docs).select(
+    base = _parallelize_scan(docs).select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
-        ).alias("pos", "token"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0).alias(
+            "_toks"
+        ),
     )
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    counts = base.select(F.explode("_toks").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
     total = counts.agg(F.sum("c").alias("total"))
-    scored = tok.join(counts, "token").crossJoin(F.broadcast(total))
-    logsum = F.aggregate(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    F.col("pos"),
-                    (F.col("c").cast("double") / F.col("total").cast("double")).alias(
-                        "p"
-                    ),
+    lm_map = counts.crossJoin(F.broadcast(total)).agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("token"),
+                        (
+                            F.col("c").cast("double")
+                            / F.col("total").cast("double")
+                        ).alias("p"),
+                    )
                 )
             )
-        ),
+        ).alias("_lm")
+    )
+    logsum = F.aggregate(
+        F.transform(F.col("_toks"), lambda t: F.element_at("_lm", t)),
         F.lit(0.0),
-        lambda acc, x: acc + F.log(x["p"]),
+        lambda acc, p: acc + F.log(p),
     )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        logsum.alias("_ls"),
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.round(F.col("_ls") / F.col("n_tokens"), 8).alias("avg_logprob"),
-        )
+    return base.crossJoin(F.broadcast(lm_map)).select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(F.size("_toks") >= 1, logsum) / F.size("_toks"), 8
+        ).alias("avg_logprob"),
     )
 
 

@@ -22,9 +22,17 @@ from .registry import QuerySpec
 SPECS: list[QuerySpec] = []
 
 
-def _spec(name: str, oracle: str | None, doc: str = ""):
+def _spec(name: str, oracle: str | None, doc: str = "", changed_in: int = 0):
     def wrap(fn):
-        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")))
+        SPECS.append(
+            QuerySpec(
+                name=name,
+                build=fn,
+                oracle=oracle,
+                doc=doc or (fn.__doc__ or ""),
+                changed_in=changed_in,
+            )
+        )
         return fn
 
     return wrap
@@ -439,6 +447,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN canon ca ON p.doc_a = ca.doc_id
     JOIN canon cb ON p.doc_b = cb.doc_id
     """,
+    changed_in=8,
 )
 def neardup_skewsafe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe near-dup: exact duplicates collapse to canonical docs
@@ -1333,6 +1342,7 @@ def corpus_pipeline_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(f.s / f.n_grams, 8) AS avg_importance
     FROM documents d LEFT JOIN folded f USING (doc_id)
     """,
+    changed_in=8,
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023): per-document mean log
@@ -1393,6 +1403,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN prior p
     LEFT JOIN folded f USING (doc_id)
     """,
+    changed_in=8,
 )
 def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the GPT-3-style trained
@@ -2382,14 +2393,22 @@ _U32_SQL = (
     "AS BIGINT)"
 )
 
+# Split thresholds interpolated as the EXACT integers the Spark operator
+# computes (Python `int(cum * 2**32)` truncates; DuckDB's
+# `CAST(0.8 * 4294967296 AS BIGINT)` ROUNDS to ...837) — a hash landing
+# exactly on the boundary must get the same split from both engines.
+# Replicates hash_split/group_split's float accumulation (cum += frac).
+_SPLIT_T1 = int(0.8 * (1 << 32))
+_SPLIT_T2 = int((0.8 + 0.1) * (1 << 32))
+
 
 @_spec(
     "split_assignment_counts",
     f"""
     WITH assigned AS (
         SELECT n_chars,
-               CASE WHEN {_U32_SQL} < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
-                    WHEN {_U32_SQL} < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+               CASE WHEN {_U32_SQL} < {_SPLIT_T1} THEN 'train'
+                    WHEN {_U32_SQL} < {_SPLIT_T2} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     )
@@ -2397,6 +2416,7 @@ _U32_SQL = (
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
+    changed_in=8,
 )
 def split_assignment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train-val-test split audit: per-split doc
@@ -2427,10 +2447,8 @@ _GRP_U32_SQL = (
     f"""
     WITH assigned AS (
         SELECT source, n_chars,
-               CASE WHEN {_GRP_U32_SQL} < CAST(0.8 * 4294967296 AS BIGINT)
-                    THEN 'train'
-                    WHEN {_GRP_U32_SQL} < CAST(0.9 * 4294967296 AS BIGINT)
-                    THEN 'val'
+               CASE WHEN {_GRP_U32_SQL} < {_SPLIT_T1} THEN 'train'
+                    WHEN {_GRP_U32_SQL} < {_SPLIT_T2} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
     )
@@ -2440,6 +2458,7 @@ _GRP_U32_SQL = (
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY split
     """,
+    changed_in=8,
 )
 def group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP-aware (leakage-free) 80/10/10 split audit: the split is a
@@ -2967,6 +2986,7 @@ def html_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM g JOIN c USING (source, gram)
     GROUP BY g.doc_id, g.source
     """,
+    changed_in=8,
 )
 def boilerplate_ngram_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate share: the fraction of a doc's distinct
@@ -3645,6 +3665,7 @@ def dedup_block_removal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FALSE) AS mostly_shared
     FROM documents d LEFT JOIN prof p USING (doc_id)
     """,
+    changed_in=8,
 )
 def winnow_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing shared-span profile (MOSS fingerprinting): min-hash of
@@ -3740,6 +3761,7 @@ def term_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(tf) AS BIGINT) AS total_hits
     FROM hits GROUP BY doc_id HAVING count(*) = 3
     """,
+    changed_in=8,
 )
 def conjunctive_term_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) term search — the query side of the postings
@@ -3776,6 +3798,7 @@ def conjunctive_term_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p.ls / p.n_tokens, 8) AS avg_logprob
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    changed_in=8,
 )
 def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score per document (CCNet-style perplexity

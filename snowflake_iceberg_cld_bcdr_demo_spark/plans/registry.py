@@ -20,12 +20,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """One named query: Spark builder + DuckDB oracle SQL (None → rows-only)."""
+    """One named query: Spark builder + DuckDB oracle SQL (None → rows-only).
+
+    ``changed_in``: round number whose official CORRECTNESS record predates
+    the current implementation (the operator or oracle was rewritten in that
+    round AFTER the query's last stamp).  A spec whose latest green stamp is
+    <= ``changed_in`` sorts in the never-checked tier until a newer official
+    check lands, then reverts to normal rotation — self-clearing, no manual
+    flag removal needed."""
 
     name: str
     build: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    changed_in: int = 0
 
 
 # Queries that already have a green row in an official CORRECTNESS_r{N}.json
@@ -145,14 +153,20 @@ def _order_specs(
     SPECS order, so the sort is a stable rotation: with ~140 certified
     names and a 50-entry window the whole surface re-certifies on a
     ~3-round cycle instead of the same static prefix forever), (4)
-    rows-only queries already on the record."""
+    rows-only queries already on the record.  A spec whose implementation
+    changed after its last stamp (``changed_in`` >= latest green round)
+    counts as unchecked — its record is stale relative to HEAD."""
     if recorded is None:
         recorded = frozenset(cert_rounds)
+
+    def fresh(s: QuerySpec) -> bool:
+        return s.name in cert_rounds and cert_rounds[s.name] > s.changed_in
+
     return [
-        *(s for s in ordered if s.oracle is not None and s.name not in cert_rounds),
+        *(s for s in ordered if s.oracle is not None and not fresh(s)),
         *(s for s in ordered if s.oracle is None and s.name not in recorded),
         *sorted(
-            (s for s in ordered if s.oracle is not None and s.name in cert_rounds),
+            (s for s in ordered if s.oracle is not None and fresh(s)),
             key=lambda s: cert_rounds[s.name],
         ),
         *(s for s in ordered if s.oracle is None and s.name in recorded),

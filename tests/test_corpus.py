@@ -967,3 +967,66 @@ def test_nb_quality_classifier_separates_planted_vocabularies(spark):
     assert not out[101].keep and out[101].nb_logodds < 0
     assert out[102].nb_logodds is None and not out[102].keep
     assert not out[100].is_target  # scored as pool member, kept anyway
+
+
+def test_scoring_folds_bounded_state_long_doc(spark):
+    """A book-length document (100k tokens) scores through the
+    map-lookup fold path — O(1) per-doc aggregation state, no
+    explode→regroup — and the unigram fold matches a pure-Python
+    position-ordered replay to double precision."""
+    import math
+    from collections import Counter
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    long_toks = [f"w{i % 37}" for i in range(100_000)]
+    rows = [
+        (1, " ".join(long_toks), "web"),
+        (2, "curated prose", "good"),
+        (3, "junk noise", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    out = {r.doc_id: r for r in textops.unigram_logprob(docs).collect()}
+    c = Counter(long_toks + ["curated", "prose", "junk", "noise"])
+    total = 100_004
+    acc = 0.0
+    for t in long_toks:
+        acc += math.log(c[t] / total)
+    assert out[1].n_tokens == 100_000
+    assert abs(out[1].avg_logprob - acc / 100_000) < 1e-8
+
+    nb = {
+        r.doc_id: r
+        for r in corpus.nb_quality_scores(docs, F.col("source") == "good").collect()
+    }
+    assert nb[1].n_tokens == 100_000 and nb[1].nb_logodds is not None
+    ds = {
+        r.doc_id: r
+        for r in corpus.dsir_importance(docs, F.col("source") == "good").collect()
+    }
+    assert ds[1].n_grams == 99_999 and ds[1].avg_importance is not None
+
+
+def test_overlap_block_removal_rejects_bad_block(spark):
+    """block=1 (stride-zero sequence) and odd blocks (broken window→tile
+    index mapping) must fail fast instead of silently dropping wrong
+    tiles."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup
+
+    docs = spark.createDataFrame([(1, "abcdef")], "doc_id long, text string")
+    for bad in (1, 3, 0, -2):
+        with pytest.raises(ValueError, match="even int >= 2"):
+            dedup.remove_duplicate_blocks_overlap(docs, block=bad)
+
+
+def test_conjunctive_term_search_dedupes_query_terms(spark):
+    """Duplicate or case-colliding query terms must not make the AND
+    unsatisfiable — {Spark, spark, join} means {spark, join}."""
+    docs = spark.createDataFrame(
+        [(1, "spark join day"), (2, "spark only")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus.conjunctive_term_search(
+        docs, ["Spark", "spark", "join"]).collect()}
+    assert set(out) == {1}
+    assert out[1].n_terms_matched == 2
