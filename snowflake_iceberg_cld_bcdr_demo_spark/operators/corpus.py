@@ -1218,3 +1218,146 @@ def nb_quality_scores(
             F.coalesce(logodds > 0, F.lit(False)).alias("keep"),
         )
     )
+
+
+def curated_corpus(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    nb_target,
+    token_budget: int,
+    shares: dict[str, float],
+    eval_mod: int = 10,
+    emb_threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """THE composed curation pipeline — the end-to-end artifact a corpus
+    build actually ships, chaining the gates in dependency order so
+    gate interactions are part of the certified contract (each stage
+    sees the TEXT THE PREVIOUS STAGE PRODUCED, not the raw corpus):
+
+    1. intra-doc repetition collapse (:func:`.textops.collapse_repetitions`),
+    2. per-source boilerplate n-gram removal on the collapsed text
+       (:func:`.extract.remove_boilerplate_ngrams`),
+    3. NB quality classifier trained and scored on the cleaned text
+       (:func:`nb_quality_scores`, target = ``nb_target``),
+    4. near-dup decontamination of the cleaned train split against the
+       RAW eval split (``id % eval_mod == 0``; benchmarks are external
+       artifacts, never cleaned) — :func:`.dedup.neardup_decontaminate`,
+    5. embedding-space decontamination of the same train/eval split
+       (:func:`.similarity.embedding_decontaminate`, ``embeddings``
+       keyed by ``vec_id == doc_id``; docs without a vector pass),
+    6. token-budgeted mixture over the surviving docs' CLEANED text
+       (:func:`mixture_token_budget`), and
+    7. group-aware leakage-free split assignment (:func:`group_split`).
+
+    Output: ONE ROW PER INPUT DOC — the full per-document decision
+    trail ``(id, group, is_eval, n_raw_tokens, n_collapsed,
+    n_boiler_dropped, nb_keep, contaminated, emb_leaked, curated,
+    n_mix_tokens, split)``; ``curated`` means admitted by the mixture
+    (which implies every upstream gate passed), ``n_mix_tokens`` the
+    BPE-ish pieces the admission metered.
+
+    Scale: every stage keeps its own documented 100 TB shape (eval
+    sides broadcast, models are one-row broadcast maps, the mixture
+    cumsum is key-range bucketed); composition adds NO new shuffle
+    class.  The cleaned-text lineage is recomputed per consuming gate
+    in this lazy plan — a production build materializes the stage-2
+    output as its own table (the curated-text table users ship) and
+    the plan reads it back; same bits either way.
+    """
+    from . import extract, textops
+    from .dedup import neardup_decontaminate
+    from .similarity import embedding_decontaminate
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.col(text_col).alias("text"),
+    )
+    is_eval = F.col("doc_id") % eval_mod == 0
+
+    # 1. repetition collapse
+    rep = textops.collapse_repetitions(base)
+    d1 = base.select("doc_id", "source").join(
+        rep.select(
+            "doc_id",
+            F.col("n_tokens").alias("n_raw_tokens"),
+            "n_collapsed",
+            F.col("clean_text").alias("text"),
+        ),
+        "doc_id",
+    )
+
+    # 2. boilerplate removal on the collapsed text
+    bp = extract.remove_boilerplate_ngrams(d1, n=5, min_docs=3)
+    d2 = d1.select("doc_id", "source", "n_raw_tokens", "n_collapsed").join(
+        bp.select(
+            "doc_id",
+            F.col("n_dropped_tokens").alias("n_boiler_dropped"),
+            F.col("clean_text").alias("text"),
+        ),
+        "doc_id",
+    )
+
+    # 3. NB quality classifier on the cleaned text
+    nb = nb_quality_scores(d2, nb_target, buckets=256).select(
+        "doc_id", F.col("keep").alias("nb_keep")
+    )
+
+    # 4. lexical decontamination: cleaned train vs RAW eval
+    dec = neardup_decontaminate(
+        d2.filter(~is_eval), base.filter(is_eval), k=8, num_hashes=16, bands=4
+    ).select(F.col("train_doc_id").alias("doc_id"), "contaminated")
+
+    # 5. embedding-space decontamination (vec_id == doc_id)
+    ev = F.col("vec_id") % eval_mod == 0
+    sem = embedding_decontaminate(
+        embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
+    ).select(F.col("vec_id").alias("doc_id"), "leaked")
+
+    flags = (
+        d2.join(nb, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            is_eval.alias("is_eval"),
+            "n_raw_tokens",
+            "n_collapsed",
+            "n_boiler_dropped",
+            "text",
+            "nb_keep",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.coalesce("leaked", F.lit(False)).alias("emb_leaked"),
+        )
+    )
+    survivor = (
+        ~F.col("is_eval")
+        & F.col("nb_keep")
+        & ~F.col("contaminated")
+        & ~F.col("emb_leaked")
+    )
+
+    # 6. token-budgeted mixture over the survivors' cleaned text
+    mix = mixture_token_budget(
+        flags.filter(survivor), token_budget, shares
+    ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
+
+    # 7. split assignment + final decision trail
+    return group_split(flags.join(mix, "doc_id", "left")).select(
+        "doc_id",
+        "source",
+        "is_eval",
+        "n_raw_tokens",
+        "n_collapsed",
+        "n_boiler_dropped",
+        "nb_keep",
+        "contaminated",
+        "emb_leaked",
+        F.coalesce("_adm", F.lit(False)).alias("curated"),
+        F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
+        "split",
+    )

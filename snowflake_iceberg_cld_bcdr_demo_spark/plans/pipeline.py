@@ -3977,3 +3977,336 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_toks").cast("long").alias("max_tokens"),
     )
     return summary.crossJoin(vocab.withColumnRenamed("v", "vocab_size"))
+
+
+# ----------------------------------------------------------------------
+# Composed curation pipeline (the certified end-to-end curated corpus)
+# ----------------------------------------------------------------------
+
+#: Chained-gate CTE shared by curated_corpus_decisions / _report: every
+#: stage consumes the TEXT THE PREVIOUS STAGE PRODUCED (collapse →
+#: boilerplate removal → NB filter → dual decontamination → token-budget
+#: mixture → group split), replaying operators.corpus.curated_corpus
+#: bit-for-bit — the gate-interaction contract, not seven independent
+#: passes over the raw corpus.
+def _curated_cte() -> str:
+    band = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band, "
+        f"{_band_key([f'h{4 * b + j}' for j in range(4)])} AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    src AS (SELECT doc_id, source, text FROM documents),
+    -- 1. intra-doc repetition collapse
+    t1 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM src),
+    tr1 AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM t1)
+    ),
+    fl1 AS (
+        SELECT doc_id, p, tok,
+               lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2,
+               lag(tok, 3) OVER w AS p3, lag(tok, 4) OVER w AS p4
+        FROM tr1 WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    dec1 AS (
+        SELECT doc_id, p, tok,
+               NOT ((p1 IS NOT DISTINCT FROM tok
+                     AND p2 IS NOT DISTINCT FROM tok)
+                    OR (p2 IS NOT DISTINCT FROM tok
+                        AND p4 IS NOT DISTINCT FROM tok
+                        AND p1 IS NOT DISTINCT FROM p3)) AS keep
+        FROM fl1
+    ),
+    reb1 AS (
+        SELECT doc_id, count(*) AS n_raw_tokens,
+               count(*) FILTER (WHERE NOT keep) AS n_collapsed,
+               string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY p) AS ct
+        FROM dec1 GROUP BY doc_id
+    ),
+    d1 AS (
+        SELECT s.doc_id, s.source,
+               CAST(coalesce(r.n_raw_tokens, 0) AS BIGINT) AS n_raw_tokens,
+               CAST(coalesce(r.n_collapsed, 0) AS BIGINT) AS n_collapsed,
+               coalesce(r.ct, '') AS text
+        FROM src s LEFT JOIN reb1 r USING (doc_id)
+    ),
+    -- 2. per-source boilerplate 5-gram removal on the collapsed text
+    t2 AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+           FROM d1),
+    gp2 AS (
+        SELECT doc_id, source, CAST(p AS BIGINT) AS pos,
+               array_to_string(t[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)],
+                               ' ') AS gram
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS p
+              FROM t2 WHERE len(t) >= 5)
+    ),
+    boil2 AS (
+        SELECT source, gram FROM gp2
+        GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 3
+    ),
+    cov2 AS (
+        SELECT DISTINCT g.doc_id, g.pos + u.o AS cpos
+        FROM gp2 g
+        JOIN boil2 b ON g.source = b.source AND g.gram = b.gram
+        CROSS JOIN range(0, 5) AS u(o)
+    ),
+    tr2 AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM t2)
+    ),
+    reb2 AS (
+        SELECT tr.doc_id, count(c.cpos) AS n_dropped,
+               string_agg(CASE WHEN c.cpos IS NULL THEN tr.tok END, ' '
+                          ORDER BY tr.p) AS ct
+        FROM tr2 tr
+        LEFT JOIN cov2 c ON tr.doc_id = c.doc_id AND tr.p = c.cpos
+        GROUP BY tr.doc_id
+    ),
+    d2 AS (
+        SELECT d.doc_id, d.source, d.n_raw_tokens, d.n_collapsed,
+               CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_boiler_dropped,
+               coalesce(r.ct, '') AS text
+        FROM d1 d LEFT JOIN reb2 r USING (doc_id)
+    ),
+    -- 3. NB quality classifier trained and scored on the cleaned text
+    tagged3 AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM d2
+    ),
+    bg3 AS (
+        SELECT doc_id, is_t, CAST(p AS INTEGER) AS pos,
+               CAST(('0x' || substring(md5(t[CAST(p AS INTEGER)]), 1, 8))
+                    AS BIGINT) % 256 AS b
+        FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t) + 1)) AS p
+              FROM tagged3 WHERE len(t) >= 1)
+    ),
+    hist3 AS (
+        SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs
+        FROM bg3 GROUP BY b
+    ),
+    tot3 AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM hist3),
+    model3 AS (
+        SELECT b,
+               ln(((CAST(ct AS DOUBLE) + 0.5) * (CAST(ts AS DOUBLE) + 128.0))
+                  / ((CAST(cs AS DOUBLE) + 0.5)
+                     * (CAST(tt AS DOUBLE) + 128.0))) AS lo
+        FROM hist3 CROSS JOIN tot3
+    ),
+    prior3 AS (
+        SELECT ln((CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) + 0.5)
+                  / (CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE)
+                     + 0.5)) AS log_prior
+        FROM tagged3
+    ),
+    fold3 AS (
+        SELECT doc_id, sum(lo ORDER BY pos) AS s
+        FROM bg3 JOIN model3 USING (b) GROUP BY doc_id
+    ),
+    nbk AS (
+        SELECT d.doc_id, coalesce(p.log_prior + f.s > 0, FALSE) AS nb_keep
+        FROM tagged3 d CROSS JOIN prior3 p LEFT JOIN fold3 f USING (doc_id)
+    ),
+    -- 4. lexical decontamination: cleaned train split vs RAW eval split
+    norm AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm_text
+        FROM d2 WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        FROM src WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, length(norm_text) - 6),
+                                     i -> substring(norm_text, CAST(i AS INTEGER), 8)))
+                   AS shingle
+        FROM norm WHERE length(norm_text) >= 8
+    ),
+    {_SIG_CTE},
+    banded AS (
+{band}
+    ),
+    bp4 AS (
+        SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
+        FROM banded t JOIN banded e
+          ON t.band = e.band AND t.band_key = e.band_key
+        WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+    ),
+    sc4 AS (
+        SELECT p.train_doc_id,
+               ROUND(({_AGREE}) / 16.0, 4) AS ej
+        FROM bp4 p
+        JOIN sig sa ON p.train_doc_id = sa.doc_id
+        JOIN sig sb ON p.eval_doc_id = sb.doc_id
+    ),
+    dec4 AS (
+        SELECT train_doc_id AS doc_id, max(ej) >= 0.5 AS contaminated
+        FROM sc4 GROUP BY train_doc_id
+    ),
+    -- 5. embedding-space decontamination (vec_id == doc_id)
+    e5 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    t5 AS (SELECT * FROM e5 WHERE vec_id % 10 <> 0),
+    ev5 AS (SELECT vec_id AS eval_id, v AS w FROM e5 WHERE vec_id % 10 = 0),
+    sc5 AS (
+        SELECT t5.vec_id, {_sql_cos('t5.v', 'ev5.w')} AS cos
+        FROM t5 CROSS JOIN ev5
+    ),
+    sem5 AS (
+        SELECT vec_id AS doc_id, max(cos) >= 0.9 AS leaked
+        FROM sc5 GROUP BY vec_id
+    ),
+    -- gate assembly
+    flags AS (
+        SELECT d.doc_id, d.source, (d.doc_id % 10 = 0) AS is_eval,
+               d.n_raw_tokens, d.n_collapsed, d.n_boiler_dropped, d.text,
+               n.nb_keep,
+               coalesce(c.contaminated, FALSE) AS contaminated,
+               coalesce(s.leaked, FALSE) AS emb_leaked
+        FROM d2 d
+        JOIN nbk n USING (doc_id)
+        LEFT JOIN dec4 c USING (doc_id)
+        LEFT JOIN sem5 s USING (doc_id)
+    ),
+    -- 6. token-budgeted mixture over the survivors' cleaned text
+    tok6 AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                   AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM flags
+        WHERE NOT is_eval AND nb_keep AND NOT contaminated AND NOT emb_leaked
+    ),
+    cum6 AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_before,
+               CAST(floor({_MIX_BUDGET} * ({_MIX_CASE})) AS BIGINT) AS target
+        FROM tok6
+    ),
+    mix6 AS (SELECT doc_id, n_tokens FROM cum6 WHERE tok_before < target),
+    -- 7. group-aware split + final decision trail
+    decisions AS (
+        SELECT f.doc_id, f.source, f.is_eval,
+               f.n_raw_tokens, f.n_collapsed, f.n_boiler_dropped,
+               f.nb_keep, f.contaminated, f.emb_leaked,
+               (m.doc_id IS NOT NULL) AS curated,
+               CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens,
+               CASE WHEN {_GRP_U32_SQL} < {_SPLIT_T1} THEN 'train'
+                    WHEN {_GRP_U32_SQL} < {_SPLIT_T2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM flags f LEFT JOIN mix6 m USING (doc_id)
+    )"""
+
+
+def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus.curated_corpus(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        F.col("source").isin("src0", "src1"),
+        _MIX_BUDGET,
+        _MIX_SHARES,
+    )
+
+
+@_spec(
+    "curated_corpus_decisions",
+    f"""
+    WITH {_curated_cte()}
+    SELECT * FROM decisions
+    """,
+)
+def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document decision trail of THE composed curation pipeline —
+    collapse → boilerplate removal → NB filter → lexical + embedding
+    decontamination → token-budget mixture → group split, each stage
+    consuming the previous stage's text (the gate-interaction contract;
+    e.g. boilerplate fingerprints are taken on collapse output).  The
+    oracle replays all seven chained stages.  See
+    :func:`operators.corpus.curated_corpus`."""
+    return _curated_decisions(spark, sf_dir)
+
+
+@_spec(
+    "curated_corpus_report",
+    f"""
+    WITH {_curated_cte()}
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_docs,
+           CAST(sum(n_raw_tokens) AS BIGINT) AS raw_tokens,
+           CAST(sum(CASE WHEN n_collapsed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_collapsed,
+           CAST(sum(n_collapsed) AS BIGINT) AS tokens_collapsed,
+           CAST(sum(CASE WHEN n_boiler_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_boiler_touched,
+           CAST(sum(n_boiler_dropped) AS BIGINT) AS tokens_boiler_dropped,
+           CAST(sum(CASE WHEN NOT is_eval AND NOT nb_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS nb_rejected,
+           CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS text_contaminated,
+           CAST(sum(CASE WHEN emb_leaked THEN 1 ELSE 0 END) AS BIGINT)
+               AS emb_leaked_docs,
+           CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT)
+               AS curated_docs,
+           CAST(sum(CASE WHEN curated
+                    THEN n_raw_tokens - n_collapsed - n_boiler_dropped
+                    ELSE 0 END) AS BIGINT) AS curated_ws_tokens,
+           CAST(sum(n_mix_tokens) AS BIGINT) AS curated_bpe_tokens,
+           CAST(sum(CASE WHEN curated AND split = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) AS curated_train,
+           CAST(sum(CASE WHEN curated AND split = 'val' THEN 1 ELSE 0 END)
+                AS BIGINT) AS curated_val,
+           CAST(sum(CASE WHEN curated AND split = 'test' THEN 1 ELSE 0 END)
+                AS BIGINT) AS curated_test
+    FROM decisions
+    """,
+)
+def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row before/after datasheet of the composed curation pipeline:
+    per-gate touch/drop counts, curated doc/token totals (whitespace
+    tokens by the n_raw − collapsed − boiler identity; BPE-ish pieces
+    as metered by the mixture), and the curated split layout — the
+    certified summary of the artifact a corpus build ships.
+
+    Scale: one aggregate over the per-doc decision trail; every
+    underlying gate keeps its own documented 100 TB shape."""
+    d = _curated_decisions(spark, sf_dir)
+    curated = F.col("curated")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_eval").cast("long")).alias("n_eval_docs"),
+        F.sum("n_raw_tokens").cast("long").alias("raw_tokens"),
+        F.sum((F.col("n_collapsed") > 0).cast("long")).alias("docs_collapsed"),
+        F.sum("n_collapsed").cast("long").alias("tokens_collapsed"),
+        F.sum((F.col("n_boiler_dropped") > 0).cast("long")).alias(
+            "docs_boiler_touched"
+        ),
+        F.sum("n_boiler_dropped").cast("long").alias("tokens_boiler_dropped"),
+        F.sum((~F.col("is_eval") & ~F.col("nb_keep")).cast("long")).alias(
+            "nb_rejected"
+        ),
+        F.sum(F.col("contaminated").cast("long")).alias("text_contaminated"),
+        F.sum(F.col("emb_leaked").cast("long")).alias("emb_leaked_docs"),
+        F.sum(curated.cast("long")).alias("curated_docs"),
+        F.sum(
+            F.when(
+                curated,
+                F.col("n_raw_tokens") - F.col("n_collapsed") - F.col("n_boiler_dropped"),
+            ).otherwise(0)
+        ).cast("long").alias("curated_ws_tokens"),
+        F.sum("n_mix_tokens").cast("long").alias("curated_bpe_tokens"),
+        F.sum((curated & (F.col("split") == "train")).cast("long")).alias(
+            "curated_train"
+        ),
+        F.sum((curated & (F.col("split") == "val")).cast("long")).alias(
+            "curated_val"
+        ),
+        F.sum((curated & (F.col("split") == "test")).cast("long")).alias(
+            "curated_test"
+        ),
+    )

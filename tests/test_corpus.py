@@ -1030,3 +1030,43 @@ def test_conjunctive_term_search_dedupes_query_terms(spark):
         docs, ["Spark", "spark", "join"]).collect()}
     assert set(out) == {1}
     assert out[1].n_terms_matched == 2
+
+
+def test_curated_corpus_chains_gates_and_flags_interactions(spark):
+    """The composed pipeline must chain stage outputs: boilerplate
+    5-grams are fingerprinted on COLLAPSE OUTPUT, so a shared footer
+    whose copies differ only by a collapsible token run is still
+    detected; `curated` implies every upstream gate passed."""
+    footer = "visit our great site today now"
+    good = "curated scholarly prose with many refined words here"
+    rows = []
+    # 6 curated-target docs (src0) and a raw pool (src1..) sharing a
+    # footer that only aligns after run-collapse (doc-specific run lengths)
+    for i in range(1, 7):
+        rows.append((i, f"{good} number {i}", "src0"))
+    for i in range(11, 17):
+        run = "spam " * (3 + i % 3)  # collapses to 'spam spam'
+        rows.append((i, f"unique web page {i} content {run}{footer}", "src3"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i, _, _ in rows], "vec_id long, embedding array<double>"
+    )
+    out = corpus.curated_corpus(
+        docs, emb, F.col("source") == "src0", 10_000, {"src0": 0.5, "src3": 0.5}
+    )
+    rows_out = {r.doc_id: r for r in out.collect()}
+    assert len(rows_out) == 12
+    # the shared footer is boilerplate only because collapse normalized
+    # the run: every src3 doc must show dropped boilerplate tokens
+    for i in range(11, 17):
+        if i % 10 == 0:
+            continue
+        assert rows_out[i].n_boiler_dropped > 0, i
+        assert rows_out[i].n_collapsed > 0, i
+    # curated implies all gates passed
+    for r in rows_out.values():
+        if r.curated:
+            assert (not r.is_eval) and r.nb_keep
+            assert not r.contaminated and not r.emb_leaked
+            assert r.n_mix_tokens > 0
+            assert r.split in ("train", "val", "test")
