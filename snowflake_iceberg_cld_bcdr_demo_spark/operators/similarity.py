@@ -577,6 +577,78 @@ def embedding_decontaminate(
     )
 
 
+def embedding_decontaminate_ivf(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-probed embedding decontamination — the unconditionally
+    scale-safe variant of :func:`embedding_decontaminate`: eval vectors
+    are assigned to their nearest centroid cell once (argmax cosine,
+    ties to the larger cell — :func:`ivf_assign` semantics), and each
+    TRAIN vector scores only the eval vectors in its ``nprobe`` nearest
+    cells instead of the whole eval set.  The exact broadcast-NLJ
+    operator stays the certified baseline; this is the path for eval
+    sets big enough (≥10⁵) that the per-train-row |eval| constant IS
+    the job.
+
+    Output schema identical to the exact operator: ``(id,
+    nearest_eval_id, max_cosine, leaked)``; train vectors with NO eval
+    vector in any probed cell get NULL neighbor/cosine and
+    ``leaked=false`` (the recall trade-off, bounded in tests against
+    the exact baseline).
+
+    Scale: centroids are plan literals; the probe-cell ranking is a
+    narrow map; the eval side still broadcasts but each train row now
+    joins ``nprobe/K`` of it (hash join on cell, not NLJ), so the
+    scoring work per train vector drops by K/nprobe and the partial
+    max-struct still collapses everything to |train| rows before the
+    only shuffle."""
+    ev = ivf_assign(
+        eval_emb.select(id_col, vec_col), centroids, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev"), "cell"
+    )
+    sims = [
+        F.struct(
+            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias(
+                "sim"
+            ),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    probe_cells = F.slice(F.sort_array(F.array(*sims), asc=False), 1, nprobe)[
+        "cell"
+    ]
+    probed = train_emb.select(
+        id_col, vec_col, F.explode(probe_cells).alias("cell")
+    )
+    sim = cosine(F.col(vec_col), F.col("ev"))
+    best = (
+        probed.join(F.broadcast(ev), "cell")
+        .groupBy(id_col)
+        .agg(F.max(F.struct(sim.alias("cos"), F.col("eval_id"))).alias("b"))
+    )
+    return (
+        train_emb.select(id_col)
+        .distinct()
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("b.eval_id").alias("nearest_eval_id"),
+            F.round(F.col("b.cos"), 6).alias("max_cosine"),
+            F.coalesce(F.col("b.cos") >= threshold, F.lit(False)).alias(
+                "leaked"
+            ),
+        )
+    )
+
+
 # -- product quantization (the 100 TB embedding-store compression) -------
 
 def _l2_argmin(sub_col, codewords: list[list[float]]):

@@ -349,9 +349,20 @@ def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_stats(table(spark, sf_dir, "documents"))
 
 
+# Dedup-contract constants the datasheet publishes: the corpus-build
+# defaults of the registry's dedup queries (ExactSubstr block=50,
+# winnow k=16/window=8) and the guaranteed-detection lengths their
+# docstrings prove (dedup.py: remove_duplicate_blocks 2·block−1,
+# remove_duplicate_blocks_overlap 1.5·block, winnow k+window−1).
+_ES_BLOCK, _WN_K, _WN_W = 50, 16, 8
+_ES_GUARANTEE = 2 * _ES_BLOCK - 1
+_ES_OVERLAP_GUARANTEE = (3 * _ES_BLOCK) // 2
+_WN_GUARANTEE = _WN_K + _WN_W - 1
+
+
 @_spec(
     "corpus_datasheet",
-    """
+    f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
@@ -365,17 +376,25 @@ def dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*), 6)
                AS distinct_frac,
            CAST(MIN(n_chars) AS BIGINT) AS min_chars,
-           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           {_ES_GUARANTEE} AS exactsubstr_guarantee_chars,
+           {_ES_OVERLAP_GUARANTEE} AS exactsubstr_overlap_guarantee_chars,
+           {_WN_GUARANTEE} AS winnow_guarantee_chars
     FROM documents
     """,
+    changed_in=8,
 )
 def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus datasheet (Gebru et al. 'Datasheets for Datasets'
     composition section): doc/source/language counts, exact character /
     whitespace-token / BPE-piece totals (the token figure every training
-    plan starts from), exact-dedup distinct fraction, and the length
-    envelope.  One map-side-combined global aggregate — O(1) output at
-    any corpus size."""
+    plan starts from), exact-dedup distinct fraction, the length
+    envelope, and the DEDUP CONTRACT — the guaranteed-detection lengths
+    of the corpus-build dedup config (single-phase ExactSubstr 2·block−1
+    = 99 chars, two-phase overlap 1.5·block = 75, winnowing k+window−1
+    = 23), surfaced so corpus consumers see what duplication can
+    survive without reading operator docstrings.  One map-side-combined
+    global aggregate — O(1) output at any corpus size."""
     from ..functions.text import bpe_piece_count, token_count
 
     d = table(spark, sf_dir, "documents")
@@ -392,6 +411,9 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("distinct_frac"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
+        F.lit(_ES_GUARANTEE).alias("exactsubstr_guarantee_chars"),
+        F.lit(_ES_OVERLAP_GUARANTEE).alias("exactsubstr_overlap_guarantee_chars"),
+        F.lit(_WN_GUARANTEE).alias("winnow_guarantee_chars"),
     )
 
 
@@ -2806,6 +2828,74 @@ def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_spec(
+    "embedding_decontaminate_ivf",
+    f"""
+    WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, v, cell FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('CAST(e.embedding AS DOUBLE[])', 'c.cv')} DESC,
+                                c.cell DESC) AS rk
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id % 10 = 0
+        ) WHERE rk = 1
+    ),
+    tp AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('CAST(e.embedding AS DOUBLE[])', 'c.cv')} DESC,
+                                c.cell DESC) AS rk
+            FROM embeddings e CROSS JOIN cent c
+            WHERE e.vec_id % 10 <> 0
+        ) WHERE rk <= 2
+    ),
+    sc AS (
+        SELECT tp.vec_id, ev.eval_id, {_sql_cos('tp.v', 'ev.v')} AS cos
+        FROM tp JOIN ev USING (cell)
+    ),
+    best AS (
+        SELECT vec_id, eval_id, cos FROM (
+            SELECT vec_id, eval_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                       ORDER BY cos DESC, eval_id DESC) AS rk
+            FROM sc
+        ) WHERE rk = 1
+    )
+    SELECT t.vec_id, b.eval_id AS nearest_eval_id,
+           round(b.cos, 6) AS max_cosine,
+           coalesce(b.cos >= 0.9, FALSE) AS leaked
+    FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 10 <> 0) t
+    LEFT JOIN best b USING (vec_id)
+    """,
+)
+def embedding_decontaminate_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed embedding decontamination (nprobe=2 of 8 cells): the
+    scale path for large eval sets — each train vector scores only the
+    eval vectors in its probed cells.  With the deterministic seed
+    centroids the whole index replays in SQL, so the approximate
+    ALGORITHM is hash-verified; recall vs the exact broadcast-NLJ
+    baseline is additionally asserted in tests.  See
+    :func:`operators.similarity.embedding_decontaminate_ivf`."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, k=8)
+    return similarity.embedding_decontaminate_ivf(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+        cents,
+        nprobe=2,
+        threshold=0.9,
+    )
+
+
 @_spec("kmeans_cell_profile", _kmeans_oracle_sql(iters=3))
 def kmeans_cell_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (3 Lloyd rounds, K=8, seeded deterministic
@@ -3860,7 +3950,130 @@ def approx_percentile_audit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("bpe_encode_ids_small", None)
+# ----------------------------------------------------------------------
+# BPE train/encode oracles: the full trainer replays in SQL.  Symbol
+# arrays are encoded as unit-separator-wrapped strings
+# ("␟a␟␟b␟…", chr(31) never occurs in \S+ tokens of the testdata), so
+# one leftmost-first non-overlapping SQL replace() IS the BPE merge
+# fold — bit-identical to operators.textops._merge_word_py (the
+# replace pattern starts and ends at symbol boundaries, so it can
+# never match inside a symbol).  Each greedy argmax round (count DESC,
+# pair ASC — DuckDB's binary VARCHAR order == the trainer's codepoint
+# tuple order) unrolls to one CTE stage; n_merges is a fixed 8, the
+# kmeans-oracle unrolling precedent.
+_BPE_N_MERGES = 8
+
+
+def _bpe_train_ctes(n_merges: int = _BPE_N_MERGES) -> str:
+    us = "chr(31)"
+    parts = [
+        f"""
+    bpe_wc AS (
+        SELECT w, count(*) AS n FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    bpe_s0 AS (
+        SELECT w,
+               array_to_string(list_transform(string_split(w, ''),
+                   c -> {us} || c || {us}), '') AS s,
+               n
+        FROM bpe_wc
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"bpe_s{i - 1}"
+        parts.append(
+            f"""
+    bpe_p{i} AS (
+        SELECT a, b FROM (
+            SELECT p[1] AS a, p[2] AS b, sum(n) AS cnt FROM (
+                SELECT unnest(list_transform(range(1, len(l)),
+                           j -> [l[CAST(j AS INTEGER)],
+                                 l[CAST(j AS INTEGER) + 1]])) AS p,
+                       n
+                FROM (SELECT string_split(trim(s, chr(31)), {us} || {us}) AS l,
+                             n
+                      FROM {prev})
+                WHERE len(l) >= 2
+            ) GROUP BY 1, 2
+        ) ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    bpe_s{i} AS (
+        SELECT w,
+               CASE WHEN p.a IS NULL THEN s
+                    ELSE replace(s, {us} || p.a || {us} || {us} || p.b || {us},
+                                 {us} || p.a || p.b || {us})
+               END AS s,
+               n
+        FROM {prev} LEFT JOIN bpe_p{i} p ON TRUE
+    )"""
+        )
+    return ",".join(parts)
+
+
+_BPE_RULES_CTE = (
+    "bpe_rules AS (\n"
+    + "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS merge_idx, a, b, a || b AS m FROM bpe_p{i + 1}"
+        for i in range(_BPE_N_MERGES)
+    )
+    + "\n    )"
+)
+
+
+@_spec(
+    "bpe_encode_ids_small",
+    f"""
+    WITH {_bpe_train_ctes()},
+    {_BPE_RULES_CTE},
+    alpha AS (
+        SELECT DISTINCT c AS sym FROM (
+            SELECT unnest(string_split(
+                regexp_replace(lower(text), '\\s', '', 'g'), '')) AS c
+            FROM documents
+        ) WHERE c <> ''
+    ),
+    na AS (SELECT count(*) AS k FROM alpha),
+    vocab1 AS (
+        SELECT sym, ROW_NUMBER() OVER (ORDER BY sym) - 1 AS ord FROM alpha
+        UNION ALL
+        SELECT m AS sym, (SELECT k FROM na) + merge_idx AS ord FROM bpe_rules
+    ),
+    vocab AS (
+        SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY mo) - 1 AS INTEGER) AS id
+        FROM (SELECT sym, min(ord) AS mo FROM vocab1 GROUP BY sym)
+    ),
+    wenc AS (
+        SELECT w, string_split(trim(s, chr(31)), chr(31) || chr(31)) AS syms
+        FROM bpe_s{_BPE_N_MERGES}
+    ),
+    wids AS (
+        SELECT w, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY sp) AS ids,
+               count(*) AS k
+        FROM (SELECT w, generate_subscripts(syms, 1) AS sp, unnest(syms) AS sym
+              FROM wenc)
+        JOIN vocab v USING (sym)
+        GROUP BY w
+    ),
+    dtoks AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS w
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+                    FROM documents))
+    ),
+    perdoc AS (
+        SELECT doc_id, string_agg(ids, ' ' ORDER BY p) AS token_ids_str,
+               CAST(sum(k) AS INTEGER) AS n_tokens
+        FROM dtoks JOIN wids USING (w) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.token_ids_str, '') AS token_ids_str,
+           coalesce(p.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN perdoc p USING (doc_id)
+    """,
+)
 def bpe_encode_ids_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end BPE tokenization to integer ids over the corpus: train
     8 merges, derive the GPT-2-layout subword→id vocab from the rules
@@ -3895,13 +4108,23 @@ def bpe_encode_ids_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("bpe_train_small", None)
+@_spec(
+    "bpe_train_small",
+    f"""
+    WITH {_bpe_train_ctes()},
+    {_BPE_RULES_CTE}
+    SELECT merge_idx, a AS "left", b AS "right", m AS merged
+    FROM bpe_rules
+    """,
+)
 def bpe_train_small(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merges) over the corpus —
     the corpus reduces to its word vocabulary once (the only
-    corpus-sized shuffle); each merge iteration is vocab-sized.
-    Rows-only by design (iterative; determinism and merge semantics are
-    unit-tested); returns the learned rules in training order."""
+    corpus-sized shuffle); each merge iteration is vocab-sized.  The
+    oracle replays all 8 greedy argmax rounds in SQL (unit-separator
+    symbol strings, one replace() per merge fold), so the learned rules
+    are hash-verified, not just rows-counted; determinism and merge
+    semantics are additionally unit-tested."""
     merges = textops.bpe_train(table(spark, sf_dir, "documents"), n_merges=8)
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],

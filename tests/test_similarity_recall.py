@@ -431,3 +431,60 @@ def test_embedding_decontaminate_flags_planted_copy(spark):
     plan = (similarity.embedding_decontaminate(train, evald)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_embedding_decontaminate_ivf_full_probe_equals_exact(spark, emb):
+    """nprobe = K must reproduce the exact broadcast-NLJ decision for
+    every train vector — separates IVF bookkeeping bugs from genuine
+    recall loss."""
+    from pyspark.sql import functions as F
+
+    cents = similarity.sample_centroids(emb, k=8)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    evals = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = {
+        r.vec_id: (r.nearest_eval_id, r.max_cosine, r.leaked)
+        for r in similarity.embedding_decontaminate(
+            train, evals, threshold=0.5
+        ).collect()
+    }
+    full = {
+        r.vec_id: (r.nearest_eval_id, r.max_cosine, r.leaked)
+        for r in similarity.embedding_decontaminate_ivf(
+            train, evals, cents, nprobe=8, threshold=0.5
+        ).collect()
+    }
+    assert full == exact
+
+
+def test_embedding_decontaminate_ivf_partial_probe_recall(spark, emb):
+    """Partial probing: the IVF max-cosine can never exceed the exact
+    one, and at nprobe=4/8 most exact leaks are still flagged."""
+    from pyspark.sql import functions as F
+
+    cents = similarity.sample_centroids(emb, k=8)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    evals = emb.filter(F.col("vec_id") % 10 == 0)
+    thr = 0.3  # below the sf0.001 max-cosine ceiling (~0.45) so the exact pass flags a real cohort
+    exact = {
+        r.vec_id: r
+        for r in similarity.embedding_decontaminate(
+            train, evals, threshold=thr
+        ).collect()
+    }
+    ivf = {
+        r.vec_id: r
+        for r in similarity.embedding_decontaminate_ivf(
+            train, evals, cents, nprobe=4, threshold=thr
+        ).collect()
+    }
+    assert set(ivf) == set(exact)  # coverage-complete either way
+    for vid, r in ivf.items():
+        if r.max_cosine is not None:
+            assert r.max_cosine <= exact[vid].max_cosine + 1e-9
+    leaked_exact = {v for v, r in exact.items() if r.leaked}
+    assert leaked_exact, "exact pass must flag something at thr=0.3"
+    leaked_ivf = {v for v, r in ivf.items() if r.leaked}
+    assert not (leaked_ivf - leaked_exact)  # no false positives vs exact
+    recall = len(leaked_ivf & leaked_exact) / len(leaked_exact)
+    assert recall >= 0.5
