@@ -97,6 +97,14 @@ BUDGETS = {
     "dedup_block_removal": 4.5,
 }
 
+#: Extras: measured and budget-guarded but NOT part of the headline
+#: total (the headline metric's composition is frozen across rounds so
+#: round-over-round totals stay comparable).  curated_corpus_report is
+#: the round-9 composed-pipeline flagship — its cost is the sum of its
+#: seven chained gates, so it gets its own visibility row.
+EXTRAS = ["curated_corpus_report"]
+EXTRA_BUDGETS = {"curated_corpus_report": 30.0}
+
 #: sf1 spot-check set: the most expensive headline queries.
 SF1_SPOT_QUERIES = [
     "order_performance",
@@ -139,6 +147,12 @@ def main() -> None:
         timings[name] = round(statistics.median(rs), 3)
         print(f"# {name}: median {timings[name]:.3f}s of {rs}", file=sys.stderr)
 
+    extras: dict[str, float] = {}
+    for name in EXTRAS:
+        rs = [_time_once(QUERY_SPECS[name], spark, SF_DIR) for _ in range(RUNS)]
+        extras[name] = round(statistics.median(rs), 3)
+        print(f"# extra {name}: median {extras[name]:.3f}s of {rs}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     breaches = {
@@ -146,6 +160,13 @@ def main() -> None:
         for n in timings
         if n in BUDGETS and timings[n] > BUDGETS[n]
     }
+    breaches.update(
+        {
+            n: {"median": extras[n], "budget": EXTRA_BUDGETS[n]}
+            for n in extras
+            if n in EXTRA_BUDGETS and extras[n] > EXTRA_BUDGETS[n]
+        }
+    )
     for n, b in breaches.items():
         print(f"# BUDGET BREACH {n}: {b['median']}s > {b['budget']}s", file=sys.stderr)
     out = {
@@ -153,6 +174,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extras": extras,
         "runs": runs,
         "budget_breaches": breaches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1,12 +1,12 @@
 #!/usr/bin/env python
-"""Round-8 data-curation flow, end to end: datasheet → intra-doc
-repetition collapse → boilerplate removal → NB quality filter →
-near-dup decontamination (text + embedding space) → token-budgeted
-mixture → group-aware leakage-free split.
-
-Every stage here is a certified registry operator (hash-verified
-against a DuckDB oracle by the driver); this demo just composes them
-the way a corpus build would and prints one JSON report.
+"""Data-curation flow, end to end — now a thin driver over the CERTIFIED
+composed pipeline (`operators.corpus.curated_corpus`, round 9): collapse
+→ boilerplate removal → NB quality filter → lexical + embedding
+decontamination → token-budgeted mixture → group-aware split, each gate
+consuming the previous gate's text.  The same chain is hash-verified
+against a DuckDB oracle by the driver (`curated_corpus_decisions` /
+`curated_corpus_report`); this demo just runs it and prints the one-row
+report plus a small decision-trail sample.
 
 Run: ``python examples/data_curation_demo.py [sf_dir]``
 (default sf_dir: /root/testdata/sf0.01)
@@ -22,13 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from snowflake_iceberg_cld_bcdr_demo_spark.operators import (  # noqa: E402
-    corpus,
-    dedup,
-    extract,
-    similarity,
-    textops,
-)
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus  # noqa: E402
+from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS  # noqa: E402
 from snowflake_iceberg_cld_bcdr_demo_spark.session import build_session  # noqa: E402
 from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table  # noqa: E402
 
@@ -38,77 +33,24 @@ def main() -> None:
     spark = build_session(app_name="data-curation-demo")
     spark.sparkContext.setLogLevel("ERROR")
 
-    docs = table(spark, sf_dir, "documents")
-    report: dict = {}
-
-    # 0. datasheet of the raw corpus (one-row global aggregate)
-    sheet = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
-    ).collect()[0]
-    report["datasheet"] = {
-        "n_docs": sheet.n_docs,
-        "total_chars": int(sheet.total_chars),
-        "n_distinct_texts": sheet.n_distinct_texts,
-    }
-
-    # 1. intra-doc repetition collapse (row-local, zero shuffles)
-    rep = textops.collapse_repetitions(docs)
-    report["repetition_collapse"] = {
-        "docs_touched": rep.filter(F.col("n_collapsed") > 0).count(),
-        "tokens_dropped": int(
-            rep.agg(F.sum("n_collapsed")).collect()[0][0] or 0
-        ),
-    }
-
-    # 2. boilerplate n-gram removal (per-source shared 5-grams)
-    boiler = extract.remove_boilerplate_ngrams(docs, n=5, min_docs=3)
-    report["boilerplate_removal"] = {
-        "docs_touched": boiler.filter(F.col("n_dropped_tokens") > 0).count()
-    }
-
-    # 3. NB quality filter trained curated-vs-pool
-    nb = corpus.nb_quality_scores(
-        docs, F.col("source").isin("src0", "src1"), buckets=256
-    )
-    report["nb_quality_filter"] = {
-        "pool_kept": nb.filter(~F.col("is_target") & F.col("keep")).count(),
-        "pool_dropped": nb.filter(~F.col("is_target") & ~F.col("keep")).count(),
-    }
-
-    # 4. decontamination vs the eval split, text space + embedding space
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    evald = docs.filter(F.col("doc_id") % 10 == 0)
-    txt = dedup.neardup_decontaminate(train, evald)
-    emb = table(spark, sf_dir, "embeddings")
-    sem = similarity.embedding_decontaminate(
-        emb.filter(F.col("vec_id") % 10 != 0),
-        emb.filter(F.col("vec_id") % 10 == 0),
-        threshold=0.9,
-    )
-    report["decontamination"] = {
-        "text_flagged": txt.filter("contaminated").count(),
-        "embedding_flagged": sem.filter("leaked").count(),
-    }
-
-    # 5. token-budgeted mixture (20k BPE pieces, curated upweighted)
     shares = {f"src{i}": s for i, s in enumerate(
         [0.20, 0.15, 0.15, 0.10, 0.10, 0.06, 0.06, 0.06, 0.06, 0.06])}
-    mix = corpus.mixture_token_budget(docs, 20_000, shares)
-    report["token_budget_mixture"] = {
-        "docs_admitted": mix.count(),
-        "tokens_admitted": int(mix.agg(F.sum("n_tokens")).collect()[0][0] or 0),
-    }
+    decisions = corpus.curated_corpus(
+        table(spark, sf_dir, "documents"),
+        table(spark, sf_dir, "embeddings"),
+        F.col("source").isin("src0", "src1"),
+        20_000,
+        shares,
+    )
 
-    # 6. group-aware split: no source straddles train/val/test
-    split = corpus.group_split(docs)
-    report["group_split"] = {
-        r.split: r.n for r in
-        split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    report_row = QUERY_SPECS["curated_corpus_report"].build(spark, sf_dir).collect()[0]
+    print(json.dumps({"report": report_row.asDict()}, indent=2, default=str))
 
-    print(json.dumps(report, indent=2))
+    print("\nSample decision trail (5 curated, 5 rejected):")
+    for r in decisions.filter("curated").limit(5).collect():
+        print(" +", r.asDict())
+    for r in decisions.filter("NOT curated AND NOT is_eval").limit(5).collect():
+        print(" -", r.asDict())
 
 
 if __name__ == "__main__":

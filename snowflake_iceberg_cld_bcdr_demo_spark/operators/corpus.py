@@ -1231,6 +1231,7 @@ def curated_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """THE composed curation pipeline — the end-to-end artifact a corpus
     build actually ships, chaining the gates in dependency order so
@@ -1262,14 +1263,28 @@ def curated_corpus(
     Scale: every stage keeps its own documented 100 TB shape (eval
     sides broadcast, models are one-row broadcast maps, the mixture
     cumsum is key-range bucketed); composition adds NO new shuffle
-    class.  The cleaned-text lineage is recomputed per consuming gate
-    in this lazy plan — a production build materializes the stage-2
-    output as its own table (the curated-text table users ship) and
-    the plan reads it back; same bits either way.
+    class.  ``stage_dir`` is the production posture (and the shape the
+    registry certifies): the stage-2 cleaned text and the per-gate flag
+    table are each MATERIALIZED as parquet stage tables — the tables a
+    real corpus build ships and audits anyway — and downstream gates
+    read them back, so no gate ever replays another gate's lineage
+    (lazy composition multiplies the cleaning subtree into every
+    consumer's plan: ~190 planned shuffles at 7 gates vs ~30 staged).
+    ``stage_dir=None`` keeps the fully lazy single-plan form — same
+    bits either way (asserted in tests).
     """
     from . import extract, textops
     from .dedup import neardup_decontaminate
     from .similarity import embedding_decontaminate
+
+    spark = docs.sparkSession
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        if stage_dir is None:
+            return df
+        path = f"{stage_dir}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -1290,15 +1305,20 @@ def curated_corpus(
         "doc_id",
     )
 
-    # 2. boilerplate removal on the collapsed text
+    # 2. boilerplate removal on the collapsed text.  d2 IS the cleaned
+    # corpus — the stage table a production build ships — and feeds
+    # three independent gates, so it is the first materialization point.
     bp = extract.remove_boilerplate_ngrams(d1, n=5, min_docs=3)
-    d2 = d1.select("doc_id", "source", "n_raw_tokens", "n_collapsed").join(
-        bp.select(
+    d2 = stage(
+        d1.select("doc_id", "source", "n_raw_tokens", "n_collapsed").join(
+            bp.select(
+                "doc_id",
+                F.col("n_dropped_tokens").alias("n_boiler_dropped"),
+                F.col("clean_text").alias("text"),
+            ),
             "doc_id",
-            F.col("n_dropped_tokens").alias("n_boiler_dropped"),
-            F.col("clean_text").alias("text"),
         ),
-        "doc_id",
+        "cleaned",
     )
 
     # 3. NB quality classifier on the cleaned text
@@ -1317,6 +1337,8 @@ def curated_corpus(
         embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
     ).select(F.col("vec_id").alias("doc_id"), "leaked")
 
+    # the per-gate decision table — the audit artifact — is the second
+    # materialization point (mixture + final assembly both consume it)
     flags = (
         d2.join(nb, "doc_id")
         .join(dec, "doc_id", "left")
@@ -1334,6 +1356,7 @@ def curated_corpus(
             F.coalesce("leaked", F.lit(False)).alias("emb_leaked"),
         )
     )
+    flags = stage(flags, "flags")
     survivor = (
         ~F.col("is_eval")
         & F.col("nb_keep")

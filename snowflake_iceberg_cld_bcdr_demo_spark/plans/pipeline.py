@@ -4428,12 +4428,18 @@ def _curated_cte() -> str:
 
 
 def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    # staged form = the production posture (cleaned corpus + flag table
+    # written as stage tables, downstream gates read them back) — the
+    # lazy form multiplies the cleaning lineage into every gate's plan
     return corpus.curated_corpus(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),
         F.col("source").isin("src0", "src1"),
         _MIX_BUDGET,
         _MIX_SHARES,
+        stage_dir=tempfile.mkdtemp(prefix="curated-stages-"),
     )
 
 

@@ -24,6 +24,10 @@ _HYGIENE_QUERIES = [
     "dedup_block_removal",
     "neardup_clusters",
     "dedup_decisions",
+    # r9: the composed pipeline chains most of the library — one
+    # materialization must still leave zero persistent RDDs behind
+    "curated_corpus_report",
+    "embedding_decontaminate_ivf",
 ]
 
 

@@ -1070,3 +1070,15 @@ def test_curated_corpus_chains_gates_and_flags_interactions(spark):
             assert not r.contaminated and not r.emb_leaked
             assert r.n_mix_tokens > 0
             assert r.split in ("train", "val", "test")
+
+
+def test_curated_corpus_staged_equals_lazy(spark, tmp_path):
+    """stage_dir (the production materialized-stage-tables posture the
+    registry certifies) must be bit-identical to the fully lazy plan."""
+    docs = table(spark, SF_SMALL, "documents")
+    emb = table(spark, SF_SMALL, "embeddings")
+    args = (docs, emb, F.col("source").isin("src0", "src1"),
+            5_000, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+    lazy = corpus.curated_corpus(*args)
+    staged = corpus.curated_corpus(*args, stage_dir=str(tmp_path / "st"))
+    assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, staged.collect()))

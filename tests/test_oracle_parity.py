@@ -38,22 +38,24 @@ def test_rows_only_runs(spark, name):
 
 def test_registry_order_tiers():
     """The external driver records a bounded prefix of queries() in
-    CORRECTNESS_r{N}.json.  Ordering contract: (1) never-certified
-    oracle-bearing queries first, (2) rows-only queries never recorded
-    in ANY official file next — so they finally reach the window, (3)
-    certified oracle queries (LRU rotation), (4) recorded rows-only
-    last."""
+    CORRECTNESS_r{N}.json.  Ordering contract: (1) oracle-bearing
+    queries that are never-certified OR stale (rewritten after their
+    last stamp — ``changed_in``) first, (2) rows-only queries never
+    recorded in ANY official file next — so they finally reach the
+    window, (3) fresh certified oracle queries (LRU rotation),
+    (4) recorded rows-only last."""
     import __spark_entry__ as e
     from snowflake_iceberg_cld_bcdr_demo_spark.plans import registry
 
     names = list(e.queries())
     oracles = set(e.oracle_sql())
-    cert = set(registry._certification_rounds())
+    cert = registry._certification_rounds()
     recorded = registry._recorded_names()
 
     def tier(n: str) -> int:
         if n in oracles:
-            return 1 if n not in cert else 3
+            fresh = n in cert and cert[n] > registry.QUERY_SPECS[n].changed_in
+            return 3 if fresh else 1
         return 2 if n not in recorded else 4
 
     tiers = [tier(n) for n in names]

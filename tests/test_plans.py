@@ -78,7 +78,13 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("corpus_datasheet", 1),        # one global aggregate
         ("conjunctive_term_search", 2),  # (doc,term) agg + doc rollup
         ("mixture_token_budget", 3),    # counts + bucket windows + final
-        ("lm_quality_scores", 5),    # token count + token join + doc fold
+        # r9 map-fold shape: token-count histogram only; scoring is a
+        # narrow broadcast-map projection (was 5: explode+join+refold)
+        ("lm_quality_scores", 2),
+        # round-9 additions
+        ("nb_quality_filter", 2),    # training histogram; scoring narrow
+        ("dsir_importance_weights", 2),  # same shape, bigram buckets
+        ("embedding_decontaminate_ivf", 2),  # |train| max rollup + coverage distinct
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
@@ -149,3 +155,19 @@ def test_ann_cosine_topk_uses_take_ordered(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "TakeOrderedAndProject" in plan
     assert exchange_count(QUERY_SPECS["ann_cosine_topk"].build(spark, SF_SMALL)) == 0
+
+
+def test_curated_corpus_composition_adds_no_cartesian(spark):
+    """The composed curation pipeline may contain exactly the broadcast
+    nested loops its stages document (one-row model/prior maps, the
+    broadcast eval side) — never a non-broadcast cartesian product."""
+    plan = _plan(spark, "curated_corpus_decisions")
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_decontaminate_ivf_no_nested_loop(spark):
+    """The IVF variant exists to replace the broadcast NLJ with a hash
+    join on the cell key — the plan must show no nested-loop join."""
+    plan = _plan(spark, "embedding_decontaminate_ivf")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
