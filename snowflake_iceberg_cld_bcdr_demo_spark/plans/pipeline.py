@@ -3703,6 +3703,7 @@ def dedup_block_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(coalesce(r.ct, '')) AS clean_hash
     FROM documents doc LEFT JOIN rebuilt r USING (doc_id)
     """,
+    changed_in=8,
 )
 def dedup_block_removal_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase ExactSubstr block removal: 50-char duplicate windows
