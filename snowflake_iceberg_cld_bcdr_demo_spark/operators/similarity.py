@@ -98,11 +98,16 @@ def cosine_pairs(
     O(n²) self-join — the oracle-checked correctness baseline.  At corpus
     scale use :func:`cosine_pairs_lsh`, which only joins within hyperplane
     buckets (same result modulo LSH recall)."""
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                   norm(F.col(vec_col)).alias("_na"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                   norm(F.col(vec_col)).alias("_nb"))
+    # both norms hoisted out of the pair loop: one dot per pair,
+    # bit-identical cosine (sqrt of the same fold)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") > threshold)
     )
 
@@ -119,15 +124,20 @@ def cosine_pairs_lsh(
     the plane count)."""
     bucketed = hyperplane_lsh_buckets(emb, planes, id_col, vec_col)
     a = bucketed.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col("bucket")
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), F.col("bucket"),
+        norm(F.col(vec_col)).alias("_na"),
     )
     b = bucketed.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), F.col("bucket")
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), F.col("bucket"),
+        norm(F.col(vec_col)).alias("_nb"),
     )
+    # both norms hoisted out of the pair loop: one dot per pair,
+    # bit-identical cosine (sqrt of the same fold)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") > threshold)
     )
 
@@ -234,10 +244,15 @@ def knn_join_exact(
     row_number (partition-local sort after one shuffle on vec_a)."""
     from pyspark.sql.window import Window
 
-    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    a = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                   norm(F.col(vec_col)).alias("_na"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                   norm(F.col(vec_col)).alias("_nb"))
+    # both norms hoisted out of the pair loop: one dot per pair,
+    # bit-identical cosine (sqrt of the same fold)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     pairs = a.join(b, F.col("vec_a") != F.col("vec_b")).select(
-        "vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim")
+        "vec_a", "vec_b", sim.alias("cosine_sim")
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), F.col("vec_b"))
     return (
@@ -278,12 +293,17 @@ def knn_join_lsh(
         )
         cands = t if cands is None else cands.unionAll(t)
     cands = (cands if cands is not None else _all_pairs(emb, id_col)).distinct()
-    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                    norm(F.col(vec_col)).alias("_na"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                    norm(F.col(vec_col)).alias("_nb"))
+    # both norms hoisted out of the pair loop: one dot per pair,
+    # bit-identical cosine (sqrt of the same fold)
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     pairs = (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .select("vec_a", "vec_b", sim.alias("cosine_sim"))
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("cosine_sim").desc(), F.col("vec_b"))
     return (
@@ -469,15 +489,20 @@ def semdedup(
             .drop("_rk")
         )
     a = pairable.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "cell",
+        norm(F.col(vec_col)).alias("_na"),
     )
     b = pairable.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "cell",
+        norm(F.col(vec_col)).alias("_nb"),
     )
+    # norms hoisted out of the within-cell pair loop — the quadratic
+    # n²/K term now costs one dot per pair, bit-identical cosine
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     pairs = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) > threshold)
+        .filter(sim > threshold)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
     clusters = neardup_clusters(emb.select(id_col), pairs, id_col=id_col)

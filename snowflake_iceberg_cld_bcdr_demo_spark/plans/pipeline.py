@@ -748,6 +748,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])))) > 0.4
     """,
+    changed_in=8,
 )
 def embedding_near_dup_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, exact all-pairs O(n²) BASELINE —
@@ -771,6 +772,7 @@ def embedding_near_dup_exact_baseline(spark: SparkSession, sf_dir: str) -> DataF
     FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
     WHERE {_sql_cos('a.v', 'b2.v')} > 0.4
     """.replace("{bucket}", _sql_bucket(_PLANES[:4], "CAST(e.embedding AS DOUBLE[])")),
+    changed_in=8,
 )
 def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed near-dup pairs (sub-quadratic scale path).  The LSH
@@ -967,6 +969,7 @@ _COS_AB = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS
     )
     SELECT vec_a, vec_b, cosine_sim, rk FROM ranked WHERE rk <= 3
     """,
+    changed_in=8,
 )
 def knn_join_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors for every vector, exact O(n²) BASELINE (oracle twin
@@ -1010,6 +1013,7 @@ def knn_join_exact_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     .replace("{b1}", _sql_bucket(_PLANES[0:2], "CAST(e.embedding AS DOUBLE[])"))
     .replace("{b2}", _sql_bucket(_PLANES[2:4], "CAST(e.embedding AS DOUBLE[])"))
     .replace("{b3}", _sql_bucket(_PLANES[4:6], "CAST(e.embedding AS DOUBLE[])")),
+    changed_in=8,
 )
 def knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed kNN self-join (sub-quadratic scale path): candidate
@@ -1754,6 +1758,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, cosine_sim, cosine_sim >= 0.9 AS semantic_agrees
     FROM cos
     """,
+    changed_in=8,
 )
 def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-vs-semantic dedup cross-check: for every MinHash/LSH
@@ -1766,7 +1771,7 @@ def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding joins shuffle only the pair list against the embedding
     table, and the cosine is the same deterministic JVM fold the ANN
     operators use."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(
@@ -1774,9 +1779,12 @@ def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
     )
     emb = table(spark, sf_dir, "embeddings")
-    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"))
-    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_eb"))
-    sim = cosine(F.col("_ea"), F.col("_eb"))
+    ea = emb.select(F.col("vec_id").alias("doc_a"), F.col("embedding").alias("_ea"),
+                    norm(F.col("embedding")).alias("_na"))
+    eb = emb.select(F.col("vec_id").alias("doc_b"), F.col("embedding").alias("_eb"),
+                    norm(F.col("embedding")).alias("_nb"))
+    # norms hoisted out of the pair join: one dot per candidate pair
+    sim = dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.join(ea, "doc_a")
         .join(eb, "doc_b")
@@ -2721,7 +2729,11 @@ def _semdedup_oracle_sql(
     )
 
 
-@_spec("semdedup_decisions", _semdedup_oracle_sql(iters=2, threshold=0.4))
+@_spec(
+    "semdedup_decisions",
+    _semdedup_oracle_sql(iters=2, threshold=0.4),
+    changed_in=8,
+)
 def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end to end, hash-verified: k-means
     (2 Lloyd rounds, K=8, fixed-point means) partitions the embedding
@@ -2738,6 +2750,7 @@ def semdedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_spec(
     "semdedup_capped_decisions",
     _semdedup_oracle_sql(iters=2, threshold=0.4, max_cell=24),
+    changed_in=8,
 )
 def semdedup_capped_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the hot-cell guard ON (``max_cell=24`` — small
