@@ -1227,6 +1227,7 @@ def curated_corpus(
     token_budget: int,
     shares: dict[str, float],
     eval_mod: int = 10,
+    nb_top_frac: float = 0.6,
     emb_threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1241,24 +1242,42 @@ def curated_corpus(
     1. intra-doc repetition collapse (:func:`.textops.collapse_repetitions`),
     2. per-source boilerplate n-gram removal on the collapsed text
        (:func:`.extract.remove_boilerplate_ngrams`),
-    3. NB quality classifier trained and scored on the cleaned text
-       (:func:`nb_quality_scores`, target = ``nb_target``),
-    4. near-dup decontamination of the cleaned train split against the
+    3. WITHIN-CORPUS dedup of the cleaned train split: exact-duplicate
+       collapse (keep the min id per cleaned-text fingerprint) followed
+       by near-dup pruning among the exact-survivors — a MinHash/LSH
+       band self-join where a doc is dropped iff a LOWER-id survivor
+       shares a band at est_jaccard ≥ 0.5 (keep-lowest pairwise
+       pruning; exact-collapse-first is the band-skew guard,
+       :func:`.dedup.neardup_skewsafe`'s discipline),
+    4. model-based quality SELECTION on the cleaned text: the NB
+       classifier (:func:`nb_quality_scores`, target = ``nb_target``)
+       scores every doc, and each source keeps its top ``nb_top_frac``
+       fraction by score (rank on the 8-dp-rounded log-odds, ties to
+       the lower id, NULL-scored docs never kept) — the GPT-3-style
+       score-ranking filter; a hard posterior cut would be dominated
+       by the class prior on weak-signal corpora, while per-source
+       ranking adapts to the actual score distribution AND preserves
+       source diversity.  The classifier trains on the full cleaned
+       corpus — gates stay independent computations intersected at the
+       end, the :func:`prepare_corpus` discipline,
+    5. near-dup decontamination of the cleaned train split against the
        RAW eval split (``id % eval_mod == 0``; benchmarks are external
        artifacts, never cleaned) — :func:`.dedup.neardup_decontaminate`,
-    5. embedding-space decontamination of the same train/eval split
+    6. embedding-space decontamination of the same train/eval split
        (:func:`.similarity.embedding_decontaminate`, ``embeddings``
        keyed by ``vec_id == doc_id``; docs without a vector pass),
-    6. token-budgeted mixture over the surviving docs' CLEANED text
+    7. token-budgeted mixture over the surviving docs' CLEANED text
        (:func:`mixture_token_budget`), and
-    7. group-aware leakage-free split assignment (:func:`group_split`).
+    8. group-aware leakage-free split assignment (:func:`group_split`).
 
     Output: ONE ROW PER INPUT DOC — the full per-document decision
     trail ``(id, group, is_eval, n_raw_tokens, n_collapsed,
-    n_boiler_dropped, nb_keep, contaminated, emb_leaked, curated,
-    n_mix_tokens, split)``; ``curated`` means admitted by the mixture
-    (which implies every upstream gate passed), ``n_mix_tokens`` the
-    BPE-ish pieces the admission metered.
+    n_boiler_dropped, e_keep, nd_keep, nb_keep, contaminated,
+    emb_leaked, curated, n_mix_tokens, split)``; ``curated`` means
+    admitted by the mixture (which implies every upstream gate passed),
+    ``n_mix_tokens`` the BPE-ish pieces the admission metered.  Eval
+    docs carry ``e_keep``/``nd_keep`` = true (dedup does not apply to
+    the held-out split; ``is_eval`` already excludes it).
 
     Scale: every stage keeps its own documented 100 TB shape (eval
     sides broadcast, models are one-row broadcast maps, the mixture
@@ -1273,8 +1292,11 @@ def curated_corpus(
     ``stage_dir=None`` keeps the fully lazy single-plan form — same
     bits either way (asserted in tests).
     """
+    from pyspark.sql import Window
+
+    from ..functions.text import fingerprint
     from . import extract, textops
-    from .dedup import neardup_decontaminate
+    from .dedup import _banded_signatures, neardup_decontaminate
     from .similarity import embedding_decontaminate
 
     spark = docs.sparkSession
@@ -1321,17 +1343,75 @@ def curated_corpus(
         "cleaned",
     )
 
-    # 3. NB quality classifier on the cleaned text
-    nb = nb_quality_scores(d2, nb_target, buckets=256).select(
-        "doc_id", F.col("keep").alias("nb_keep")
+    # 3. within-corpus dedup of the cleaned train split: exact collapse
+    # first (one fingerprint window), then near-dup pruning among the
+    # exact survivors (band self-join; keep-lowest pairwise rule)
+    trn = d2.filter(~is_eval)
+    ek = trn.select(
+        "doc_id", fingerprint(F.col("text")).alias("_fp")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp"))).alias(
+            "e_keep"
+        ),
+    )
+    ekept = trn.join(ek.filter("e_keep").select("doc_id"), "doc_id").select(
+        "doc_id", "text"
+    )
+    tb = _banded_signatures(ekept, "text", "doc_id", k=8, num_hashes=16, bands=4)
+    a, b = tb.alias("a"), tb.alias("b")
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    nd_drop = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.round(agree / F.lit(16.0), 4).alias("_ej"),
+        )
+        .filter(F.col("_ej") >= 0.5)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_nd_drop", F.lit(True))
     )
 
-    # 4. lexical decontamination: cleaned train vs RAW eval
+    # 4. model-based quality selection: NB score -> per-source
+    # top-fraction rank gate (scale: the rank window partitions by
+    # source — the source_quota shape, never a global single-reducer
+    # sort; WindowGroupLimit bounds the per-source cost)
+    scores = nb_quality_scores(d2, nb_target, buckets=256).select(
+        "doc_id", "nb_logodds"
+    )
+    trn_scores = d2.filter(~is_eval).select("doc_id", "source").join(
+        scores, "doc_id"
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
+    )
+    wcnt = Window.partitionBy("source")
+    nb = trn_scores.select(
+        "doc_id",
+        (
+            (
+                F.row_number().over(wsrc)
+                <= F.ceil(F.lit(float(nb_top_frac)) * F.count(F.lit(1)).over(wcnt))
+            )
+            & F.col("nb_logodds").isNotNull()
+        ).alias("nb_keep"),
+    )
+
+    # 5. lexical decontamination: cleaned train vs RAW eval
     dec = neardup_decontaminate(
         d2.filter(~is_eval), base.filter(is_eval), k=8, num_hashes=16, bands=4
     ).select(F.col("train_doc_id").alias("doc_id"), "contaminated")
 
-    # 5. embedding-space decontamination (vec_id == doc_id)
+    # 6. embedding-space decontamination (vec_id == doc_id)
     ev = F.col("vec_id") % eval_mod == 0
     sem = embedding_decontaminate(
         embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
@@ -1340,7 +1420,9 @@ def curated_corpus(
     # the per-gate decision table — the audit artifact — is the second
     # materialization point (mixture + final assembly both consume it)
     flags = (
-        d2.join(nb, "doc_id")
+        d2.join(ek, "doc_id", "left")
+        .join(nd_drop, "doc_id", "left")
+        .join(nb, "doc_id", "left")
         .join(dec, "doc_id", "left")
         .join(sem, "doc_id", "left")
         .select(
@@ -1351,7 +1433,10 @@ def curated_corpus(
             "n_collapsed",
             "n_boiler_dropped",
             "text",
-            "nb_keep",
+            # eval rows have no dedup verdict: gates do not apply there
+            F.coalesce("e_keep", F.lit(True)).alias("e_keep"),
+            (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
+            F.coalesce("nb_keep", F.lit(True)).alias("nb_keep"),
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
             F.coalesce("leaked", F.lit(False)).alias("emb_leaked"),
         )
@@ -1359,17 +1444,19 @@ def curated_corpus(
     flags = stage(flags, "flags")
     survivor = (
         ~F.col("is_eval")
+        & F.col("e_keep")
+        & F.col("nd_keep")
         & F.col("nb_keep")
         & ~F.col("contaminated")
         & ~F.col("emb_leaked")
     )
 
-    # 6. token-budgeted mixture over the survivors' cleaned text
+    # 7. token-budgeted mixture over the survivors' cleaned text
     mix = mixture_token_budget(
         flags.filter(survivor), token_budget, shares
     ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
 
-    # 7. split assignment + final decision trail
+    # 8. split assignment + final decision trail
     return group_split(flags.join(mix, "doc_id", "left")).select(
         "doc_id",
         "source",
@@ -1377,6 +1464,8 @@ def curated_corpus(
         "n_raw_tokens",
         "n_collapsed",
         "n_boiler_dropped",
+        "e_keep",
+        "nd_keep",
         "nb_keep",
         "contaminated",
         "emb_leaked",

@@ -4223,7 +4223,8 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Chained-gate CTE shared by curated_corpus_decisions / _report: every
 #: stage consumes the TEXT THE PREVIOUS STAGE PRODUCED (collapse →
 #: boilerplate removal → NB filter → dual decontamination → token-budget
-#: mixture → group split), replaying operators.corpus.curated_corpus
+#: mixture → group split, plus the within-corpus exact/near-dup gates),
+#: replaying operators.corpus.curated_corpus
 #: bit-for-bit — the gate-interaction contract, not seven independent
 #: passes over the raw corpus.
 def _curated_cte() -> str:
@@ -4232,7 +4233,7 @@ def _curated_cte() -> str:
         f"{_band_key([f'h{4 * b + j}' for j in range(4)])} AS band_key FROM sig"
         for b in range(4)
     )
-    return f"""
+    cte = f"""
     src AS (SELECT doc_id, source, text FROM documents),
     -- 1. intra-doc repetition collapse
     t1 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM src),
@@ -4342,9 +4343,21 @@ def _curated_cte() -> str:
         SELECT doc_id, sum(lo ORDER BY pos) AS s
         FROM bg3 JOIN model3 USING (b) GROUP BY doc_id
     ),
-    nbk AS (
-        SELECT d.doc_id, coalesce(p.log_prior + f.s > 0, FALSE) AS nb_keep
+    nbq AS (
+        SELECT d.doc_id, round(p.log_prior + f.s, 8) AS nb_logodds
         FROM tagged3 d CROSS JOIN prior3 p LEFT JOIN fold3 f USING (doc_id)
+    ),
+    -- per-source top-60% selection by score (rank gate: a hard
+    -- posterior cut is prior-dominated on weak-signal corpora)
+    nbk AS (
+        SELECT doc_id,
+               (ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY nb_logodds DESC NULLS LAST, doc_id)
+                <= CEIL(0.6 * COUNT(*) OVER (PARTITION BY source)))
+               AND nb_logodds IS NOT NULL AS nb_keep
+        FROM (SELECT q.doc_id, q.nb_logodds, d.source
+              FROM nbq q JOIN d2 d USING (doc_id)
+              WHERE d.doc_id % 10 <> 0)
     ),
     -- 4. lexical decontamination: cleaned train split vs RAW eval split
     norm AS (
@@ -4365,6 +4378,33 @@ def _curated_cte() -> str:
     {_SIG_CTE},
     banded AS (
 {band}
+    ),
+    -- 3. within-corpus dedup of the cleaned train split: exact-collapse
+    -- first, then near-dup keep-lowest pruning among exact survivors
+    fpq AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM d2 WHERE doc_id % 10 <> 0
+    ),
+    ekf AS (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS e_keep
+        FROM fpq
+    ),
+    ekt AS (SELECT doc_id FROM ekf WHERE e_keep),
+    ndp AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id > b.doc_id
+        JOIN ekt ka ON ka.doc_id = a.doc_id
+        JOIN ekt kb ON kb.doc_id = b.doc_id
+    ),
+    ndd AS (
+        SELECT DISTINCT da AS doc_id
+        FROM ndp
+        JOIN sig sa ON sa.doc_id = da
+        JOIN sig sb ON sb.doc_id = db
+        WHERE ROUND(({_AGREE}) / 16.0, 4) >= 0.5
     ),
     bp4 AS (
         SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
@@ -4399,11 +4439,15 @@ def _curated_cte() -> str:
     flags AS (
         SELECT d.doc_id, d.source, (d.doc_id % 10 = 0) AS is_eval,
                d.n_raw_tokens, d.n_collapsed, d.n_boiler_dropped, d.text,
-               n.nb_keep,
+               coalesce(ekf.e_keep, TRUE) AS e_keep,
+               (nd.doc_id IS NULL) AS nd_keep,
+               coalesce(n.nb_keep, TRUE) AS nb_keep,
                coalesce(c.contaminated, FALSE) AS contaminated,
                coalesce(s.leaked, FALSE) AS emb_leaked
         FROM d2 d
-        JOIN nbk n USING (doc_id)
+        LEFT JOIN nbk n USING (doc_id)
+        LEFT JOIN ekf USING (doc_id)
+        LEFT JOIN ndd nd ON d.doc_id = nd.doc_id
         LEFT JOIN dec4 c USING (doc_id)
         LEFT JOIN sem5 s USING (doc_id)
     ),
@@ -4415,7 +4459,8 @@ def _curated_cte() -> str:
                    AS BIGINT) AS n_tokens,
                md5(CAST(doc_id AS VARCHAR)) AS k
         FROM flags
-        WHERE NOT is_eval AND nb_keep AND NOT contaminated AND NOT emb_leaked
+        WHERE NOT is_eval AND e_keep AND nd_keep AND nb_keep
+          AND NOT contaminated AND NOT emb_leaked
     ),
     cum6 AS (
         SELECT doc_id, n_tokens,
@@ -4431,6 +4476,7 @@ def _curated_cte() -> str:
     decisions AS (
         SELECT f.doc_id, f.source, f.is_eval,
                f.n_raw_tokens, f.n_collapsed, f.n_boiler_dropped,
+               f.e_keep, f.nd_keep,
                f.nb_keep, f.contaminated, f.emb_leaked,
                (m.doc_id IS NOT NULL) AS curated,
                CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens,
@@ -4439,6 +4485,13 @@ def _curated_cte() -> str:
                     ELSE 'test' END AS split
         FROM flags f LEFT JOIN mix6 m USING (doc_id)
     )"""
+    # The chained stages reference d1/d2/sig/banded/flags several times
+    # each; DuckDB inlines plain CTEs per reference (re-running the
+    # whole upstream chain), so the hot shared stages are MATERIALIZED —
+    # the SQL analog of the Spark side's parquet stage tables.
+    for name in ("d1", "d2", "sig", "banded", "ekf", "flags"):
+        cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
+    return cte
 
 
 def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4470,7 +4523,8 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination → token-budget mixture → group split, each stage
     consuming the previous stage's text (the gate-interaction contract;
     e.g. boilerplate fingerprints are taken on collapse output).  The
-    oracle replays all seven chained stages.  See
+    oracle replays all eight chained stages (incl. the within-corpus
+    exact + near-dup gates).  See
     :func:`operators.corpus.curated_corpus`."""
     return _curated_decisions(spark, sf_dir)
 
@@ -4488,6 +4542,10 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN n_boiler_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS docs_boiler_touched,
            CAST(sum(n_boiler_dropped) AS BIGINT) AS tokens_boiler_dropped,
+           CAST(sum(CASE WHEN NOT is_eval AND NOT e_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS exact_dups_dropped,
+           CAST(sum(CASE WHEN NOT nd_keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS near_dups_dropped,
            CAST(sum(CASE WHEN NOT is_eval AND NOT nb_keep THEN 1 ELSE 0 END)
                 AS BIGINT) AS nb_rejected,
            CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
@@ -4530,6 +4588,10 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_boiler_touched"
         ),
         F.sum("n_boiler_dropped").cast("long").alias("tokens_boiler_dropped"),
+        F.sum((~F.col("is_eval") & ~F.col("e_keep")).cast("long")).alias(
+            "exact_dups_dropped"
+        ),
+        F.sum((~F.col("nd_keep")).cast("long")).alias("near_dups_dropped"),
         F.sum((~F.col("is_eval") & ~F.col("nb_keep")).cast("long")).alias(
             "nb_rejected"
         ),

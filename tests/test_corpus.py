@@ -1082,3 +1082,38 @@ def test_curated_corpus_staged_equals_lazy(spark, tmp_path):
     lazy = corpus.curated_corpus(*args)
     staged = corpus.curated_corpus(*args, stage_dir=str(tmp_path / "st"))
     assert sorted(map(tuple, lazy.collect())) == sorted(map(tuple, staged.collect()))
+
+
+def test_curated_corpus_dedup_gates_drop_planted_dups(spark):
+    """Within-corpus dedup: an exact copy keeps only the lowest id
+    (e_keep), and a near-copy sharing most shingles is pruned by the
+    keep-lowest near-dup rule (nd_keep); eval rows carry true."""
+    # each planted pair shares its body between exactly TWO same-source
+    # docs — below the boilerplate min_docs=3 threshold, so the shared
+    # text survives cleaning and reaches the dedup gates intact
+    body_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    body_b = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 4
+    rows = [
+        (1, body_a + "one", "src0"),
+        (2, body_a + "one", "src0"),          # exact dup of 1
+        (5, body_b + "unique tail five", "src1"),
+        (6, body_b + "other ending six", "src1"),  # near-dup of 5
+        (4, "totally unrelated short text", "src2"),
+        (10, "held out benchmark text nothing shared", "src3"),  # eval
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i, _, _ in rows], "vec_id long, embedding array<double>"
+    )
+    out = {r.doc_id: r for r in corpus.curated_corpus(
+        docs, emb, F.col("source") == "src0", 10_000,
+        {"src0": 0.4, "src1": 0.4, "src2": 0.2}).collect()}
+    assert out[1].e_keep and out[1].nd_keep
+    assert not out[2].e_keep            # exact copy of 1 dropped
+    assert out[5].e_keep and out[5].nd_keep
+    assert out[6].e_keep and not out[6].nd_keep  # near-dup of 5 pruned
+    assert out[4].e_keep and out[4].nd_keep
+    assert out[10].is_eval and out[10].e_keep and out[10].nd_keep
+    for r in out.values():
+        if r.curated:
+            assert r.e_keep and r.nd_keep
