@@ -1228,6 +1228,7 @@ def curated_corpus(
     shares: dict[str, float],
     eval_mod: int = 10,
     nb_top_frac: float = 0.6,
+    nd_max_band_bucket: int = 200,
     emb_threshold: float = 0.9,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1245,10 +1246,16 @@ def curated_corpus(
     3. WITHIN-CORPUS dedup of the cleaned train split: exact-duplicate
        collapse (keep the min id per cleaned-text fingerprint) followed
        by near-dup pruning among the exact-survivors — a MinHash/LSH
-       band self-join where a doc is dropped iff a LOWER-id survivor
-       shares a band at est_jaccard ≥ 0.5 (keep-lowest pairwise
-       pruning; exact-collapse-first is the band-skew guard,
-       :func:`.dedup.neardup_skewsafe`'s discipline),
+       band self-join where a doc is dropped iff a LOWER-id
+       exact-survivor shares a band at est_jaccard ≥ 0.5 (keep-lowest
+       pairwise pruning).  Band skew is double-guarded:
+       exact-collapse-first (:func:`.dedup.neardup_skewsafe`'s
+       discipline) removes identical clusters, and band buckets larger
+       than ``nd_max_band_bucket`` are dropped before the self-join
+       (:func:`.dedup.lsh_candidate_pairs`' hot-bucket cap — a
+       near-identical TEMPLATED cluster exact dedup can't collapse
+       would otherwise go quadratic; capped-out members stay kept,
+       the documented LSH-cap recall trade-off),
     4. model-based quality SELECTION on the cleaned text: the NB
        classifier (:func:`nb_quality_scores`, target = ``nb_target``)
        scores every doc, and each source keeps its top ``nb_top_frac``
@@ -1359,6 +1366,12 @@ def curated_corpus(
         "doc_id", "text"
     )
     tb = _banded_signatures(ekept, "text", "doc_id", k=8, num_hashes=16, bands=4)
+    # hot-bucket cap: the count rides the same (band, key) partitioning
+    # the self-join needs — no extra shuffle
+    _bn = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    tb = tb.withColumn("_bn", _bn).filter(
+        F.col("_bn") <= nd_max_band_bucket
+    ).drop("_bn")
     a, b = tb.alias("a"), tb.alias("b")
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)

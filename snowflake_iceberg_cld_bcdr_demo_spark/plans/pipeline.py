@@ -4391,13 +4391,18 @@ def _curated_cte() -> str:
         FROM fpq
     ),
     ekt AS (SELECT doc_id FROM ekf WHERE e_keep),
+    bandek AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT bd.doc_id, bd.band, bd.band_key,
+                   COUNT(*) OVER (PARTITION BY bd.band, bd.band_key) AS bn
+            FROM banded bd JOIN ekt USING (doc_id)
+        ) WHERE bn <= 200
+    ),
     ndp AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+        FROM bandek a
+        JOIN bandek b ON a.band = b.band AND a.band_key = b.band_key
                      AND a.doc_id > b.doc_id
-        JOIN ekt ka ON ka.doc_id = a.doc_id
-        JOIN ekt kb ON kb.doc_id = b.doc_id
     ),
     ndd AS (
         SELECT DISTINCT da AS doc_id
@@ -4489,7 +4494,7 @@ def _curated_cte() -> str:
     # each; DuckDB inlines plain CTEs per reference (re-running the
     # whole upstream chain), so the hot shared stages are MATERIALIZED —
     # the SQL analog of the Spark side's parquet stage tables.
-    for name in ("d1", "d2", "sig", "banded", "ekf", "flags"):
+    for name in ("d1", "d2", "sig", "banded", "ekf", "bandek", "flags"):
         cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
     return cte
 

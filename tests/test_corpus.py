@@ -1117,3 +1117,24 @@ def test_curated_corpus_dedup_gates_drop_planted_dups(spark):
     for r in out.values():
         if r.curated:
             assert r.e_keep and r.nd_keep
+
+
+def test_curated_corpus_nd_hot_bucket_cap(spark):
+    """nd hot-bucket guard: a near-identical cluster larger than
+    nd_max_band_bucket is NOT paired (capped-out members stay kept —
+    the documented LSH-cap recall trade-off); with a roomy cap the
+    keep-lowest rule prunes all but the lowest id.  Each doc sits in
+    its own source so the shared body survives boilerplate removal."""
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, body + f"tail {i}", f"src{i}") for i in range(1, 5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i, _, _ in rows], "vec_id long, embedding array<double>"
+    )
+    shares = {f"src{i}": 0.25 for i in range(1, 5)}
+    args = (docs, emb, F.col("source") == "src1", 10_000, shares)
+    roomy = {r.doc_id: r.nd_keep for r in corpus.curated_corpus(*args).collect()}
+    assert roomy == {1: True, 2: False, 3: False, 4: False}
+    capped = {r.doc_id: r.nd_keep for r in corpus.curated_corpus(
+        *args, nd_max_band_bucket=2).collect()}
+    assert capped == {1: True, 2: True, 3: True, 4: True}
