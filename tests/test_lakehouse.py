@@ -663,3 +663,49 @@ def test_two_writer_concurrent_append_cas(spark, tmp_path):
     # snapshot ids strictly increasing, unique (the CAS invariant)
     ids = [s.snapshot_id for s in snaps]
     assert ids == sorted(set(ids))
+
+
+def test_curated_corpus_ships_as_lakehouse_table(spark, cat):
+    """End-to-end product integration: the curated corpus (the curation
+    pipeline's output) ships as a lakehouse table — initial curation
+    creates it, an incremental batch appends a new snapshot, and time
+    travel recovers the previous curated set (the corpus-versioning
+    story a training run depends on)."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+
+    def batch(start, n):
+        return spark.createDataFrame(
+            [(i, f"doc body tokens number {i} alpha beta gamma", f"src{i % 2}")
+             for i in range(start, start + n)],
+            "doc_id long, text string, source string",
+        )
+
+    # vec_ids disjoint from doc_ids: docs without vectors pass the
+    # embedding gate (identical vectors would flag everything leaked)
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(1000, 1010)],
+        "vec_id long, embedding array<double>",
+    )
+    shares = {"src0": 0.5, "src1": 0.5}
+
+    d1 = corpus.curated_corpus(batch(1, 20), emb, F.col("source") == "src0",
+                               10_000, shares)
+    cat.create_table("corpus", "curated_decisions", d1.filter("curated"))
+    n1 = cat.load("corpus", "curated_decisions").count()
+    assert n1 > 0
+
+    d2 = corpus.curated_corpus(batch(21, 20), emb, F.col("source") == "src0",
+                               10_000, shares)
+    cat.append("corpus", "curated_decisions", d2.filter("curated"))
+
+    snaps = cat.snapshots("corpus", "curated_decisions")
+    assert [s.operation for s in snaps] == ["create", "append"]
+    total = cat.load("corpus", "curated_decisions").count()
+    assert total > n1
+    # time travel: the first curated set is recoverable bit-for-bit
+    v1 = cat.load("corpus", "curated_decisions", snapshot_id=snaps[0].snapshot_id)
+    assert v1.count() == n1
+    assert sorted(r.doc_id for r in v1.collect()) == \
+        sorted(r.doc_id for r in d1.filter("curated").select("doc_id").collect())
