@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 #: control characters stripped AFTER NFC normalization (C0 except \t \n,
 #: plus DEL) — the same class the oracle strips with a regex
@@ -117,4 +118,64 @@ def compression_signals(
             f"{id_col} long, compression_ratio double, char_entropy double, "
             "n_chars long"
         ),
+    )
+
+
+#: repr(math.log(2)) — interpolated identically into the SQL oracle so
+#: the bits-per-char conversion divides by the same double.
+LN2 = 0.6931471805599453
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-entropy junk signal, pure Catalyst (the SQL-replayable
+    half of :func:`compression_signals` — zlib stays Python-side by
+    nature): per document, Shannon entropy of the character
+    distribution in bits, ``-Σ p·ln(p) / ln 2``, folded over the
+    per-doc character counts IN CHARACTER ORDER on both engines
+    (sorted-struct fold here, ``sum(... ORDER BY c)`` in DuckDB) so the
+    doubles match bit-for-bit.  Low entropy = repetitive/templated
+    text; near-log2(charset) = random noise.
+
+    Scale: one (doc, char) map-side-combined count shuffle (output
+    bounded by |docs| × charset) and one doc rollup whose per-doc state
+    is O(distinct chars) — alphabet-bounded, never document-length-
+    bounded.  Empty docs report 0.0."""
+    from .dedup import _parallelize_scan
+
+    base = _parallelize_scan(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).filter(F.col("n_chars") > 0)
+    counts = base.groupBy("doc_id", "n_chars", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    def term(x):
+        px = x["cnt"].cast("double") / F.col("n_chars").cast("double")
+        return px * F.log(px)
+
+    folded = counts.groupBy("doc_id", "n_chars").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("c"), F.col("cnt")))),
+            F.lit(0.0),
+            lambda acc, x: acc + term(x),
+        ).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(folded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chars", F.lit(0).cast("long")).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0).cast("long")).alias(
+                "n_distinct_chars"
+            ),
+            F.coalesce(
+                F.round(-F.col("_s") / F.lit(LN2), 8), F.lit(0.0)
+            ).alias("char_entropy_bits"),
+        )
     )

@@ -4620,3 +4620,42 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "curated_test"
         ),
     )
+
+
+@_spec(
+    "char_entropy_profile",
+    """
+    WITH ch AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+               unnest(string_split(text, '')) AS c
+        FROM documents WHERE length(text) > 0
+    ),
+    counts AS (
+        SELECT doc_id, n_chars, c, count(*) AS cnt
+        FROM ch GROUP BY doc_id, n_chars, c
+    ),
+    folded AS (
+        SELECT doc_id, n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               sum((CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   * ln(CAST(cnt AS DOUBLE) / CAST(n_chars AS DOUBLE))
+                   ORDER BY c) AS s
+        FROM counts GROUP BY doc_id, n_chars
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(f.n_chars, 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(f.n_distinct_chars, 0) AS BIGINT) AS n_distinct_chars,
+           coalesce(round(-f.s / 0.6931471805599453, 8), 0.0)
+               AS char_entropy_bits
+    FROM documents d LEFT JOIN folded f USING (doc_id)
+    """,
+)
+def char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy junk signal, pure Catalyst and hash-certified —
+    the SQL-replayable half of the compression-signals detector (zlib
+    ratio stays rows-only by nature): Shannon entropy in bits per doc,
+    folded over per-doc character counts in character order on both
+    engines.  See :func:`operators.textclean.char_entropy`."""
+    from ..operators import textclean
+
+    return textclean.char_entropy(table(spark, sf_dir, "documents"))

@@ -76,3 +76,24 @@ def test_wap_audit_gate(spark, tmp_path):
     Q.enforce(cat.load("db", "t", ref="incoming2"), rules)
     cat.publish_branch("db", "t", "incoming2")
     assert cat.load("db", "t").count() == 3
+
+
+def test_char_entropy_catalyst_matches_python_kernel(spark):
+    """The pure-Catalyst entropy must agree with compression_signals'
+    Python kernel to rounding (different summation orders — first
+    appearance vs sorted char — so equality is to 1e-9, not bits)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textclean
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, "mississippi")],
+        "doc_id long, text string",
+    )
+    jvm = {r.doc_id: r.char_entropy_bits
+           for r in textclean.char_entropy(docs).collect()}
+    py = {r.doc_id: r.char_entropy
+          for r in textclean.compression_signals(docs).collect()}
+    assert jvm[1] == 0.0 and jvm[4] == 0.0
+    assert abs(jvm[2] - 1.0) < 1e-9  # two equiprobable symbols = 1 bit
+    assert abs(jvm[3] - 2.0) < 1e-9
+    for k in jvm:
+        assert abs(jvm[k] - py[k]) < 1e-8, k
