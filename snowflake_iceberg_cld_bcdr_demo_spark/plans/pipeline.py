@@ -1683,6 +1683,7 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(coalesce(r.ct, '')) AS clean_hash
     FROM documents d LEFT JOIN rebuilt r USING (doc_id)
     """,
+    changed_in=8,
 )
 def collapse_repetitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ACTING repetition removal (Gopher cleanup, decoder-loop repair):
@@ -2825,6 +2826,7 @@ def cluster_balanced_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cos, 6) AS max_cosine, cos >= 0.9 AS leaked
     FROM best
     """,
+    changed_in=8,
 )
 def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space decontamination of the train split (vec_id % 10
