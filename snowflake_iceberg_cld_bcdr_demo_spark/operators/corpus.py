@@ -492,6 +492,14 @@ def mixture_token_budget(
 
     from ..functions.text import bpe_piece_count
 
+    if token_budget < 0:
+        raise ValueError(f"mixture_token_budget: token_budget must be >= 0, got {token_budget}")
+    bad = {k: v for k, v in shares.items() if v < 0}
+    if bad:
+        # a negative share floors to a negative target and silently
+        # admits nothing from that source
+        raise ValueError(f"mixture_token_budget: negative shares {bad}")
+
     share = F.coalesce(
         *[
             F.when(F.col(group_col) == k, F.lit(float(v)))
@@ -1305,6 +1313,20 @@ def curated_corpus(
     from . import extract, textops
     from .dedup import _banded_signatures, neardup_decontaminate
     from .similarity import embedding_decontaminate
+
+    if eval_mod < 2:
+        # eval_mod=1 makes EVERY doc eval (empty corpus); 0 divides by zero
+        raise ValueError(f"curated_corpus: eval_mod must be >= 2, got {eval_mod}")
+    if not 0.0 < nb_top_frac <= 1.0:
+        raise ValueError(
+            f"curated_corpus: nb_top_frac must be in (0, 1], got {nb_top_frac}"
+        )
+    if nd_max_band_bucket < 2:
+        # a bucket needs >= 2 members to pair at all — a smaller cap
+        # silently disables near-dup pruning
+        raise ValueError(
+            f"curated_corpus: nd_max_band_bucket must be >= 2, got {nd_max_band_bucket}"
+        )
 
     spark = docs.sparkSession
 

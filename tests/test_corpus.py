@@ -1138,3 +1138,20 @@ def test_curated_corpus_nd_hot_bucket_cap(spark):
     capped = {r.doc_id: r.nd_keep for r in corpus.curated_corpus(
         *args, nd_max_band_bucket=2).collect()}
     assert capped == {1: True, 2: True, 3: True, 4: True}
+
+
+def test_curated_corpus_and_mixture_validate_params(spark):
+    """Degenerate parameters fail fast instead of silently producing an
+    empty or unpruned corpus."""
+    docs = spark.createDataFrame([(1, "a b c", "src0")],
+                                 "doc_id long, text string, source string")
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<double>")
+    import pytest as _pt
+    for kw in ({"eval_mod": 1}, {"nb_top_frac": 0.0}, {"nb_top_frac": 1.5},
+               {"nd_max_band_bucket": 1}):
+        with _pt.raises(ValueError):
+            corpus.curated_corpus(docs, emb, F.lit(True), 100, {"src0": 1.0}, **kw)
+    with _pt.raises(ValueError, match="negative shares"):
+        corpus.mixture_token_budget(docs, 100, {"src0": -0.1})
+    with _pt.raises(ValueError, match="token_budget"):
+        corpus.mixture_token_budget(docs, -5, {"src0": 1.0})
