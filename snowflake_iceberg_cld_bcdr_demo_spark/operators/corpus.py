@@ -333,7 +333,7 @@ def prepare_corpus(
     lm_floor: float | None = None,
     per_source_quota: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """End-to-end corpus preparation: quality gate ∩ exact dedup ∩
+    """INDEPENDENT-GATES corpus preparation: quality gate ∩ exact dedup ∩
     near-dup dedup — optionally ∩ a unigram-LM score floor
     (``lm_floor``: drop docs whose mean ln p(token) under the corpus LM
     is below it; CCNet-style perplexity gating) and ∩ a per-source
@@ -344,6 +344,16 @@ def prepare_corpus(
     flags is the full per-document decision table (gains ``lm_keep`` /
     ``s_keep`` columns only when the matching gate is enabled, so the
     default output shape is unchanged).
+
+    THE canonical shipped-corpus definition is :func:`curated_corpus`
+    (the chained pipeline: collapse → boilerplate → dedup → ExactSubstr
+    → PII → blocklist → NB → dual decontamination → mixture → split);
+    this function is retained as the lightweight building block for the
+    simpler, strictly intersect-of-independent-gates posture — every
+    gate here is a full-corpus computation over the RAW text,
+    intersected at the end — and as the oracle-certified cross-check of
+    that composition style.  A new corpus build should start from
+    :func:`curated_corpus`.
 
     Every gate remains an independent full-corpus computation
     intersected at the end — order-free, reproducible, shard-parallel.
@@ -1221,7 +1231,10 @@ def nb_quality_scores(
         .select(
             "doc_id",
             F.col("_is_target").alias("is_target"),
-            F.size("_toks").cast("long").alias("n_tokens"),
+            # regexp_extract_all of a NULL text yields NULL, not []:
+            # coalesce keeps the documented "docs with no tokens get 0"
+            # contract (and the oracle's coalesce(n_tokens, 0)) intact
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("n_tokens"),
             F.round(logodds, 8).alias("nb_logodds"),
             F.coalesce(logodds > 0, F.lit(False)).alias("keep"),
         )
@@ -1238,6 +1251,9 @@ def curated_corpus(
     nb_top_frac: float = 0.6,
     nd_max_band_bucket: int = 200,
     emb_threshold: float = 0.9,
+    es_block: int = 50,
+    blocklist: list[str] | None = None,
+    blocklist_max_hits: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -1264,7 +1280,34 @@ def curated_corpus(
        near-identical TEMPLATED cluster exact dedup can't collapse
        would otherwise go quadratic; capped-out members stay kept,
        the documented LSH-cap recall trade-off),
-    4. model-based quality SELECTION on the cleaned text: the NB
+    4. two-phase ExactSubstr block removal over the SHIPPED universe —
+       the dedup survivors plus the eval docs, cleaned text
+       (:func:`.dedup.remove_duplicate_blocks_overlap`, ``es_block``-char
+       tiles, duplicate windows at stride block/2): residual
+       cross-document duplicated passages are CUT OUT of the text
+       rather than dropping whole documents — the Lee-et-al. complement
+       to document-level dedup, run AFTER it (the RefinedWeb ordering:
+       doc dedup keeps one canonical copy first; ES-first would excise
+       duplicated text from EVERY copy, destroying all of them and
+       blinding the near-dup gate).  Eval docs sit in the detector
+       corpus, so a train passage copied verbatim from an eval doc is
+       also removed here.  Only docs with >= ``2*es_block`` normalized
+       chars enter the gate (for a sub-block doc the covering tile IS
+       the whole document, so a short shared footer would erase it
+       entirely; short-doc duplication is doc-level dedup's job).  The
+       output text is the NORMALIZED form (lowercased, whitespace-
+       collapsed) for ALL docs — every downstream gate normalizes
+       anyway,
+    5. PII redaction on the deduplicated text (:func:`pii_scrub` —
+       emails / IPv4 / long digit runs → typed placeholder tokens),
+       counted per doc as ``pii_redactions``,
+    6. term-blocklist screening of the shipped text
+       (:func:`.textops.blocklist_hits`, whole-word case-insensitive;
+       ``blocklist=None`` disables the gate but keeps the
+       ``blocklisted`` column, all-false) — screening runs AFTER
+       redaction so placeholder tokens can't mask listed terms
+       (the listed terms are words, not PII patterns),
+    7. model-based quality SELECTION on the scrubbed text: the NB
        classifier (:func:`nb_quality_scores`, target = ``nb_target``)
        scores every doc, and each source keeps its top ``nb_top_frac``
        fraction by score (rank on the 8-dp-rounded log-odds, ties to
@@ -1272,46 +1315,65 @@ def curated_corpus(
        score-ranking filter; a hard posterior cut would be dominated
        by the class prior on weak-signal corpora, while per-source
        ranking adapts to the actual score distribution AND preserves
-       source diversity.  The classifier trains on the full cleaned
-       corpus — gates stay independent computations intersected at the
-       end, the :func:`prepare_corpus` discipline,
-    5. near-dup decontamination of the cleaned train split against the
+       source diversity.  The classifier trains on the full scrubbed
+       corpus (survivors + eval) — gates stay independent computations
+       intersected at the end, the :func:`prepare_corpus` discipline,
+    8. near-dup decontamination of the scrubbed train split against the
        RAW eval split (``id % eval_mod == 0``; benchmarks are external
        artifacts, never cleaned) — :func:`.dedup.neardup_decontaminate`,
-    6. embedding-space decontamination of the same train/eval split
+    9. embedding-space decontamination of the same train/eval split
        (:func:`.similarity.embedding_decontaminate`, ``embeddings``
        keyed by ``vec_id == doc_id``; docs without a vector pass),
-    7. token-budgeted mixture over the surviving docs' CLEANED text
+    10. token-budgeted mixture over the surviving docs' SCRUBBED text
        (:func:`mixture_token_budget`), and
-    8. group-aware leakage-free split assignment (:func:`group_split`).
+    11. group-aware leakage-free split assignment (:func:`group_split`).
 
     Output: ONE ROW PER INPUT DOC — the full per-document decision
     trail ``(id, group, is_eval, n_raw_tokens, n_collapsed,
-    n_boiler_dropped, e_keep, nd_keep, nb_keep, contaminated,
-    emb_leaked, curated, n_mix_tokens, split)``; ``curated`` means
-    admitted by the mixture (which implies every upstream gate passed),
-    ``n_mix_tokens`` the BPE-ish pieces the admission metered.  Eval
-    docs carry ``e_keep``/``nd_keep`` = true (dedup does not apply to
-    the held-out split; ``is_eval`` already excludes it).
+    n_boiler_dropped, es_dropped_chars, pii_redactions, e_keep,
+    nd_keep, nb_keep, contaminated, emb_leaked, blocklisted, curated,
+    n_mix_tokens, split)``; ``curated`` means admitted by the mixture
+    (which implies every upstream gate passed), ``n_mix_tokens`` the
+    BPE-ish pieces the admission metered, ``es_dropped_chars`` the
+    normalized-text characters ExactSubstr cut, ``pii_redactions`` the
+    summed redaction count across the PII rules.  Eval docs carry
+    ``e_keep``/``nd_keep`` = true (dedup does not apply to the held-out
+    split; ``is_eval`` already excludes it) but REAL
+    ``es_dropped_chars``/``pii_redactions``/``blocklisted`` values.
+    Docs the dedup gates dropped never reach the ES/PII/blocklist
+    stages: their counters are 0 and ``blocklisted`` false — the
+    decision trail records what each gate actually saw, and a doc
+    leaves the chain at its first hard drop.
 
     Scale: every stage keeps its own documented 100 TB shape (eval
     sides broadcast, models are one-row broadcast maps, the mixture
-    cumsum is key-range bucketed); composition adds NO new shuffle
+    cumsum is key-range bucketed, ExactSubstr's wide stages are
+    uniform 32-byte window hashes); composition adds NO new shuffle
     class.  ``stage_dir`` is the production posture (and the shape the
-    registry certifies): the stage-2 cleaned text and the per-gate flag
+    registry certifies): the stage-2 cleaned text, the per-train-doc
+    dedup verdicts, the stage-5 scrubbed text, and the per-gate flag
     table are each MATERIALIZED as parquet stage tables — the tables a
     real corpus build ships and audits anyway — and downstream gates
     read them back, so no gate ever replays another gate's lineage
     (lazy composition multiplies the cleaning subtree into every
-    consumer's plan: ~190 planned shuffles at 7 gates vs ~30 staged).
-    ``stage_dir=None`` keeps the fully lazy single-plan form — same
-    bits either way (asserted in tests).
+    consumer's plan).  The "cleaned" stage table additionally
+    guarantees ExactSubstr's determinism contract (its detector and
+    reassembly branches re-derive the input plan independently).
+    ``stage_dir=None`` replaces the parquet writes with LAZY local
+    checkpoints at the same stage points (in-memory lineage cuts; the
+    fully-inlined plan would embed each gate's subtree once per
+    consumer) — same bits either way (asserted in tests).
     """
     from pyspark.sql import Window
 
-    from ..functions.text import fingerprint
+    from ..functions.text import fingerprint, normalized_text
     from . import extract, textops
-    from .dedup import _banded_signatures, neardup_decontaminate
+    from .dedup import (
+        _banded_signatures,
+        banded_self_join,
+        neardup_decontaminate,
+        remove_duplicate_blocks_overlap,
+    )
     from .similarity import embedding_decontaminate
 
     if eval_mod < 2:
@@ -1332,7 +1394,15 @@ def curated_corpus(
 
     def stage(df: DataFrame, name: str) -> DataFrame:
         if stage_dir is None:
-            return df
+            # in-memory form: truncate lineage with a LAZY local
+            # checkpoint at the same stage points — the composed
+            # 11-gate plan would otherwise embed each gate's subtree
+            # once per consumer (the ExactSubstr detector alone
+            # consumes its input three times), which is un-plannable
+            # at depth and a determinism hazard for the branching
+            # gates.  Materializes once on first action; blocks are
+            # released by the context cleaner with the DataFrame.
+            return df.localCheckpoint(eager=False)
         path = f"{stage_dir}/{name}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
@@ -1356,9 +1426,9 @@ def curated_corpus(
         "doc_id",
     )
 
-    # 2. boilerplate removal on the collapsed text.  d2 IS the cleaned
-    # corpus — the stage table a production build ships — and feeds
-    # three independent gates, so it is the first materialization point.
+    # 2. boilerplate removal on the collapsed text.  d2 is the first
+    # materialization point: it feeds ExactSubstr's two plan branches,
+    # which require a DETERMINISTIC input (the stage table guarantees it).
     bp = extract.remove_boilerplate_ngrams(d1, n=5, min_docs=3)
     d2 = stage(
         d1.select("doc_id", "source", "n_raw_tokens", "n_collapsed").join(
@@ -1374,7 +1444,12 @@ def curated_corpus(
 
     # 3. within-corpus dedup of the cleaned train split: exact collapse
     # first (one fingerprint window), then near-dup pruning among the
-    # exact survivors (band self-join; keep-lowest pairwise rule)
+    # exact survivors (band self-join; keep-lowest pairwise rule).
+    # Dedup runs BEFORE ExactSubstr (the RefinedWeb ordering): document-
+    # level dedup keeps one canonical copy of duplicated content, and
+    # only THEN are residual cross-document passages cut out — the
+    # reverse order would excise duplicated text from every copy,
+    # destroying all of them and blinding the near-dup gate.
     trn = d2.filter(~is_eval)
     ek = trn.select(
         "doc_id", fingerprint(F.col("text")).alias("_fp")
@@ -1388,26 +1463,17 @@ def curated_corpus(
         "doc_id", "text"
     )
     tb = _banded_signatures(ekept, "text", "doc_id", k=8, num_hashes=16, bands=4)
-    # hot-bucket cap: the count rides the same (band, key) partitioning
-    # the self-join needs — no extra shuffle
-    _bn = F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    tb = tb.withColumn("_bn", _bn).filter(
-        F.col("_bn") <= nd_max_band_bucket
-    ).drop("_bn")
-    a, b = tb.alias("a"), tb.alias("b")
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(16)
     )
+    # the shared capped band self-join (one guarded implementation —
+    # :func:`.dedup.banded_self_join`); with its a.doc_id < b.doc_id
+    # convention the keep-lowest drop target is the b side
     nd_drop = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") > F.col("b.doc_id")),
-        )
+        banded_self_join(tb, max_band_bucket=nd_max_band_bucket)
         .select(
-            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_id"),
             F.round(agree / F.lit(16.0), 4).alias("_ej"),
         )
         .filter(F.col("_ej") >= 0.5)
@@ -1416,14 +1482,108 @@ def curated_corpus(
         .withColumn("_nd_drop", F.lit(True))
     )
 
-    # 4. model-based quality selection: NB score -> per-source
+    # the per-train-doc dedup verdicts — staged so the expensive minhash
+    # band join is evaluated ONCE (the survivor selection below and the
+    # final flag assembly both consume it)
+    dflags = stage(
+        ek.join(nd_drop, "doc_id", "left").select(
+            "doc_id",
+            "e_keep",
+            (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
+        ),
+        "dedup_flags",
+    )
+    surv = dflags.filter(F.col("e_keep") & F.col("nd_keep")).select("doc_id")
+
+    # 4. two-phase ExactSubstr block removal over the SHIPPED universe
+    # (dedup survivors + eval docs, cleaned text): residual cross-
+    # document duplicated es_block-char windows (stride block/2) drop
+    # their covering tiles — duplicated passages are CUT OUT rather than
+    # whole documents dropped.  Eval docs are in the detector corpus, so
+    # a train passage copied verbatim from an eval doc is also removed.
+    # ONLY docs with >= 2*es_block normalized chars enter the gate: for
+    # a sub-block document the covering tile IS the whole document, so a
+    # short shared suffix (a sign-off, a footer) would erase the entire
+    # doc — short-doc duplication is document-level dedup's job (already
+    # applied above); shorter docs pass through with their text
+    # normalized the same way, so stage output stays uniform.
+    ship = d2.join(surv, "doc_id").unionByName(d2.filter(is_eval))
+    shipn = ship.select(
+        "doc_id",
+        "source",
+        "n_raw_tokens",
+        "n_collapsed",
+        "n_boiler_dropped",
+        normalized_text(F.col("text")).alias("nt"),
+    )
+    es = remove_duplicate_blocks_overlap(
+        shipn.filter(F.length("nt") >= 2 * es_block).select(
+            "doc_id", F.col("nt").alias("text")
+        ),
+        block=es_block,
+    )
+    d3 = (
+        shipn.join(
+            es.select("doc_id", "clean_len", F.col("clean_text").alias("_es_text")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_raw_tokens",
+            "n_collapsed",
+            "n_boiler_dropped",
+            F.coalesce(F.length("nt") - F.col("clean_len"), F.lit(0))
+            .cast("long")
+            .alias("es_dropped_chars"),
+            F.coalesce("_es_text", "nt").alias("text"),
+        )
+    )
+
+    # 5. PII redaction on the deduplicated text.  d4 IS the shipped
+    # corpus — the stage table a production build audits — and feeds
+    # four independent gates, so it is the second text materialization.
+    pii = pii_scrub(d3)
+    d4 = stage(
+        d3.select(
+            "doc_id",
+            "source",
+            "n_raw_tokens",
+            "n_collapsed",
+            "n_boiler_dropped",
+            "es_dropped_chars",
+        ).join(
+            pii.select(
+                "doc_id",
+                (F.col("n_email") + F.col("n_ipv4") + F.col("n_long_number"))
+                .cast("long")
+                .alias("pii_redactions"),
+                F.col("clean_text").alias("text"),
+            ),
+            "doc_id",
+        ),
+        "scrubbed",
+    )
+
+    # 6. blocklist screening of the shipped text (post-redaction; the
+    # column is emitted all-false when no list is configured so the
+    # decision-trail schema is parameter-independent)
+    if blocklist is not None:
+        bl = textops.blocklist_hits(
+            d4, list(blocklist), max_hits=blocklist_max_hits
+        ).select("doc_id", (~F.col("keep")).alias("blocklisted"))
+    else:
+        bl = d4.select("doc_id", F.lit(False).alias("blocklisted"))
+
+    # 7. model-based quality selection: NB score -> per-source
     # top-fraction rank gate (scale: the rank window partitions by
     # source — the source_quota shape, never a global single-reducer
     # sort; WindowGroupLimit bounds the per-source cost)
-    scores = nb_quality_scores(d2, nb_target, buckets=256).select(
+    scores = nb_quality_scores(d4, nb_target, buckets=256).select(
         "doc_id", "nb_logodds"
     )
-    trn_scores = d2.filter(~is_eval).select("doc_id", "source").join(
+    trn_scores = d4.filter(~is_eval).select("doc_id", "source").join(
         scores, "doc_id"
     )
     wsrc = Window.partitionBy("source").orderBy(
@@ -1441,25 +1601,36 @@ def curated_corpus(
         ).alias("nb_keep"),
     )
 
-    # 5. lexical decontamination: cleaned train vs RAW eval
+    # 8. lexical decontamination: scrubbed train vs RAW eval
     dec = neardup_decontaminate(
-        d2.filter(~is_eval), base.filter(is_eval), k=8, num_hashes=16, bands=4
+        d4.filter(~is_eval), base.filter(is_eval), k=8, num_hashes=16, bands=4
     ).select(F.col("train_doc_id").alias("doc_id"), "contaminated")
 
-    # 6. embedding-space decontamination (vec_id == doc_id)
+    # 9. embedding-space decontamination (vec_id == doc_id)
     ev = F.col("vec_id") % eval_mod == 0
     sem = embedding_decontaminate(
         embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
     ).select(F.col("vec_id").alias("doc_id"), "leaked")
 
-    # the per-gate decision table — the audit artifact — is the second
-    # materialization point (mixture + final assembly both consume it)
+    # the per-gate decision table — the audit artifact — is the last
+    # materialization point (mixture + final assembly both consume it).
+    # Rooted at d2 so it keeps ONE ROW PER INPUT DOC: docs the dedup
+    # gates dropped never reached the ES/PII/blocklist stages, so their
+    # chars/redaction counters coalesce to 0 and their text stays the
+    # cleaned (pre-ES) form — it is never shipped anyway.
+    d4info = d4.select(
+        "doc_id",
+        "es_dropped_chars",
+        "pii_redactions",
+        F.col("text").alias("_stext"),
+    )
     flags = (
-        d2.join(ek, "doc_id", "left")
-        .join(nd_drop, "doc_id", "left")
+        d2.join(dflags, "doc_id", "left")
+        .join(d4info, "doc_id", "left")
         .join(nb, "doc_id", "left")
         .join(dec, "doc_id", "left")
         .join(sem, "doc_id", "left")
+        .join(bl, "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -1467,13 +1638,20 @@ def curated_corpus(
             "n_raw_tokens",
             "n_collapsed",
             "n_boiler_dropped",
-            "text",
+            F.coalesce("es_dropped_chars", F.lit(0).cast("long")).alias(
+                "es_dropped_chars"
+            ),
+            F.coalesce("pii_redactions", F.lit(0).cast("long")).alias(
+                "pii_redactions"
+            ),
+            F.coalesce("_stext", F.col("text")).alias("text"),
             # eval rows have no dedup verdict: gates do not apply there
             F.coalesce("e_keep", F.lit(True)).alias("e_keep"),
-            (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
+            F.coalesce("nd_keep", F.lit(True)).alias("nd_keep"),
             F.coalesce("nb_keep", F.lit(True)).alias("nb_keep"),
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
             F.coalesce("leaked", F.lit(False)).alias("emb_leaked"),
+            F.coalesce("blocklisted", F.lit(False)).alias("blocklisted"),
         )
     )
     flags = stage(flags, "flags")
@@ -1484,14 +1662,15 @@ def curated_corpus(
         & F.col("nb_keep")
         & ~F.col("contaminated")
         & ~F.col("emb_leaked")
+        & ~F.col("blocklisted")
     )
 
-    # 7. token-budgeted mixture over the survivors' cleaned text
+    # 10. token-budgeted mixture over the survivors' scrubbed text
     mix = mixture_token_budget(
         flags.filter(survivor), token_budget, shares
     ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
 
-    # 8. split assignment + final decision trail
+    # 11. split assignment + final decision trail
     return group_split(flags.join(mix, "doc_id", "left")).select(
         "doc_id",
         "source",
@@ -1499,11 +1678,14 @@ def curated_corpus(
         "n_raw_tokens",
         "n_collapsed",
         "n_boiler_dropped",
+        "es_dropped_chars",
+        "pii_redactions",
         "e_keep",
         "nd_keep",
         "nb_keep",
         "contaminated",
         "emb_leaked",
+        "blocklisted",
         F.coalesce("_adm", F.lit(False)).alias("curated"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
         "split",

@@ -215,7 +215,40 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("band_key"))
+    return (
+        banded_self_join(banded, max_band_bucket)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def banded_self_join(
+    banded: DataFrame,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
+    """THE shared LSH candidate-pair shape: hot-bucket-capped self-join
+    of a banded table (``doc_id``, ``band``, ``band_key``, plus any
+    carried columns) on ``(band, band_key)`` with ``a.doc_id <
+    b.doc_id``.  Returns the RAW aliased join — sides ``a``/``b`` — so
+    callers project pairs / signature agreement / carried columns
+    themselves (:func:`lsh_candidate_pairs`, :func:`minhash_similarity`,
+    and the within-corpus gate of
+    :func:`..operators.corpus.curated_corpus` all consume it; one
+    guarded implementation instead of per-caller inline copies of the
+    cap).
+
+    ``max_band_bucket`` drops band keys with more members BEFORE the
+    self-join (a B-doc bucket yields B²/2 pairs — the LSH skew
+    guard); the bucket-size count rides the same (band, key)
+    partitioning the join needs, so the cap adds no extra shuffle.
+    ``None`` keeps the exact all-collisions contract."""
     if max_band_bucket is not None:
+        if max_band_bucket < 2:
+            # a bucket needs >= 2 members to pair at all — a smaller cap
+            # silently disables candidate generation entirely
+            raise ValueError(
+                f"banded_self_join: max_band_bucket must be >= 2, got {max_band_bucket}"
+            )
         from pyspark.sql import Window
 
         # bucket-size count rides the same (band, key) partitioning the
@@ -226,15 +259,11 @@ def lsh_candidate_pairs(
         ).drop("_bn")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
 
 
@@ -310,19 +339,12 @@ def minhash_similarity(
     banded = _banded_signatures(
         docs, text_col, id_col, k, num_hashes, bands, carry_cols
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        banded_self_join(banded)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -642,6 +642,15 @@ def embedding_decontaminate_ivf(
     scoring work per train vector drops by K/nprobe and the partial
     max-struct still collapses everything to |train| rows before the
     only shuffle."""
+    if not centroids:
+        # an empty codebook would probe nothing: every train vector
+        # silently gets leaked=false — decontamination disabled, no error
+        raise ValueError("embedding_decontaminate_ivf: centroids is empty")
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(
+            f"embedding_decontaminate_ivf: nprobe must be in "
+            f"[1, {len(centroids)}], got {nprobe}"
+        )
     ev = ivf_assign(
         eval_emb.select(id_col, vec_col), centroids, id_col, vec_col
     ).select(

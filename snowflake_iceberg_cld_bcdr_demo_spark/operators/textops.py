@@ -775,7 +775,9 @@ def unigram_logprob(
     )
     return base.crossJoin(F.broadcast(lm_map)).select(
         "doc_id",
-        F.size("_toks").cast("long").alias("n_tokens"),
+        # NULL-text rows tokenize to NULL, not []: keep the "no tokens
+        # scores as 0 tokens" contract the oracle's coalesce encodes
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("n_tokens"),
         F.round(
             F.when(F.size("_toks") >= 1, logsum) / F.size("_toks"), 8
         ).alias("avg_logprob"),

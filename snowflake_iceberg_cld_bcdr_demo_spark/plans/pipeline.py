@@ -1429,7 +1429,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     CROSS JOIN prior p
     LEFT JOIN folded f USING (doc_id)
     """,
-    changed_in=8,
+    changed_in=10,
 )
 def nb_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the GPT-3-style trained
@@ -2891,6 +2891,7 @@ def embedding_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 10 <> 0) t
     LEFT JOIN best b USING (vec_id)
     """,
+    changed_in=10,
 )
 def embedding_decontaminate_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-probed embedding decontamination (nprobe=2 of 8 cells): the
@@ -3904,7 +3905,7 @@ def conjunctive_term_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(p.ls / p.n_tokens, 8) AS avg_logprob
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
-    changed_in=8,
+    changed_in=10,
 )
 def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score per document (CCNet-style perplexity
@@ -4230,11 +4231,14 @@ def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: bit-for-bit — the gate-interaction contract, not seven independent
 #: passes over the raw corpus.
 def _curated_cte() -> str:
-    band = "\n        UNION ALL\n".join(
-        f"        SELECT doc_id, {b} AS band, "
-        f"{_band_key([f'h{4 * b + j}' for j in range(4)])} AS band_key FROM sig"
-        for b in range(4)
-    )
+    def band_union(sfx: str) -> str:
+        return "\n        UNION ALL\n".join(
+            f"        SELECT doc_id, {b} AS band, "
+            f"{_band_key([f'h{4 * b + j}' for j in range(4)])} AS band_key FROM sig{sfx}"
+            for b in range(4)
+        )
+
+    banda, bandb = band_union("a"), band_union("b")
     cte = f"""
     src AS (SELECT doc_id, source, text FROM documents),
     -- 1. intra-doc repetition collapse
@@ -4309,11 +4313,147 @@ def _curated_cte() -> str:
                coalesce(r.ct, '') AS text
         FROM d1 d LEFT JOIN reb2 r USING (doc_id)
     ),
-    -- 3. NB quality classifier trained and scored on the cleaned text
+    -- 3. within-corpus dedup of the cleaned train split: exact-collapse
+    -- first, then near-dup keep-lowest pruning among exact survivors
+    -- (dedup runs BEFORE ExactSubstr — the RefinedWeb ordering)
+    fpq AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM d2 WHERE doc_id % 10 <> 0
+    ),
+    ekf AS (
+        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS e_keep
+        FROM fpq
+    ),
+    ekt AS (SELECT doc_id FROM ekf WHERE e_keep),
+    norma AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm_text
+        FROM d2 WHERE doc_id % 10 <> 0
+    ),
+    sha AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, length(norm_text) - 6),
+                                     i -> substring(norm_text, CAST(i AS INTEGER), 8)))
+                   AS shingle
+        FROM norma WHERE length(norm_text) >= 8
+    ),
+    siga AS (
+        SELECT doc_id,
+{_MINHASH_AGG}
+        FROM sha GROUP BY doc_id
+    ),
+    bandeda AS (
+{banda}
+    ),
+    bandek AS (
+        SELECT doc_id, band, band_key FROM (
+            SELECT bd.doc_id, bd.band, bd.band_key,
+                   COUNT(*) OVER (PARTITION BY bd.band, bd.band_key) AS bn
+            FROM bandeda bd JOIN ekt USING (doc_id)
+        ) WHERE bn <= 200
+    ),
+    ndp AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bandek a
+        JOIN bandek b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id > b.doc_id
+    ),
+    ndd AS (
+        SELECT DISTINCT da AS doc_id
+        FROM ndp
+        JOIN siga sa ON sa.doc_id = da
+        JOIN siga sb ON sb.doc_id = db
+        WHERE ROUND(({_AGREE}) / 16.0, 4) >= 0.5
+    ),
+    -- the shipped universe: dedup survivors + eval docs, cleaned text
+    survt AS (
+        SELECT doc_id FROM ekt
+        WHERE doc_id NOT IN (SELECT doc_id FROM ndd)
+    ),
+    ship AS (
+        SELECT d2.* FROM d2 JOIN survt USING (doc_id)
+        UNION ALL
+        SELECT * FROM d2 WHERE doc_id % 10 = 0
+    ),
+    -- 4. two-phase ExactSubstr block removal over the shipped universe:
+    -- duplicate 50-char windows at stride 25 drop their covering tiles;
+    -- only docs with >= 100 normalized chars enter the gate
+    norm3 AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM ship
+    ),
+    wins3 AS (
+        SELECT doc_id, length(nt) AS ln, CAST((p - 1) / 25 AS BIGINT) AS j,
+               md5(substring(nt, CAST(p AS INTEGER), 50)) AS h
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 25)) AS p
+              FROM norm3 WHERE length(nt) >= 100)
+    ),
+    dup3 AS (SELECT h FROM wins3 GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+    flag3 AS (SELECT w.doc_id, w.j, w.ln FROM wins3 w JOIN dup3 USING (h)),
+    drop3 AS (
+        SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, CAST(j // 2 AS BIGINT) AS t FROM flag3
+            UNION ALL
+            SELECT doc_id, CAST((j + 1) // 2 AS BIGINT) AS t FROM flag3
+            WHERE j % 2 = 1 AND ln > (j + 1) * 25
+        )
+    ),
+    tiles3 AS (
+        SELECT doc_id, CAST((p - 1) / 50 AS BIGINT) AS t,
+               CAST(p AS INTEGER) AS pos,
+               substring(nt, CAST(p AS INTEGER), 50) AS tile
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 50)) AS p
+              FROM norm3 WHERE length(nt) >= 100)
+    ),
+    reb3 AS (
+        -- ct is '' (not NULL) when every tile dropped, so the d3
+        -- coalesce below can distinguish "fully cut" from "too short
+        -- for the gate"
+        SELECT t.doc_id,
+               coalesce(string_agg(CASE WHEN d.t IS NULL THEN t.tile END, ''
+                                   ORDER BY t.pos), '') AS ct
+        FROM tiles3 t LEFT JOIN drop3 d ON t.doc_id = d.doc_id AND t.t = d.t
+        GROUP BY t.doc_id
+    ),
+    d3 AS (
+        SELECT n.doc_id, d.source, d.n_raw_tokens, d.n_collapsed,
+               d.n_boiler_dropped,
+               CAST(coalesce(length(n.nt) - length(r.ct), 0) AS BIGINT)
+                   AS es_dropped_chars,
+               coalesce(r.ct, n.nt) AS text
+        FROM norm3 n JOIN ship d USING (doc_id) LEFT JOIN reb3 r USING (doc_id)
+    ),
+    -- 5. PII redaction on the deduplicated text (counts pre-redaction)
+    d4 AS (
+        SELECT doc_id, source, n_raw_tokens, n_collapsed, n_boiler_dropped,
+               es_dropped_chars,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                    + len(regexp_extract_all(text,
+                        '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                    + len(regexp_extract_all(text, '[0-9]{{6,}}')) AS BIGINT)
+                   AS pii_redactions,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                   '<IP>', 'g'),
+                   '[0-9]{{6,}}', '<NUM>', 'g') AS text
+        FROM d3
+    ),
+    -- 6. blocklist screening of the shipped text
+    blk AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '(?i)\\b(spark|shuffle|broadcast)\\b')) > 2 AS blocklisted
+        FROM d4
+    ),
+    -- 7. NB quality classifier trained and scored on the scrubbed text
     tagged3 AS (
         SELECT doc_id, source IN ('src0', 'src1') AS is_t,
                regexp_extract_all(lower(text), '\\S+') AS t
-        FROM d2
+        FROM d4
     ),
     bg3 AS (
         SELECT doc_id, is_t, CAST(p AS INTEGER) AS pos,
@@ -4358,64 +4498,36 @@ def _curated_cte() -> str:
                 <= CEIL(0.6 * COUNT(*) OVER (PARTITION BY source)))
                AND nb_logodds IS NOT NULL AS nb_keep
         FROM (SELECT q.doc_id, q.nb_logodds, d.source
-              FROM nbq q JOIN d2 d USING (doc_id)
+              FROM nbq q JOIN d4 d USING (doc_id)
               WHERE d.doc_id % 10 <> 0)
     ),
-    -- 4. lexical decontamination: cleaned train split vs RAW eval split
-    norm AS (
+    -- 8. lexical decontamination: scrubbed train split vs RAW eval split
+    normb AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                    AS norm_text
-        FROM d2 WHERE doc_id % 10 <> 0
+        FROM d4 WHERE doc_id % 10 <> 0
         UNION ALL
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
         FROM src WHERE doc_id % 10 = 0
     ),
-    sh AS (
+    shb AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(1, length(norm_text) - 6),
                                      i -> substring(norm_text, CAST(i AS INTEGER), 8)))
                    AS shingle
-        FROM norm WHERE length(norm_text) >= 8
+        FROM normb WHERE length(norm_text) >= 8
     ),
-    {_SIG_CTE},
-    banded AS (
-{band}
-    ),
-    -- 3. within-corpus dedup of the cleaned train split: exact-collapse
-    -- first, then near-dup keep-lowest pruning among exact survivors
-    fpq AS (
+    sigb AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        FROM d2 WHERE doc_id % 10 <> 0
+{_MINHASH_AGG}
+        FROM shb GROUP BY doc_id
     ),
-    ekf AS (
-        SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY fp) AS e_keep
-        FROM fpq
-    ),
-    ekt AS (SELECT doc_id FROM ekf WHERE e_keep),
-    bandek AS (
-        SELECT doc_id, band, band_key FROM (
-            SELECT bd.doc_id, bd.band, bd.band_key,
-                   COUNT(*) OVER (PARTITION BY bd.band, bd.band_key) AS bn
-            FROM banded bd JOIN ekt USING (doc_id)
-        ) WHERE bn <= 200
-    ),
-    ndp AS (
-        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-        FROM bandek a
-        JOIN bandek b ON a.band = b.band AND a.band_key = b.band_key
-                     AND a.doc_id > b.doc_id
-    ),
-    ndd AS (
-        SELECT DISTINCT da AS doc_id
-        FROM ndp
-        JOIN sig sa ON sa.doc_id = da
-        JOIN sig sb ON sb.doc_id = db
-        WHERE ROUND(({_AGREE}) / 16.0, 4) >= 0.5
+    bandedb AS (
+{bandb}
     ),
     bp4 AS (
         SELECT DISTINCT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id
-        FROM banded t JOIN banded e
+        FROM bandedb t JOIN bandedb e
           ON t.band = e.band AND t.band_key = e.band_key
         WHERE t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
     ),
@@ -4423,14 +4535,14 @@ def _curated_cte() -> str:
         SELECT p.train_doc_id,
                ROUND(({_AGREE}) / 16.0, 4) AS ej
         FROM bp4 p
-        JOIN sig sa ON p.train_doc_id = sa.doc_id
-        JOIN sig sb ON p.eval_doc_id = sb.doc_id
+        JOIN sigb sa ON p.train_doc_id = sa.doc_id
+        JOIN sigb sb ON p.eval_doc_id = sb.doc_id
     ),
     dec4 AS (
         SELECT train_doc_id AS doc_id, max(ej) >= 0.5 AS contaminated
         FROM sc4 GROUP BY train_doc_id
     ),
-    -- 5. embedding-space decontamination (vec_id == doc_id)
+    -- 9. embedding-space decontamination (vec_id == doc_id)
     e5 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     t5 AS (SELECT * FROM e5 WHERE vec_id % 10 <> 0),
     ev5 AS (SELECT vec_id AS eval_id, v AS w FROM e5 WHERE vec_id % 10 = 0),
@@ -4442,21 +4554,31 @@ def _curated_cte() -> str:
         SELECT vec_id AS doc_id, max(cos) >= 0.9 AS leaked
         FROM sc5 GROUP BY vec_id
     ),
-    -- gate assembly
+    -- gate assembly (rooted at d2: one row per input doc; docs the
+    -- dedup gates dropped never reached ES/PII/blocklist, so their
+    -- counters coalesce to 0 and their text stays the cleaned form)
     flags AS (
         SELECT d.doc_id, d.source, (d.doc_id % 10 = 0) AS is_eval,
-               d.n_raw_tokens, d.n_collapsed, d.n_boiler_dropped, d.text,
+               d.n_raw_tokens, d.n_collapsed, d.n_boiler_dropped,
+               CAST(coalesce(s4.es_dropped_chars, 0) AS BIGINT)
+                   AS es_dropped_chars,
+               CAST(coalesce(s4.pii_redactions, 0) AS BIGINT)
+                   AS pii_redactions,
+               coalesce(s4.text, d.text) AS text,
                coalesce(ekf.e_keep, TRUE) AS e_keep,
                (nd.doc_id IS NULL) AS nd_keep,
                coalesce(n.nb_keep, TRUE) AS nb_keep,
                coalesce(c.contaminated, FALSE) AS contaminated,
-               coalesce(s.leaked, FALSE) AS emb_leaked
+               coalesce(s.leaked, FALSE) AS emb_leaked,
+               coalesce(b.blocklisted, FALSE) AS blocklisted
         FROM d2 d
+        LEFT JOIN d4 s4 USING (doc_id)
         LEFT JOIN nbk n USING (doc_id)
         LEFT JOIN ekf USING (doc_id)
         LEFT JOIN ndd nd ON d.doc_id = nd.doc_id
         LEFT JOIN dec4 c USING (doc_id)
         LEFT JOIN sem5 s USING (doc_id)
+        LEFT JOIN blk b USING (doc_id)
     ),
     -- 6. token-budgeted mixture over the survivors' cleaned text
     tok6 AS (
@@ -4467,7 +4589,7 @@ def _curated_cte() -> str:
                md5(CAST(doc_id AS VARCHAR)) AS k
         FROM flags
         WHERE NOT is_eval AND e_keep AND nd_keep AND nb_keep
-          AND NOT contaminated AND NOT emb_leaked
+          AND NOT contaminated AND NOT emb_leaked AND NOT blocklisted
     ),
     cum6 AS (
         SELECT doc_id, n_tokens,
@@ -4483,8 +4605,9 @@ def _curated_cte() -> str:
     decisions AS (
         SELECT f.doc_id, f.source, f.is_eval,
                f.n_raw_tokens, f.n_collapsed, f.n_boiler_dropped,
+               f.es_dropped_chars, f.pii_redactions,
                f.e_keep, f.nd_keep,
-               f.nb_keep, f.contaminated, f.emb_leaked,
+               f.nb_keep, f.contaminated, f.emb_leaked, f.blocklisted,
                (m.doc_id IS NOT NULL) AS curated,
                CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens,
                CASE WHEN {_GRP_U32_SQL} < {_SPLIT_T1} THEN 'train'
@@ -4492,28 +4615,52 @@ def _curated_cte() -> str:
                     ELSE 'test' END AS split
         FROM flags f LEFT JOIN mix6 m USING (doc_id)
     )"""
-    # The chained stages reference d1/d2/sig/banded/flags several times
-    # each; DuckDB inlines plain CTEs per reference (re-running the
+    # The chained stages reference d1/d2/ship/sig*/banded*/flags several
+    # times each; DuckDB inlines plain CTEs per reference (re-running the
     # whole upstream chain), so the hot shared stages are MATERIALIZED —
     # the SQL analog of the Spark side's parquet stage tables.
-    for name in ("d1", "d2", "sig", "banded", "ekf", "bandek", "flags"):
+    for name in (
+        "d1", "d2", "siga", "ekf", "bandek", "ship", "norm3", "d4",
+        "sigb", "bandedb", "flags",
+    ):
         cte = cte.replace(f"{name} AS (", f"{name} AS MATERIALIZED (", 1)
     return cte
 
 
-def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+_CURATED_STAGE_ROOT: str | None = None
 
+
+def _curated_stage_dir(name: str) -> str:
+    """ONE session-scoped stage root, removed at interpreter exit —
+    repeated registry builds overwrite the same stage tables instead of
+    leaking a corpus-sized mkdtemp per build (the stage writes themselves
+    stay eager by design: they ARE the production posture)."""
+    global _CURATED_STAGE_ROOT
+    if _CURATED_STAGE_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CURATED_STAGE_ROOT = tempfile.mkdtemp(prefix="curated-stages-")
+        atexit.register(shutil.rmtree, _CURATED_STAGE_ROOT, ignore_errors=True)
+    return f"{_CURATED_STAGE_ROOT}/{name}"
+
+
+def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # staged form = the production posture (cleaned corpus + flag table
     # written as stage tables, downstream gates read them back) — the
     # lazy form multiplies the cleaning lineage into every gate's plan
+    # keyed by sf_dir: a rebuild at another scale must not overwrite
+    # stage tables a still-lazy DataFrame from this scale would re-read
+    slug = sf_dir.strip("/").replace("/", "-")
     return corpus.curated_corpus(
         table(spark, sf_dir, "documents"),
         table(spark, sf_dir, "embeddings"),
         F.col("source").isin("src0", "src1"),
         _MIX_BUDGET,
         _MIX_SHARES,
-        stage_dir=tempfile.mkdtemp(prefix="curated-stages-"),
+        blocklist=["spark", "shuffle", "broadcast"],
+        stage_dir=_curated_stage_dir(f"main-{slug}"),
     )
 
 
@@ -4523,15 +4670,17 @@ def _curated_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_curated_cte()}
     SELECT * FROM decisions
     """,
+    changed_in=10,
 )
 def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document decision trail of THE composed curation pipeline —
-    collapse → boilerplate removal → NB filter → lexical + embedding
-    decontamination → token-budget mixture → group split, each stage
-    consuming the previous stage's text (the gate-interaction contract;
-    e.g. boilerplate fingerprints are taken on collapse output).  The
-    oracle replays all eight chained stages (incl. the within-corpus
-    exact + near-dup gates).  See
+    collapse → boilerplate removal → ExactSubstr block removal → PII
+    redaction → blocklist screen → NB filter → lexical + embedding
+    decontamination → token-budget mixture → group split, each text
+    stage consuming the previous stage's text (the gate-interaction
+    contract; e.g. ExactSubstr windows are hashed on boilerplate-free
+    text).  The oracle replays all eleven chained stages (incl. the
+    within-corpus exact + near-dup gates).  See
     :func:`operators.corpus.curated_corpus`."""
     return _curated_decisions(spark, sf_dir)
 
@@ -4549,6 +4698,12 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN n_boiler_dropped > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS docs_boiler_touched,
            CAST(sum(n_boiler_dropped) AS BIGINT) AS tokens_boiler_dropped,
+           CAST(sum(CASE WHEN es_dropped_chars > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_es_touched,
+           CAST(sum(es_dropped_chars) AS BIGINT) AS chars_es_dropped,
+           CAST(sum(CASE WHEN pii_redactions > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_pii_touched,
+           CAST(sum(pii_redactions) AS BIGINT) AS pii_redactions,
            CAST(sum(CASE WHEN NOT is_eval AND NOT e_keep THEN 1 ELSE 0 END)
                 AS BIGINT) AS exact_dups_dropped,
            CAST(sum(CASE WHEN NOT nd_keep THEN 1 ELSE 0 END) AS BIGINT)
@@ -4559,6 +4714,8 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS text_contaminated,
            CAST(sum(CASE WHEN emb_leaked THEN 1 ELSE 0 END) AS BIGINT)
                AS emb_leaked_docs,
+           CAST(sum(CASE WHEN blocklisted THEN 1 ELSE 0 END) AS BIGINT)
+               AS blocklisted_docs,
            CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT)
                AS curated_docs,
            CAST(sum(CASE WHEN curated
@@ -4573,13 +4730,17 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS curated_test
     FROM decisions
     """,
+    changed_in=10,
 )
 def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row before/after datasheet of the composed curation pipeline:
-    per-gate touch/drop counts, curated doc/token totals (whitespace
-    tokens by the n_raw − collapsed − boiler identity; BPE-ish pieces
-    as metered by the mixture), and the curated split layout — the
-    certified summary of the artifact a corpus build ships.
+    per-gate touch/drop counts (collapse, boilerplate, ExactSubstr,
+    PII, dedup, NB, dual decontamination, blocklist), curated doc/token
+    totals (``curated_ws_tokens`` counts whitespace tokens of the
+    PRE-ExactSubstr text by the n_raw − collapsed − boiler identity;
+    ``curated_bpe_tokens`` meters the SHIPPED scrubbed text), and the
+    curated split layout — the certified summary of the artifact a
+    corpus build ships.
 
     Scale: one aggregate over the per-doc decision trail; every
     underlying gate keeps its own documented 100 TB shape."""
@@ -4595,6 +4756,14 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_boiler_touched"
         ),
         F.sum("n_boiler_dropped").cast("long").alias("tokens_boiler_dropped"),
+        F.sum((F.col("es_dropped_chars") > 0).cast("long")).alias(
+            "docs_es_touched"
+        ),
+        F.sum("es_dropped_chars").cast("long").alias("chars_es_dropped"),
+        F.sum((F.col("pii_redactions") > 0).cast("long")).alias(
+            "docs_pii_touched"
+        ),
+        F.sum("pii_redactions").cast("long").alias("pii_redactions"),
         F.sum((~F.col("is_eval") & ~F.col("e_keep")).cast("long")).alias(
             "exact_dups_dropped"
         ),
@@ -4604,6 +4773,7 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.col("contaminated").cast("long")).alias("text_contaminated"),
         F.sum(F.col("emb_leaked").cast("long")).alias("emb_leaked_docs"),
+        F.sum(F.col("blocklisted").cast("long")).alias("blocklisted_docs"),
         F.sum(curated.cast("long")).alias("curated_docs"),
         F.sum(
             F.when(

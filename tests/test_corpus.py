@@ -1072,6 +1072,57 @@ def test_curated_corpus_chains_gates_and_flags_interactions(spark):
             assert r.split in ("train", "val", "test")
 
 
+def test_curated_corpus_scrub_gates(spark):
+    """The r10 scrub stages of the composed pipeline: ExactSubstr cuts a
+    long passage shared by two otherwise-different SURVIVORS (doc-level
+    dedup having kept both), PII redactions are counted, a blocklisted
+    doc is flagged and never curated, and sub-2*block docs skip the
+    ExactSubstr gate entirely (a short shared footer must NOT erase
+    whole documents)."""
+    # 72+ normalized chars shared; the unique remainders keep the pair
+    # below near-dup range (est_jaccard << 0.5) so BOTH survive dedup
+    passage = "the quick brown fox jumps over the lazy dog again and over again we go"
+    fill_a = " ".join(f"aa{j}" for j in range(60))
+    fill_b = " ".join(f"zz{j}" for j in range(60))
+    rows = [
+        (1, f"{passage} {fill_a}", "s1"),
+        (3, f"{passage} {fill_b}", "s3"),
+        (5, "please contact user@example.com with code 1234567 and unrelated "
+            "prose about curated corpora filling this document nicely", "s5"),
+        (7, "spark shuffle broadcast spark shuffle broadcast plus other "
+            "filler words keeping this document reasonably long", "s7"),
+        (9, "alpha shared footer xyz", "s9"),
+        (11, "bravo shared footer xyz", "s11"),
+        (10, "held out benchmark text nothing shared with training", "s10"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(1000, 1005)],
+        "vec_id long, embedding array<double>",
+    )
+    shares = {s: 1.0 / 6 for s in ("s1", "s3", "s5", "s7", "s9", "s11")}
+    out = {r.doc_id: r for r in corpus.curated_corpus(
+        docs, emb, F.col("source") == "s1", 10_000, shares,
+        blocklist=["spark", "shuffle", "broadcast"],
+    ).collect()}
+    # both passage-sharers survived dedup, then ES cut the shared block
+    assert out[1].e_keep and out[1].nd_keep and out[3].nd_keep
+    assert out[1].es_dropped_chars > 0 and out[3].es_dropped_chars > 0
+    assert out[1].curated and out[3].curated  # cut, not dropped
+    # PII: one email + one long number counted (and the doc still ships)
+    assert out[5].pii_redactions >= 2 and out[5].curated
+    # blocklist: 6 whole-word hits > max_hits=2 -> flagged, never curated
+    assert out[7].blocklisted and not out[7].curated
+    assert not out[5].blocklisted and not out[1].blocklisted
+    # sub-100-char docs skip the ExactSubstr gate: the shared footer
+    # must not erase them (they still ship)
+    assert out[9].es_dropped_chars == 0 and out[11].es_dropped_chars == 0
+    assert out[9].curated and out[11].curated
+    # eval rows report real per-doc text properties
+    assert out[10].is_eval and out[10].es_dropped_chars == 0
+    assert not out[10].curated
+
+
 def test_curated_corpus_staged_equals_lazy(spark, tmp_path):
     """stage_dir (the production materialized-stage-tables posture the
     registry certifies) must be bit-identical to the fully lazy plan."""
