@@ -471,6 +471,7 @@ def mixture_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     key_buckets: int = 64,
+    consumed: DataFrame | None = None,
 ) -> DataFrame:
     """Token-budgeted data mixture — :func:`mixture_sample`'s doc-count
     quotas re-expressed in the currency that actually matters for LLM
@@ -489,6 +490,14 @@ def mixture_token_budget(
     Output per admitted doc: ``(id, group, n_tokens, tok_before)`` where
     ``tok_before`` is the group's exact token consumption before this
     doc in admission order — the full audit trail of the budget walk.
+
+    ``consumed`` is the incremental-admission offset: a
+    ``(group_col, consumed)`` frame of tokens ALREADY admitted into the
+    corpus per source (one row per source — broadcast-sized metadata).
+    Each source's effective target becomes
+    ``floor(token_budget × share) − consumed`` — the REMAINING budget —
+    so a daily batch fills only what its source has left, and a source
+    already at/over target admits nothing.
 
     Scale (same skew-proof construction as :func:`mixture_sample`): the
     per-source cumulative token sum never funnels a whole source through
@@ -542,9 +551,16 @@ def mixture_token_budget(
         .orderBy("_k", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    out = tagged.join(F.broadcast(bounds), [group_col, "_kb"])
+    if consumed is not None:
+        cons = consumed.select(
+            F.col(group_col),
+            F.col("consumed").cast("long").alias("_consumed"),
+        )
+        out = out.join(F.broadcast(cons), group_col, "left")
+        target = target - F.coalesce(F.col("_consumed"), F.lit(0))
     return (
-        tagged.join(F.broadcast(bounds), [group_col, "_kb"])
-        .withColumn(
+        out.withColumn(
             "tok_before",
             (
                 F.col("_cumt")
@@ -1134,6 +1150,7 @@ def nb_quality_scores(
     alpha: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    score_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Model-based quality FILTERING (the GPT-3 appendix-A classifier
     stage, closed-form): train a Naive Bayes classifier distinguishing
@@ -1154,6 +1171,13 @@ def nb_quality_scores(
 
     Output per doc: ``(id, is_target, n_tokens, nb_logodds, keep)``;
     docs with no tokens get NULL log-odds and keep=false.
+
+    ``score_docs`` freezes the model: train on ``docs`` (full fit, same
+    bits) but score ``score_docs`` instead — the incremental-admission
+    posture where a daily batch is scored against the classifier the
+    shipped corpus was built with, without refitting.  In that mode the
+    output drops ``is_target`` (the scored frame has no training
+    label): ``(id, n_tokens, nb_logodds, keep)``.
 
     Scale: training is one map-side-combined O(buckets) histogram
     shuffle; the trained model folds into a ONE-ROW broadcast
@@ -1201,13 +1225,22 @@ def nb_quality_scores(
             * (F.col("tt").cast("double") + F.lit(ab))
         )
     )
+    # the OOV log-odds: a bucket with zero observed tokens still has a
+    # well-defined smoothed weight ln((ts+αB)/(tt+αB)) — scoring an
+    # external frame (score_docs) can hit buckets the training corpus
+    # never populated; self-scoring always hits the map
+    lo0 = F.log(
+        (F.col("ts").cast("double") + F.lit(ab))
+        / (F.col("tt").cast("double") + F.lit(ab))
+    )
     model_map = (
         hist.crossJoin(F.broadcast(tot))
-        .select("b", lo.alias("lo"))
+        .select("b", lo.alias("lo"), lo0.alias("lo0"))
         .agg(
             F.map_from_entries(
                 F.sort_array(F.collect_list(F.struct("b", "lo")))
-            ).alias("_mm")
+            ).alias("_mm"),
+            F.first("lo0").alias("_oov"),
         )
     )
     prior = tagged.agg(
@@ -1220,17 +1253,31 @@ def nb_quality_scores(
         ).alias("log_prior")
     )
     fold = F.aggregate(
-        F.transform(F.col("_toks"), lambda t: F.element_at("_mm", bucket(t))),
+        F.transform(
+            F.col("_toks"),
+            lambda t: F.coalesce(F.element_at("_mm", bucket(t)), F.col("_oov")),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     logodds = F.when(F.size("_toks") >= 1, F.col("log_prior") + fold)
+    scored = (
+        tagged
+        if score_docs is None
+        else score_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+            ).alias("_toks"),
+        )
+    )
+    label = [F.col("_is_target").alias("is_target")] if score_docs is None else []
     return (
-        tagged.crossJoin(F.broadcast(model_map))
+        scored.crossJoin(F.broadcast(model_map))
         .crossJoin(F.broadcast(prior))
         .select(
             "doc_id",
-            F.col("_is_target").alias("is_target"),
+            *label,
             # regexp_extract_all of a NULL text yields NULL, not []:
             # coalesce keeps the documented "docs with no tokens get 0"
             # contract (and the oracle's coalesce(n_tokens, 0)) intact
@@ -1689,4 +1736,193 @@ def curated_corpus(
         F.coalesce("_adm", F.lit(False)).alias("curated"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
         "split",
+    )
+
+
+def curated_incremental_admit(
+    new_docs: DataFrame,
+    existing_docs: DataFrame,
+    nb_target,
+    token_budget: int,
+    shares: dict[str, float],
+    nd_threshold: float = 0.5,
+    nb_top_frac: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Incremental admission of a NEW document batch against an EXISTING
+    curated corpus — the production re-curation path every real pipeline
+    runs daily: the corpus is append-only state (the reference's own
+    lifecycle is incremental: append → sync → validate,
+    `/root/reference/scripts/05_append_campaigns.py:112-123` →
+    `16_sync_task_primary.sql`), so a batch is gated WITHOUT recomputing
+    the corpus:
+
+    1. ``e_keep`` — the :func:`incremental_dedup` discipline: the doc's
+       exact fingerprint is not already in the corpus AND it is the
+       lowest id for its fingerprint within the batch,
+    2. ``nd_keep`` — no near-duplicate among the EXISTING corpus docs:
+       a bipartite MinHash/LSH band join at est_jaccard >=
+       ``nd_threshold``.  The asymmetry REVERSES the decontamination
+       shape: here the corpus side is 100 TB and the BATCH is small, so
+       the batch's banded signatures broadcast and the corpus side is a
+       map-side hash probe over its scan — never shuffled by band,
+    3. ``nb_keep`` — the FROZEN quality model AND its frozen operating
+       point: the NB classifier is fitted on the existing corpus
+       (``nb_target`` labels the curated slice there) and only SCORES
+       the batch (:func:`nb_quality_scores` ``score_docs``); the cut is
+       the per-source score threshold at the corpus's own
+       ``nb_top_frac`` rank cut (the score of the rank-⌈frac·n⌉ corpus
+       doc — the operating point :func:`curated_corpus`'s rank gate
+       realised on the corpus), so batch scores stay comparable across
+       daily batches and the raw-prior-dominated ``log-odds > 0`` cut
+       is never used.  A batch source with no corpus operating point
+       (unseen source, or a NULL-scored doc at the cut rank) is NOT
+       admitted through this gate — quality of an unknown source can't
+       be vouched for by a model that never saw it,
+    4. ``admitted`` — the REMAINING mixture budget: each source's
+       target is ``floor(token_budget × share)`` minus the tokens the
+       existing corpus already consumed (:func:`mixture_token_budget`
+       ``consumed``), walked in the same stable md5 admission order.
+
+    Output: ONE ROW PER BATCH DOC — ``(id, group, e_keep, nd_keep,
+    nb_logodds, nb_keep, admitted, n_mix_tokens)``; ``admitted`` implies
+    every gate passed and the source still had budget.
+
+    Scale: the corpus side is consumed exactly three times, each a
+    single pass (distinct fingerprints — at 100 TB keep that table
+    compacted as its own lakehouse artifact and pass it in; banded
+    signatures probed by the broadcast batch; one map-side-combined
+    histogram for the frozen model + per-source token totals); nothing
+    batch-sized ever shuffles the corpus."""
+    from .dedup import _banded_signatures
+
+    from ..functions.text import bpe_piece_count, fingerprint
+
+    base_new = new_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.col(text_col).alias("text"),
+    )
+    base_ex = existing_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.col(text_col).alias("text"),
+    )
+
+    # 1. exact gate: corpus anti-membership + within-batch keep-lowest
+    from pyspark.sql import Window
+
+    ex_fp = base_ex.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    nfp = base_new.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
+    ek = (
+        nfp.withColumn(
+            "_bmin",
+            F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
+        )
+        .join(ex_fp.withColumn("_hit", F.lit(True)), "_fp", "left")
+        .select(
+            "doc_id", (F.col("_bmin") & F.col("_hit").isNull()).alias("e_keep")
+        )
+    )
+
+    # 2. near-dup vs the existing corpus (batch side broadcasts)
+    nbnd = _banded_signatures(base_new, "text", "doc_id")
+    ebnd = _banded_signatures(base_ex, "text", "doc_id")
+    n_, e_ = nbnd.alias("n"), ebnd.alias("e")
+    agree = sum(
+        F.when(F.col(f"n.h{i}") == F.col(f"e.h{i}"), 1).otherwise(0)
+        for i in range(16)
+    )
+    nd_drop = (
+        F.broadcast(n_)
+        .join(
+            e_,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.round(agree / F.lit(16.0), 4).alias("_ej"),
+        )
+        .filter(F.col("_ej") >= nd_threshold)
+        .select("doc_id")
+        .distinct()
+        .withColumn("_nd_drop", F.lit(True))
+    )
+
+    # 3. frozen NB model + frozen operating point: fit on the corpus,
+    # self-score it to locate the per-source nb_top_frac rank-cut score,
+    # then score the batch against that threshold
+    ex_scores = nb_quality_scores(base_ex, nb_target, buckets=256).select(
+        "doc_id", "nb_logodds"
+    )
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
+    )
+    wcnt = Window.partitionBy("source")
+    tau = (
+        base_ex.select("doc_id", "source")
+        .join(ex_scores, "doc_id")
+        .withColumn("_rk", F.row_number().over(wsrc))
+        .withColumn(
+            "_cut",
+            F.ceil(F.lit(float(nb_top_frac)) * F.count(F.lit(1)).over(wcnt)),
+        )
+        .filter(F.col("_rk") == F.col("_cut"))
+        .select("source", F.col("nb_logodds").alias("_tau"))
+    )
+    new_scores = nb_quality_scores(
+        base_ex, nb_target, buckets=256, score_docs=base_new
+    ).select("doc_id", "nb_logodds")
+    scores = (
+        base_new.select("doc_id", "source")
+        .join(new_scores, "doc_id")
+        .join(F.broadcast(tau), "source", "left")
+        .select(
+            "doc_id",
+            "nb_logodds",
+            (
+                F.col("nb_logodds").isNotNull()
+                & F.col("_tau").isNotNull()
+                & (F.col("nb_logodds") >= F.col("_tau"))
+            ).alias("nb_keep"),
+        )
+    )
+
+    # 4. remaining mixture budget: per-source tokens already consumed
+    consumed = base_ex.groupBy("source").agg(
+        F.sum(bpe_piece_count(F.col("text")).cast("long")).alias("consumed")
+    )
+
+    flags = (
+        base_new.join(ek, "doc_id")
+        .join(nd_drop, "doc_id", "left")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            "e_keep",
+            (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
+            "nb_logodds",
+            "nb_keep",
+        )
+    )
+    mix = mixture_token_budget(
+        flags.filter(F.col("e_keep") & F.col("nd_keep") & F.col("nb_keep")),
+        token_budget,
+        shares,
+        consumed=consumed,
+    ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
+    return flags.join(mix, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "e_keep",
+        "nd_keep",
+        "nb_logodds",
+        "nb_keep",
+        F.coalesce("_adm", F.lit(False)).alias("admitted"),
+        F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
     )

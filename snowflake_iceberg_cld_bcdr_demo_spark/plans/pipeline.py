@@ -4794,6 +4794,216 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_BAND = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band, "
+    f"{_band_key([f'h{4 * b + j}' for j in range(4)])} AS band_key FROM sigi"
+    for b in range(4)
+)
+
+
+@_spec(
+    "curated_incremental_admit",
+    f"""
+    WITH ex AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 0),
+    nw AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+    -- 1. exact gate: corpus anti-membership + within-batch keep-lowest
+    exfp AS (
+        SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp
+        FROM ex
+    ),
+    nfp AS (
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                   AS fp
+        FROM nw
+    ),
+    ekn AS (
+        SELECT n.doc_id,
+               (n.doc_id = MIN(n.doc_id) OVER (PARTITION BY n.fp))
+               AND e.fp IS NULL AS e_keep
+        FROM nfp n LEFT JOIN exfp e ON n.fp = e.fp
+    ),
+    -- 2. near-dup vs the existing corpus (bipartite band join; doc_ids
+    -- are a partition of `documents`, so one signature table serves
+    -- both sides)
+    normi AS (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                   AS norm_text
+        FROM documents
+    ),
+    shi AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(range(1, length(norm_text) - 6),
+                                     i -> substring(norm_text, CAST(i AS INTEGER), 8)))
+                   AS shingle
+        FROM normi WHERE length(norm_text) >= 8
+    ),
+    sigi AS MATERIALIZED (
+        SELECT doc_id,
+{_MINHASH_AGG}
+        FROM shi GROUP BY doc_id
+    ),
+    bandedi AS MATERIALIZED (
+{_INCR_BAND}
+    ),
+    ndi AS (
+        SELECT DISTINCT p.new_id AS doc_id
+        FROM (
+            SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS ex_id
+            FROM bandedi n JOIN bandedi e
+              ON n.band = e.band AND n.band_key = e.band_key
+            WHERE n.doc_id % 3 = 0 AND e.doc_id % 3 <> 0
+        ) p
+        JOIN sigi sa ON sa.doc_id = p.new_id
+        JOIN sigi sb ON sb.doc_id = p.ex_id
+        WHERE ROUND(({_AGREE}) / 16.0, 4) >= 0.5
+    ),
+    -- 3. frozen NB model: fitted on the corpus, scoring the batch
+    tgx AS (
+        SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+               regexp_extract_all(lower(text), '\\S+') AS t
+        FROM ex
+    ),
+    bgx AS (
+        SELECT doc_id, is_t, CAST(p AS INTEGER) AS pos,
+               CAST(('0x' || substring(md5(t[CAST(p AS INTEGER)]), 1, 8))
+                    AS BIGINT) % 256 AS b
+        FROM (SELECT doc_id, is_t, t, unnest(range(1, len(t) + 1)) AS p
+              FROM tgx WHERE len(t) >= 1)
+    ),
+    histx AS (
+        SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+               SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS cs
+        FROM bgx GROUP BY b
+    ),
+    totx AS (SELECT SUM(ct) AS tt, SUM(cs) AS ts FROM histx),
+    modelx AS (
+        SELECT b,
+               ln(((CAST(ct AS DOUBLE) + 0.5) * (CAST(ts AS DOUBLE) + 128.0))
+                  / ((CAST(cs AS DOUBLE) + 0.5)
+                     * (CAST(tt AS DOUBLE) + 128.0))) AS lo
+        FROM histx CROSS JOIN totx
+    ),
+    priorx AS (
+        SELECT ln((CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS DOUBLE) + 0.5)
+                  / (CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS DOUBLE)
+                     + 0.5)) AS log_prior
+        FROM tgx
+    ),
+    -- the frozen operating point: the corpus's own per-source score at
+    -- its top-60% rank cut
+    foldx AS (
+        SELECT doc_id, sum(lo ORDER BY pos) AS s
+        FROM bgx JOIN modelx USING (b) GROUP BY doc_id
+    ),
+    exsc AS (
+        SELECT d.doc_id, round(p.log_prior + f.s, 8) AS nb_logodds
+        FROM tgx d CROSS JOIN priorx p LEFT JOIN foldx f USING (doc_id)
+    ),
+    taux AS (
+        SELECT source, nb_logodds AS tau FROM (
+            SELECT e.source, s.nb_logodds,
+                   ROW_NUMBER() OVER (PARTITION BY e.source
+                       ORDER BY s.nb_logodds DESC NULLS LAST, e.doc_id) AS rk,
+                   CEIL(0.6 * COUNT(*) OVER (PARTITION BY e.source)) AS cut
+            FROM ex e JOIN exsc s USING (doc_id)
+        ) WHERE rk = cut
+    ),
+    tn AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+           FROM nw),
+    bgn AS (
+        SELECT doc_id, CAST(p AS INTEGER) AS pos,
+               CAST(('0x' || substring(md5(t[CAST(p AS INTEGER)]), 1, 8))
+                    AS BIGINT) % 256 AS b
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+              FROM tn WHERE len(t) >= 1)
+    ),
+    -- batch tokens can hit buckets the corpus never populated: the
+    -- add-alpha smoothing still defines their log-odds (the OOV weight)
+    oovx AS (
+        SELECT ln((CAST(ts AS DOUBLE) + 128.0)
+                  / (CAST(tt AS DOUBLE) + 128.0)) AS lo0
+        FROM totx
+    ),
+    foldn AS (
+        SELECT doc_id, sum(coalesce(m.lo, o.lo0) ORDER BY pos) AS s
+        FROM bgn LEFT JOIN modelx m USING (b) CROSS JOIN oovx o
+        GROUP BY doc_id
+    ),
+    nbn AS (
+        SELECT t.doc_id, round(p.log_prior + f.s, 8) AS nb_logodds,
+               coalesce(round(p.log_prior + f.s, 8) >= x.tau, FALSE) AS nb_keep
+        FROM tn t
+        CROSS JOIN priorx p
+        LEFT JOIN foldn f USING (doc_id)
+        LEFT JOIN taux x USING (source)
+    ),
+    -- 4. remaining mixture budget (target minus corpus consumption)
+    consumedx AS (
+        SELECT source,
+               CAST(sum(length(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+')))
+                   AS BIGINT) AS consumed
+        FROM ex GROUP BY source
+    ),
+    flagsn AS MATERIALIZED (
+        SELECT w.doc_id, w.source, w.text, k.e_keep,
+               (d.doc_id IS NULL) AS nd_keep,
+               q.nb_logodds, q.nb_keep
+        FROM nw w
+        JOIN ekn k USING (doc_id)
+        LEFT JOIN ndi d USING (doc_id)
+        JOIN nbn q USING (doc_id)
+    ),
+    tokn AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_extract_all(text,
+                   '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                   AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM flagsn
+        WHERE e_keep AND nd_keep AND nb_keep
+    ),
+    cumn AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY k, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_before,
+               CAST(floor(25000 * ({_MIX_CASE})) AS BIGINT)
+                   - coalesce(c.consumed, 0) AS target
+        FROM tokn LEFT JOIN consumedx c USING (source)
+    ),
+    mixn AS (SELECT doc_id, n_tokens FROM cumn WHERE tok_before < target)
+    SELECT f.doc_id, f.source, f.e_keep, f.nd_keep, f.nb_logodds, f.nb_keep,
+           (m.doc_id IS NOT NULL) AS admitted,
+           CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens
+    FROM flagsn f LEFT JOIN mixn m USING (doc_id)
+    """,
+)
+def curated_incremental_admit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curated admission — a NEW batch (doc_id % 3 == 0)
+    gated against the EXISTING corpus (doc_id % 3 != 0) without
+    recomputing it: exact fingerprint anti-membership + within-batch
+    keep-lowest, bipartite near-dup probe of the corpus (batch side
+    broadcasts — the reverse asymmetry of decontamination), the FROZEN
+    NB quality model at its FROZEN operating point (fitted on the
+    corpus, scoring only the batch, cut at the corpus's own per-source
+    top-60% rank score), and the REMAINING per-source mixture budget
+    (target minus what the corpus already consumed).  The production
+    daily re-curation path; the reference's own lifecycle is
+    incremental (append → sync → validate).  See
+    :func:`operators.corpus.curated_incremental_admit`."""
+    docs = table(spark, sf_dir, "documents")
+    return corpus.curated_incremental_admit(
+        docs.filter(F.col("doc_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 3 != 0),
+        F.col("source").isin("src0", "src1"),
+        25_000,
+        _MIX_SHARES,
+    )
+
+
 @_spec(
     "char_entropy_profile",
     """

@@ -1206,3 +1206,93 @@ def test_curated_corpus_and_mixture_validate_params(spark):
         corpus.mixture_token_budget(docs, 100, {"src0": -0.1})
     with _pt.raises(ValueError, match="token_budget"):
         corpus.mixture_token_budget(docs, -5, {"src0": 1.0})
+
+
+def test_curated_incremental_admit_gates_planted_batch(spark, tmp_path):
+    """The daily re-curation path composed with real curated state: run
+    curated_corpus on batch A (staged), then admit batch B against the
+    surviving corpus — a planted exact cross-batch duplicate and a
+    planted near-duplicate of corpus docs are rejected, a within-batch
+    duplicate pair keeps only the lowest id, and a fresh doc is
+    admitted under the remaining budget."""
+    body = " ".join(f"w{j}" for j in range(40))
+    other = " ".join(f"q{j}" for j in range(40))
+    docs_a = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, f"bravo corpus document {other}", "src0"),
+            # a SHORT curated doc anchors the frozen operating point low
+            # enough that short batch docs can clear it (NB log-odds are
+            # length-scaled sums)
+            (5, "short target note here", "src0"),
+            (10, "held out benchmark text nothing shared", "src9"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(1000, 1003)],
+        "vec_id long, embedding array<double>",
+    )
+    shares = {"src0": 1.0}
+    state = corpus.curated_corpus(
+        docs_a, emb, F.col("source") == "src0", 10_000, shares,
+        nb_top_frac=1.0, stage_dir=str(tmp_path / "state"),
+    )
+    existing = docs_a.join(state.filter("curated").select("doc_id"), "doc_id")
+    assert existing.count() == 3  # all three corpus docs curated
+
+    batch = spark.createDataFrame(
+        [
+            # exact copy of corpus doc 1 (different id)
+            (101, f"alpha corpus document {body}", "src0"),
+            # near-copy of corpus doc 3: same body, different prefix
+            (103, f"charlie corpus document {other}", "src0"),
+            # within-batch duplicate pair built FROM CORPUS VOCABULARY
+            # (in-model tokens score well above the frozen tau; fresh
+            # adjacencies keep the shingle overlap below near-dup range)
+            (105, "note here w0 q1 w2 q3 w4 q5 w6 q7 target", "src0"),
+            (107, "note here w0 q1 w2 q3 w4 q5 w6 q7 target", "src0"),
+            # fresh unique doc, also corpus-vocabulary
+            (109, "short document w9 q11 w13 q15 w17 q19 note", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in corpus.curated_incremental_admit(
+        batch, existing, F.col("source") == "src0", 100_000, shares,
+        nb_top_frac=1.0,
+    ).collect()}
+    assert len(out) == 5
+    assert not out[101].e_keep                     # exact cross-batch dup
+    assert not out[103].nd_keep and out[103].e_keep  # near-dup of corpus
+    assert out[105].e_keep and not out[107].e_keep   # within-batch pair
+    assert not out[101].admitted and not out[103].admitted
+    assert not out[107].admitted
+    assert out[109].e_keep and out[109].nd_keep
+    # the two survivors clear the frozen operating point and the huge
+    # budget leaves room: both admitted
+    assert out[105].nb_keep and out[109].nb_keep
+    assert out[105].admitted and out[109].admitted
+    assert out[105].n_mix_tokens > 0
+
+
+def test_mixture_token_budget_consumed_offset(spark):
+    """The consumed offset turns the target into the REMAINING budget:
+    with budget*share = 10 and 6 already consumed, admission stops once
+    4 tokens are reached; a source at/over target admits nothing."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * 2, "s0") for i in range(1, 6)]
+        + [(i, "tok " * 2, "s1") for i in range(11, 14)],
+        "doc_id long, text string, source string",
+    )
+    consumed = spark.createDataFrame(
+        [("s0", 6), ("s1", 99)], "source string, consumed long"
+    )
+    out = corpus.mixture_token_budget(
+        docs, 10, {"s0": 1.0, "s1": 1.0}, consumed=consumed
+    ).collect()
+    srcs = {r.doc_id: r for r in out}
+    assert all(r.source == "s0" for r in out)      # s1 is over budget
+    # each doc is 2 BPE-ish pieces... admission walks until tok_before >= 4
+    total = sum(r.n_tokens for r in out)
+    assert 0 < len(out) <= 3 and total <= 6
+    assert all(r.tok_before < 4 for r in out)
