@@ -100,12 +100,20 @@ BUDGETS = {
 #: Extras: measured and budget-guarded but NOT part of the headline
 #: total (the headline metric's composition is frozen across rounds so
 #: round-over-round totals stay comparable).  curated_corpus_report is
-#: the round-9 composed-pipeline flagship — its cost is the sum of its
-#: seven chained gates, so it gets its own visibility row.
-EXTRAS = ["curated_corpus_report"]
-EXTRA_BUDGETS = {"curated_corpus_report": 30.0}
+#: the composed-pipeline flagship — its cost is the sum of its eleven
+#: chained gates (r10 added ExactSubstr/PII/blocklist), so it gets its
+#: own visibility row; curated_incremental_admit is the r10 daily
+#: re-curation path.
+EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
+EXTRA_BUDGETS = {
+    # ~2x the r10 recorded median (was a loose 30s placeholder in r9)
+    "curated_corpus_report": 40.0,
+    "curated_incremental_admit": 10.0,
+}
 
-#: sf1 spot-check set: the most expensive headline queries.
+#: sf1 spot-check set: the most expensive headline queries, plus the
+#: curated pipeline (the single most expensive certified query — its
+#: superlinear risk must be measured, not assumed).
 SF1_SPOT_QUERIES = [
     "order_performance",
     "minhash_near_dup_pairs",
@@ -114,6 +122,7 @@ SF1_SPOT_QUERIES = [
     "q1_pricing_summary",
     "winnow_shared_spans",
     "neardup_skewsafe_pairs",
+    "curated_corpus_report",
 ]
 
 
@@ -199,8 +208,8 @@ def main() -> None:
                 spot[name] = _time_once(QUERY_SPECS[name], spark, SF1_DIR)
                 # floor the base at the timer resolution: a legitimate
                 # 0.000 median (sub-ms query) must not divide by ~0 and
-                # flag a false anomaly
-                base = max(timings.get(name, 0.0), 0.001)
+                # flag a false anomaly (extras carry their own medians)
+                base = max(timings.get(name, extras.get(name, 0.0)), 0.001)
                 ratio[name] = round(spot[name] / (SF1_MULT * base), 2)
                 print(
                     f"# sf1_spot {name}: {spot[name]:.3f}s "

@@ -1301,6 +1301,7 @@ def curated_corpus(
     es_block: int = 50,
     blocklist: list[str] | None = None,
     blocklist_max_hits: int = 2,
+    media_assets: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -1371,6 +1372,13 @@ def curated_corpus(
     9. embedding-space decontamination of the same train/eval split
        (:func:`.similarity.embedding_decontaminate`, ``embeddings``
        keyed by ``vec_id == doc_id``; docs without a vector pass),
+    9b. media validity (``media_assets``: an optional
+       ``(doc_id, media_type, content)`` asset frame — docs whose
+       attached image/audio/video assets fail their container checks or
+       dimension/duration bounds are rejected via
+       :func:`..multimodal.media.media_validity`; docs with no assets
+       pass, and ``media_assets=None`` keeps the ``media_ok`` column
+       all-true so the trail schema is parameter-independent),
     10. token-budgeted mixture over the surviving docs' SCRUBBED text
        (:func:`mixture_token_budget`), and
     11. group-aware leakage-free split assignment (:func:`group_split`).
@@ -1378,8 +1386,8 @@ def curated_corpus(
     Output: ONE ROW PER INPUT DOC — the full per-document decision
     trail ``(id, group, is_eval, n_raw_tokens, n_collapsed,
     n_boiler_dropped, es_dropped_chars, pii_redactions, e_keep,
-    nd_keep, nb_keep, contaminated, emb_leaked, blocklisted, curated,
-    n_mix_tokens, split)``; ``curated`` means admitted by the mixture
+    nd_keep, nb_keep, contaminated, emb_leaked, blocklisted, media_ok,
+    curated, n_mix_tokens, split)``; ``curated`` means admitted by the mixture
     (which implies every upstream gate passed), ``n_mix_tokens`` the
     BPE-ish pieces the admission metered, ``es_dropped_chars`` the
     normalized-text characters ExactSubstr cut, ``pii_redactions`` the
@@ -1659,6 +1667,15 @@ def curated_corpus(
         embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
     ).select(F.col("vec_id").alias("doc_id"), "leaked")
 
+    # 9b. media validity: docs whose attached assets fail their
+    # container/bounds checks are rejected; docs without assets pass
+    if media_assets is not None:
+        from ..multimodal.media import media_validity
+
+        mv = media_validity(media_assets)
+    else:
+        mv = None
+
     # the per-gate decision table — the audit artifact — is the last
     # materialization point (mixture + final assembly both consume it).
     # Rooted at d2 so it keeps ONE ROW PER INPUT DOC: docs the dedup
@@ -1678,6 +1695,15 @@ def curated_corpus(
         .join(dec, "doc_id", "left")
         .join(sem, "doc_id", "left")
         .join(bl, "doc_id", "left")
+    )
+    flags = flags if mv is None else flags.join(mv, "doc_id", "left")
+    flags = (
+        flags.withColumn(
+            "media_ok",
+            F.coalesce(F.col("media_ok"), F.lit(True))
+            if mv is not None
+            else F.lit(True),
+        )
         .select(
             "doc_id",
             "source",
@@ -1699,6 +1725,7 @@ def curated_corpus(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
             F.coalesce("leaked", F.lit(False)).alias("emb_leaked"),
             F.coalesce("blocklisted", F.lit(False)).alias("blocklisted"),
+            "media_ok",
         )
     )
     flags = stage(flags, "flags")
@@ -1710,6 +1737,7 @@ def curated_corpus(
         & ~F.col("contaminated")
         & ~F.col("emb_leaked")
         & ~F.col("blocklisted")
+        & F.col("media_ok")
     )
 
     # 10. token-budgeted mixture over the survivors' scrubbed text
@@ -1733,6 +1761,7 @@ def curated_corpus(
         "contaminated",
         "emb_leaked",
         "blocklisted",
+        "media_ok",
         F.coalesce("_adm", F.lit(False)).alias("curated"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
         "split",

@@ -4570,7 +4570,11 @@ def _curated_cte() -> str:
                coalesce(n.nb_keep, TRUE) AS nb_keep,
                coalesce(c.contaminated, FALSE) AS contaminated,
                coalesce(s.leaked, FALSE) AS emb_leaked,
-               coalesce(b.blocklisted, FALSE) AS blocklisted
+               coalesce(b.blocklisted, FALSE) AS blocklisted,
+               -- the registry build attaches no media assets: the media
+               -- gate is pass-through (pytest certifies the real gate
+               -- over synthesized assets)
+               TRUE AS media_ok
         FROM d2 d
         LEFT JOIN d4 s4 USING (doc_id)
         LEFT JOIN nbk n USING (doc_id)
@@ -4590,6 +4594,7 @@ def _curated_cte() -> str:
         FROM flags
         WHERE NOT is_eval AND e_keep AND nd_keep AND nb_keep
           AND NOT contaminated AND NOT emb_leaked AND NOT blocklisted
+          AND media_ok
     ),
     cum6 AS (
         SELECT doc_id, n_tokens,
@@ -4608,6 +4613,7 @@ def _curated_cte() -> str:
                f.es_dropped_chars, f.pii_redactions,
                f.e_keep, f.nd_keep,
                f.nb_keep, f.contaminated, f.emb_leaked, f.blocklisted,
+               f.media_ok,
                (m.doc_id IS NOT NULL) AS curated,
                CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens,
                CASE WHEN {_GRP_U32_SQL} < {_SPLIT_T1} THEN 'train'
@@ -4716,6 +4722,8 @@ def curated_corpus_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS emb_leaked_docs,
            CAST(sum(CASE WHEN blocklisted THEN 1 ELSE 0 END) AS BIGINT)
                AS blocklisted_docs,
+           CAST(sum(CASE WHEN NOT media_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS media_rejected,
            CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT)
                AS curated_docs,
            CAST(sum(CASE WHEN curated
@@ -4774,6 +4782,7 @@ def curated_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("contaminated").cast("long")).alias("text_contaminated"),
         F.sum(F.col("emb_leaked").cast("long")).alias("emb_leaked_docs"),
         F.sum(F.col("blocklisted").cast("long")).alias("blocklisted_docs"),
+        F.sum((~F.col("media_ok")).cast("long")).alias("media_rejected"),
         F.sum(curated.cast("long")).alias("curated_docs"),
         F.sum(
             F.when(

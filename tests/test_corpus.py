@@ -1296,3 +1296,87 @@ def test_mixture_token_budget_consumed_offset(spark):
     total = sum(r.n_tokens for r in out)
     assert 0 < len(out) <= 3 and total <= 6
     assert all(r.tok_before < 4 for r in out)
+
+
+def test_curated_corpus_media_gate(spark):
+    """The media gate composed into the curated pipeline: docs whose
+    attached assets all decode (real synthesized image/audio/video
+    containers) pass, a doc carrying a truncated video or a garbage
+    image is rejected (media_ok=false, never curated), and docs with no
+    assets pass untouched."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    rows = [
+        (1, "first document body with plenty of words inside it", "s1"),
+        (3, "second document body with different words inside it", "s3"),
+        (5, "third document body carrying a broken video asset", "s5"),
+        (7, "fourth document body carrying a garbage image asset", "s7"),
+        (9, "fifth document body with no media at all attached", "s9"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(1000, 1002)],
+        "vec_id long, embedding array<double>",
+    )
+    img = M.synthesize_decodable_images(spark, 1).select("content").collect()[0][0]
+    wav = M.synthesize_decodable_wavs(spark, 1).select("content").collect()[0][0]
+    vid = M.synthesize_decodable_videos(spark, 1).select("content").collect()[0][0]
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(img)),
+            (1, "audio", bytearray(wav)),
+            (3, "video", bytearray(vid)),
+            (5, "video", bytearray(vid[:14])),   # truncated payload
+            (7, "image", bytearray(b"not an image at all")),
+        ],
+        "doc_id long, media_type string, content binary",
+    )
+    shares = {s: 0.2 for s in ("s1", "s3", "s5", "s7", "s9")}
+    out = {r.doc_id: r for r in corpus.curated_corpus(
+        docs, emb, F.col("source") == "s1", 10_000, shares,
+        media_assets=assets,
+    ).collect()}
+    assert out[1].media_ok and out[1].curated
+    assert out[3].media_ok and out[3].curated
+    assert not out[5].media_ok and not out[5].curated
+    assert not out[7].media_ok and not out[7].curated
+    assert out[9].media_ok and out[9].curated     # no assets -> pass
+
+
+def test_media_validity_bounds(spark):
+    """media_validity direct: every synthesized container passes; bounds
+    reject an oversized image and an over-long duration; unknown media
+    types are invalid; one bad asset poisons the whole doc (AND-fold)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    good = (
+        M.synthesize_decodable_images(spark, 3)
+        .select(F.lit(1).alias("doc_id"), F.lit("image").alias("media_type"), "content")
+        .unionByName(
+            M.synthesize_decodable_wavs(spark, 3).select(
+                F.lit(2).alias("doc_id"), F.lit("audio").alias("media_type"), "content"
+            )
+        )
+        .unionByName(
+            M.synthesize_decodable_videos(spark, 3).select(
+                F.lit(3).alias("doc_id"), F.lit("video").alias("media_type"), "content"
+            )
+        )
+    )
+    ok = {r.doc_id: r.media_ok for r in M.media_validity(good).collect()}
+    assert ok == {1: True, 2: True, 3: True}
+    # dimension bound: the same images fail when max_dim is tiny
+    tight = {r.doc_id: r.media_ok
+             for r in M.media_validity(good, max_dim=1).collect()}
+    assert tight[1] is False and tight[3] is True  # videos unaffected
+    # duration bound: videos are fractions of a second at fps>=10
+    short = {r.doc_id: r.media_ok
+             for r in M.media_validity(good, min_duration_s=5.0).collect()}
+    assert short[3] is False and short[1] is True  # images unaffected
+    # unknown media_type and AND-fold poisoning
+    img = good.filter("media_type = 'image'").select("content").collect()[0][0]
+    mixed = spark.createDataFrame(
+        [(9, "image", bytearray(img)), (9, "hologram", bytearray(img))],
+        "doc_id long, media_type string, content binary",
+    )
+    assert M.media_validity(mixed).collect()[0].media_ok is False
