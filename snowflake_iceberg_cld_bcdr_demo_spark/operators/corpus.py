@@ -1370,8 +1370,12 @@ def curated_corpus(
        RAW eval split (``id % eval_mod == 0``; benchmarks are external
        artifacts, never cleaned) — :func:`.dedup.neardup_decontaminate`,
     9. embedding-space decontamination of the same train/eval split
-       (:func:`.similarity.embedding_decontaminate`, ``embeddings``
-       keyed by ``vec_id == doc_id``; docs without a vector pass),
+       (:func:`.similarity.embedding_decontaminate_ivf` — the IVF-probed
+       variant (8 seed cells, nprobe 2): the exact broadcast-NLJ's
+       |train|×|eval| term is QUADRATIC in scale-up and measured
+       2.28×-over-linear at the sf1 spot; with < 2 centroids available
+       the exact operator is used instead.  ``embeddings`` keyed by
+       ``vec_id == doc_id``; docs without a vector pass),
     9b. media validity (``media_assets``: an optional
        ``(doc_id, media_type, content)`` asset frame — docs whose
        attached image/audio/video assets fail their container checks or
@@ -1429,7 +1433,11 @@ def curated_corpus(
         neardup_decontaminate,
         remove_duplicate_blocks_overlap,
     )
-    from .similarity import embedding_decontaminate
+    from .similarity import (
+        embedding_decontaminate,
+        embedding_decontaminate_ivf,
+        sample_centroids,
+    )
 
     if eval_mod < 2:
         # eval_mod=1 makes EVERY doc eval (empty corpus); 0 divides by zero
@@ -1661,11 +1669,28 @@ def curated_corpus(
         d4.filter(~is_eval), base.filter(is_eval), k=8, num_hashes=16, bands=4
     ).select(F.col("train_doc_id").alias("doc_id"), "contaminated")
 
-    # 9. embedding-space decontamination (vec_id == doc_id)
+    # 9. embedding-space decontamination (vec_id == doc_id) — the
+    # IVF-probed variant: the exact broadcast-NLJ is |train|x|eval| dot
+    # products, a QUADRATIC term that grows 100x when both sides grow
+    # 10x (measured: 2.28x-over-linear sf1 spot before the switch);
+    # probing nprobe of K cells keeps the certified approximate
+    # algorithm with the eval side still broadcast.  Seed centroids are
+    # the documented deterministic stand-in; with fewer eval vectors
+    # than probes the exact operator is the cheaper path anyway.
     ev = F.col("vec_id") % eval_mod == 0
-    sem = embedding_decontaminate(
-        embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
-    ).select(F.col("vec_id").alias("doc_id"), "leaked")
+    cents = sample_centroids(embeddings, k=8)
+    if len(cents) >= 2:
+        sem = embedding_decontaminate_ivf(
+            embeddings.filter(~ev),
+            embeddings.filter(ev),
+            cents,
+            nprobe=min(2, len(cents)),
+            threshold=emb_threshold,
+        ).select(F.col("vec_id").alias("doc_id"), "leaked")
+    else:
+        sem = embedding_decontaminate(
+            embeddings.filter(~ev), embeddings.filter(ev), threshold=emb_threshold
+        ).select(F.col("vec_id").alias("doc_id"), "leaked")
 
     # 9b. media validity: docs whose attached assets fail their
     # container/bounds checks are rejected; docs without assets pass

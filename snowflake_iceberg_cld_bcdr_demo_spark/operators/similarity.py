@@ -586,7 +586,13 @@ def embedding_decontaminate(
     row before the join — Catalyst lambdas do no loop-invariant
     hoisting themselves), so each pair costs one dot product instead of
     three: same sqrt-of-same-fold doubles, bit-identical cosine, ~3×
-    less arithmetic (measured 8.3 s → ~3 s at sf0.1)."""
+    less arithmetic (measured 8.3 s → ~3 s at sf0.1).  The train-side
+    scan rides the :func:`..operators.dedup._parallelize_scan` guard:
+    the per-row work here is |eval| dot products, so a single-file scan
+    would put the WHOLE quadratic term on one core (measured 362 s
+    single-task at the sf1 spot before the guard)."""
+    from .dedup import _parallelize_scan
+
     ev = eval_emb.select(
         F.col(id_col).alias("eval_id"),
         F.col(vec_col).alias("ev"),
@@ -594,8 +600,8 @@ def embedding_decontaminate(
     )
     sim = dot(F.col(vec_col), F.col("ev")) / (F.col("_tn") * F.col("_en"))
     best = (
-        train_emb.select(
-            id_col, vec_col, norm(F.col(vec_col)).alias("_tn")
+        _parallelize_scan(
+            train_emb.select(id_col, vec_col, norm(F.col(vec_col)).alias("_tn"))
         )
         .crossJoin(F.broadcast(ev))
         .groupBy(id_col)
@@ -672,8 +678,12 @@ def embedding_decontaminate_ivf(
         "cell"
     ]
     # both L2 norms hoisted out of the pair loop (the exact operator's
-    # trick): one dot per probed pair, bit-identical cosine
-    probed = train_emb.select(
+    # trick): one dot per probed pair, bit-identical cosine; the train
+    # scan rides the parallelism guard (per-row work is nprobe/K of the
+    # eval set — a single-file scan would serialize it)
+    from .dedup import _parallelize_scan
+
+    probed = _parallelize_scan(train_emb).select(
         id_col,
         vec_col,
         norm(F.col(vec_col)).alias("_tn"),

@@ -4542,17 +4542,41 @@ def _curated_cte() -> str:
         SELECT train_doc_id AS doc_id, max(ej) >= 0.5 AS contaminated
         FROM sc4 GROUP BY train_doc_id
     ),
-    -- 9. embedding-space decontamination (vec_id == doc_id)
-    e5 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    t5 AS (SELECT * FROM e5 WHERE vec_id % 10 <> 0),
-    ev5 AS (SELECT vec_id AS eval_id, v AS w FROM e5 WHERE vec_id % 10 = 0),
-    sc5 AS (
-        SELECT t5.vec_id, {_sql_cos('t5.v', 'ev5.w')} AS cos
-        FROM t5 CROSS JOIN ev5
+    -- 9. embedding-space decontamination (vec_id == doc_id), IVF-probed:
+    -- 8 seed cells, eval assigned to its best cell, train probes its
+    -- top-2 cells (the exact NLJ's |train|x|eval| term is quadratic)
+    cent5 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    ev5 AS (
+        SELECT vec_id AS eval_id, v, cell FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('CAST(e.embedding AS DOUBLE[])', 'c.cv')} DESC,
+                                c.cell DESC) AS rk
+            FROM embeddings e CROSS JOIN cent5 c
+            WHERE e.vec_id % 10 = 0
+        ) WHERE rk = 1
+    ),
+    tp5 AS (
+        SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_sql_cos('CAST(e.embedding AS DOUBLE[])', 'c.cv')} DESC,
+                                c.cell DESC) AS rk
+            FROM embeddings e CROSS JOIN cent5 c
+            WHERE e.vec_id % 10 <> 0
+        ) WHERE rk <= 2
     ),
     sem5 AS (
-        SELECT vec_id AS doc_id, max(cos) >= 0.9 AS leaked
-        FROM sc5 GROUP BY vec_id
+        SELECT tp5.vec_id AS doc_id,
+               max({_sql_cos('tp5.v', 'ev5.v')}) >= 0.9 AS leaked
+        FROM tp5 JOIN ev5 USING (cell)
+        GROUP BY tp5.vec_id
     ),
     -- gate assembly (rooted at d2: one row per input doc; docs the
     -- dedup gates dropped never reached ES/PII/blocklist, so their

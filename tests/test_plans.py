@@ -84,7 +84,10 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # round-9 additions
         ("nb_quality_filter", 2),    # training histogram; scoring narrow
         ("dsir_importance_weights", 2),  # same shape, bigram buckets
-        ("embedding_decontaminate_ivf", 2),  # |train| max rollup + coverage distinct
+        # |train| max rollup + coverage distinct + the r10 scan-
+        # parallelism guard's round-robin (single-file local scans must
+        # not serialize the probe arithmetic)
+        ("embedding_decontaminate_ivf", 3),
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
