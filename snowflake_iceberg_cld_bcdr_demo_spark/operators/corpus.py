@@ -1963,6 +1963,10 @@ def curated_incremental_admit(
             "nb_logodds",
             "nb_keep",
         )
+        # the mixture walk and the final assembly both consume the flag
+        # table: cut lineage here (the curated_corpus stage discipline)
+        # so the corpus-side gate subtrees evaluate once, not per branch
+        .localCheckpoint(eager=False)
     )
     mix = mixture_token_budget(
         flags.filter(F.col("e_keep") & F.col("nd_keep") & F.col("nb_keep")),

@@ -88,6 +88,17 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # parallelism guard's round-robin (single-file local scans must
         # not serialize the probe arithmetic)
         ("embedding_decontaminate_ivf", 3),
+        # round-10 additions
+        ("char_entropy_profile", 3),  # per-(doc,char) agg + doc fold + join
+        # the STAGED curated pipeline's final assembly: reads the flags
+        # stage table, so only the mixture walk + split remain visible
+        # (a blow-up here means a stage table stopped materializing and
+        # the 11-gate lineage leaked into one plan)
+        ("curated_corpus_decisions", 4),
+        ("curated_corpus_report", 5),
+        # lineage cut at the flag table (the stage discipline): the
+        # mixture walk over the checkpointed flags is what remains
+        ("curated_incremental_admit", 7),
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
