@@ -2039,6 +2039,48 @@ def image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_spec(
+    "media_validity_screen",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN FALSE
+                ELSE (doc_id % 1919 + 1 <= 1024)
+                     AND (doc_id % 1079 + 1 <= 1024)
+           END AS media_ok
+    FROM documents
+    """,
+)
+def media_validity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline's media gate, hash-certified end to end:
+    per document, ENCODE a real image container header (PNG/JPEG/GIF/
+    BMP round-robin, dimensions derived from the id) — except every
+    fifth doc, which gets 6 bytes of md5 garbage (too short for any
+    format's dimension fields, so deterministically undecodable) — then
+    run :func:`multimodal.media.media_validity` with ``max_dim=1024``.
+    The oracle recomputes the verdict arithmetically: garbage decodes
+    to false, real headers gate on the derived dimensions — any codec
+    or bounds bug on either side hash-mismatches.
+
+    Scale: one narrow codegen projection + one doc-key AND-fold."""
+    from ..multimodal.media import encode_image_header, media_validity
+
+    docs = table(spark, sf_dir, "documents")
+    fmt = F.element_at(
+        F.array(F.lit("png"), F.lit("jpeg"), F.lit("gif"), F.lit("bmp")),
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("int"),
+    )
+    width = (F.pmod(F.col("doc_id"), F.lit(1919)) + 1).cast("int")
+    height = (F.pmod(F.col("doc_id"), F.lit(1079)) + 1).cast("int")
+    content = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.unhex(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12)),
+    ).otherwise(encode_image_header(fmt, width, height))
+    assets = docs.select(
+        "doc_id", F.lit("image").alias("media_type"), content.alias("content")
+    )
+    return media_validity(assets, max_dim=1024)
+
+
+@_spec(
     "audio_waveform_profile",
     """
     WITH base AS (
