@@ -1801,6 +1801,8 @@ def curated_incremental_admit(
     shares: dict[str, float],
     nd_threshold: float = 0.5,
     nb_top_frac: float = 0.6,
+    blocklist: list[str] | None = None,
+    blocklist_max_hits: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -1811,7 +1813,20 @@ def curated_incremental_admit(
     lifecycle is incremental: append → sync → validate,
     `/root/reference/scripts/05_append_campaigns.py:112-123` →
     `16_sync_task_primary.sql`), so a batch is gated WITHOUT recomputing
-    the corpus:
+    the corpus.
+
+    The batch text first runs the STATELESS scrub stages of
+    :func:`curated_corpus` — repetition collapse, PII redaction,
+    blocklist screening — which freeze trivially (no corpus state), so
+    the admitted text obeys the same shipped-text contract as the
+    corpus and all gates below compare scrubbed-vs-corpus, not
+    raw-vs-corpus.  The corpus-STATEFUL cleaning stages (per-source
+    boilerplate fingerprints, cross-document ExactSubstr windows) need
+    frozen corpus-level state (the gram/window hash tables of the build
+    that shipped the corpus) and are the documented production
+    extension: persist those tables at corpus-build time and anti-join
+    the batch against them — same shapes, state supplied instead of
+    recomputed.  Gates:
 
     1. ``e_keep`` — the :func:`incremental_dedup` discipline: the doc's
        exact fingerprint is not already in the corpus AND it is the
@@ -1840,21 +1855,24 @@ def curated_incremental_admit(
        existing corpus already consumed (:func:`mixture_token_budget`
        ``consumed``), walked in the same stable md5 admission order.
 
-    Output: ONE ROW PER BATCH DOC — ``(id, group, e_keep, nd_keep,
-    nb_logodds, nb_keep, admitted, n_mix_tokens)``; ``admitted`` implies
-    every gate passed and the source still had budget.
+    Output: ONE ROW PER BATCH DOC — ``(id, group, n_collapsed,
+    pii_redactions, e_keep, nd_keep, nb_logodds, nb_keep, blocklisted,
+    admitted, n_mix_tokens)``; ``admitted`` implies every gate passed
+    and the source still had budget.
 
-    Scale: the corpus side is consumed exactly three times, each a
-    single pass (distinct fingerprints — at 100 TB keep that table
-    compacted as its own lakehouse artifact and pass it in; banded
-    signatures probed by the broadcast batch; one map-side-combined
-    histogram for the frozen model + per-source token totals); nothing
-    batch-sized ever shuffles the corpus."""
+    Scale: the batch-side scrub is three narrow projections; the corpus
+    side is consumed a fixed number of single passes (distinct
+    fingerprints — at 100 TB keep that table compacted as its own
+    lakehouse artifact and pass it in; banded signatures probed by the
+    broadcast batch; one map-side-combined histogram for the frozen
+    model + per-source token totals); nothing batch-sized ever shuffles
+    the corpus."""
+    from . import textops
     from .dedup import _banded_signatures
 
     from ..functions.text import bpe_piece_count, fingerprint
 
-    base_new = new_docs.select(
+    raw_new = new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("source"),
         F.col(text_col).alias("text"),
@@ -1864,6 +1882,32 @@ def curated_incremental_admit(
         F.col(group_col).alias("source"),
         F.col(text_col).alias("text"),
     )
+
+    # 0. stateless scrub of the batch text (the shipped-text contract):
+    # repetition collapse, then PII redaction; blocklist screening on
+    # the redacted text below
+    rep = textops.collapse_repetitions(raw_new)
+    b1 = raw_new.select("doc_id", "source").join(
+        rep.select("doc_id", "n_collapsed", F.col("clean_text").alias("text")),
+        "doc_id",
+    )
+    pii = pii_scrub(b1)
+    base_new = b1.select("doc_id", "source", "n_collapsed").join(
+        pii.select(
+            "doc_id",
+            (F.col("n_email") + F.col("n_ipv4") + F.col("n_long_number"))
+            .cast("long")
+            .alias("pii_redactions"),
+            F.col("clean_text").alias("text"),
+        ),
+        "doc_id",
+    )
+    if blocklist is not None:
+        bl = textops.blocklist_hits(
+            base_new, list(blocklist), max_hits=blocklist_max_hits
+        ).select("doc_id", (~F.col("keep")).alias("blocklisted"))
+    else:
+        bl = base_new.select("doc_id", F.lit(False).alias("blocklisted"))
 
     # 1. exact gate: corpus anti-membership + within-batch keep-lowest
     from pyspark.sql import Window
@@ -1954,14 +1998,18 @@ def curated_incremental_admit(
         base_new.join(ek, "doc_id")
         .join(nd_drop, "doc_id", "left")
         .join(scores, "doc_id")
+        .join(bl, "doc_id")
         .select(
             "doc_id",
             "source",
             "text",
+            "n_collapsed",
+            "pii_redactions",
             "e_keep",
             (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
             "nb_logodds",
             "nb_keep",
+            "blocklisted",
         )
         # the mixture walk and the final assembly both consume the flag
         # table: cut lineage here (the curated_corpus stage discipline)
@@ -1969,7 +2017,12 @@ def curated_incremental_admit(
         .localCheckpoint(eager=False)
     )
     mix = mixture_token_budget(
-        flags.filter(F.col("e_keep") & F.col("nd_keep") & F.col("nb_keep")),
+        flags.filter(
+            F.col("e_keep")
+            & F.col("nd_keep")
+            & F.col("nb_keep")
+            & ~F.col("blocklisted")
+        ),
         token_budget,
         shares,
         consumed=consumed,
@@ -1977,10 +2030,13 @@ def curated_incremental_admit(
     return flags.join(mix, "doc_id", "left").select(
         "doc_id",
         "source",
+        "n_collapsed",
+        "pii_redactions",
         "e_keep",
         "nd_keep",
         "nb_logodds",
         "nb_keep",
+        "blocklisted",
         F.coalesce("_adm", F.lit(False)).alias("admitted"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
     )

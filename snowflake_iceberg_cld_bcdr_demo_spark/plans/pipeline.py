@@ -4881,6 +4881,62 @@ _INCR_BAND = "\n        UNION ALL\n".join(
     f"""
     WITH ex AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 <> 0),
     nw AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 3 = 0),
+    -- 0. stateless scrub of the batch text (the shipped-text contract):
+    -- repetition collapse, then PII redaction
+    t1n AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM nw),
+    trn1 AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM t1n)
+    ),
+    fln1 AS (
+        SELECT doc_id, p, tok,
+               lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2,
+               lag(tok, 3) OVER w AS p3, lag(tok, 4) OVER w AS p4
+        FROM trn1 WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    decn1 AS (
+        SELECT doc_id, p, tok,
+               NOT ((p1 IS NOT DISTINCT FROM tok
+                     AND p2 IS NOT DISTINCT FROM tok)
+                    OR (p2 IS NOT DISTINCT FROM tok
+                        AND p4 IS NOT DISTINCT FROM tok
+                        AND p1 IS NOT DISTINCT FROM p3)) AS keep
+        FROM fln1
+    ),
+    rebn1 AS (
+        SELECT doc_id,
+               count(*) FILTER (WHERE NOT keep) AS n_collapsed,
+               string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY p) AS ct
+        FROM decn1 GROUP BY doc_id
+    ),
+    b1n AS (
+        SELECT w.doc_id, w.source,
+               CAST(coalesce(r.n_collapsed, 0) AS BIGINT) AS n_collapsed,
+               coalesce(r.ct, '') AS text
+        FROM nw w LEFT JOIN rebn1 r USING (doc_id)
+    ),
+    b2n AS (
+        SELECT doc_id, source, n_collapsed,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+                    + len(regexp_extract_all(text,
+                        '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+                    + len(regexp_extract_all(text, '[0-9]{{6,}}')) AS BIGINT)
+                   AS pii_redactions,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                   '<EMAIL>', 'g'),
+                   '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+                   '<IP>', 'g'),
+                   '[0-9]{{6,}}', '<NUM>', 'g') AS text
+        FROM b1n
+    ),
+    blkn AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '(?i)\\b(spark|shuffle|broadcast)\\b')) > 2 AS blocklisted
+        FROM b2n
+    ),
     -- 1. exact gate: corpus anti-membership + within-batch keep-lowest
     exfp AS (
         SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -4890,7 +4946,7 @@ _INCR_BAND = "\n        UNION ALL\n".join(
     nfp AS (
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
                    AS fp
-        FROM nw
+        FROM b2n
     ),
     ekn AS (
         SELECT n.doc_id,
@@ -4899,12 +4955,15 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         FROM nfp n LEFT JOIN exfp e ON n.fp = e.fp
     ),
     -- 2. near-dup vs the existing corpus (bipartite band join; doc_ids
-    -- are a partition of `documents`, so one signature table serves
-    -- both sides)
+    -- are disjoint, so one signature table serves both sides — the
+    -- batch side signed on its SCRUBBED text)
     normi AS (
         SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
                    AS norm_text
-        FROM documents
+        FROM ex
+        UNION ALL
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        FROM b2n
     ),
     shi AS (
         SELECT DISTINCT doc_id,
@@ -4985,7 +5044,7 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         ) WHERE rk = cut
     ),
     tn AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
-           FROM nw),
+           FROM b2n),
     bgn AS (
         SELECT doc_id, CAST(p AS INTEGER) AS pos,
                CAST(('0x' || substring(md5(t[CAST(p AS INTEGER)]), 1, 8))
@@ -5022,13 +5081,16 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         FROM ex GROUP BY source
     ),
     flagsn AS MATERIALIZED (
-        SELECT w.doc_id, w.source, w.text, k.e_keep,
+        SELECT w.doc_id, w.source, w.text, w.n_collapsed, w.pii_redactions,
+               k.e_keep,
                (d.doc_id IS NULL) AS nd_keep,
-               q.nb_logodds, q.nb_keep
-        FROM nw w
+               q.nb_logodds, q.nb_keep,
+               b.blocklisted
+        FROM b2n w
         JOIN ekn k USING (doc_id)
         LEFT JOIN ndi d USING (doc_id)
         JOIN nbn q USING (doc_id)
+        JOIN blkn b USING (doc_id)
     ),
     tokn AS (
         SELECT doc_id, source,
@@ -5037,7 +5099,7 @@ _INCR_BAND = "\n        UNION ALL\n".join(
                    AS BIGINT) AS n_tokens,
                md5(CAST(doc_id AS VARCHAR)) AS k
         FROM flagsn
-        WHERE e_keep AND nd_keep AND nb_keep
+        WHERE e_keep AND nd_keep AND nb_keep AND NOT blocklisted
     ),
     cumn AS (
         SELECT doc_id, n_tokens,
@@ -5050,7 +5112,8 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         FROM tokn LEFT JOIN consumedx c USING (source)
     ),
     mixn AS (SELECT doc_id, n_tokens FROM cumn WHERE tok_before < target)
-    SELECT f.doc_id, f.source, f.e_keep, f.nd_keep, f.nb_logodds, f.nb_keep,
+    SELECT f.doc_id, f.source, f.n_collapsed, f.pii_redactions,
+           f.e_keep, f.nd_keep, f.nb_logodds, f.nb_keep, f.blocklisted,
            (m.doc_id IS NOT NULL) AS admitted,
            CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens
     FROM flagsn f LEFT JOIN mixn m USING (doc_id)
@@ -5076,6 +5139,7 @@ def curated_incremental_admit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1"),
         25_000,
         _MIX_SHARES,
+        blocklist=["spark", "shuffle", "broadcast"],
     )
 
 

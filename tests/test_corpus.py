@@ -1254,14 +1254,23 @@ def test_curated_incremental_admit_gates_planted_batch(spark, tmp_path):
             (107, "note here w0 q1 w2 q3 w4 q5 w6 q7 target", "src0"),
             # fresh unique doc, also corpus-vocabulary
             (109, "short document w9 q11 w13 q15 w17 q19 note", "src0"),
+            # carries PII + a repeated run + blocklisted terms: the
+            # stateless scrub must collapse/redact it, and the blocklist
+            # gate must refuse it
+            (111, "mail target@example.com code 1234567 spam spam spam "
+                  "taboo one taboo two taboo three taboo four", "src0"),
         ],
         "doc_id long, text string, source string",
     )
     out = {r.doc_id: r for r in corpus.curated_incremental_admit(
         batch, existing, F.col("source") == "src0", 100_000, shares,
-        nb_top_frac=1.0,
+        nb_top_frac=1.0, blocklist=["taboo"], blocklist_max_hits=2,
     ).collect()}
-    assert len(out) == 5
+    assert len(out) == 6
+    assert out[111].n_collapsed > 0          # spam run collapsed
+    assert out[111].pii_redactions >= 2      # email + long number
+    assert out[111].blocklisted and not out[111].admitted
+    assert not out[109].blocklisted
     assert not out[101].e_keep                     # exact cross-batch dup
     assert not out[103].nd_keep and out[103].e_keep  # near-dup of corpus
     assert out[105].e_keep and not out[107].e_keep   # within-batch pair
