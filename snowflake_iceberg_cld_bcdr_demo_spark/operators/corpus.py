@@ -1803,6 +1803,9 @@ def curated_incremental_admit(
     nb_top_frac: float = 0.6,
     blocklist: list[str] | None = None,
     blocklist_max_hits: int = 2,
+    boiler_grams: DataFrame | None = None,
+    es_windows: DataFrame | None = None,
+    es_block: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -1815,18 +1818,22 @@ def curated_incremental_admit(
     `16_sync_task_primary.sql`), so a batch is gated WITHOUT recomputing
     the corpus.
 
-    The batch text first runs the STATELESS scrub stages of
-    :func:`curated_corpus` — repetition collapse, PII redaction,
-    blocklist screening — which freeze trivially (no corpus state), so
-    the admitted text obeys the same shipped-text contract as the
-    corpus and all gates below compare scrubbed-vs-corpus, not
-    raw-vs-corpus.  The corpus-STATEFUL cleaning stages (per-source
-    boilerplate fingerprints, cross-document ExactSubstr windows) need
-    frozen corpus-level state (the gram/window hash tables of the build
-    that shipped the corpus) and are the documented production
-    extension: persist those tables at corpus-build time and anti-join
-    the batch against them — same shapes, state supplied instead of
-    recomputed.  Gates:
+    The batch text first runs the scrub stages of
+    :func:`curated_corpus`: the STATELESS ones — repetition collapse,
+    PII redaction, blocklist screening — freeze trivially (no corpus
+    state), and the corpus-STATEFUL ones run against FROZEN corpus
+    state persisted at build time and passed in: ``boiler_grams`` (the
+    ``(source, gram)`` table from :func:`.extract.boilerplate_grams`)
+    cleans the batch against the shipped build's boilerplate set, and
+    ``es_windows`` (the window-hash table from
+    :func:`.dedup.window_hashes`) cuts any batch passage that already
+    exists ANYWHERE in the corpus — a single corpus occurrence plus the
+    batch copy IS a duplicate, so the admission ES detector is
+    membership against corpus windows, not within-batch mining.  Both
+    stateful gates default to None (skipped, counters 0); the admitted
+    text then obeys the same shipped-text contract as the corpus and
+    every gate below compares scrubbed-vs-corpus, not raw-vs-corpus.
+    Gates:
 
     1. ``e_keep`` — the :func:`incremental_dedup` discipline: the doc's
        exact fingerprint is not already in the corpus AND it is the
@@ -1856,9 +1863,10 @@ def curated_incremental_admit(
        ``consumed``), walked in the same stable md5 admission order.
 
     Output: ONE ROW PER BATCH DOC — ``(id, group, n_collapsed,
-    pii_redactions, e_keep, nd_keep, nb_logodds, nb_keep, blocklisted,
-    admitted, n_mix_tokens)``; ``admitted`` implies every gate passed
-    and the source still had budget.
+    n_boiler_dropped, es_dropped_chars, pii_redactions, e_keep,
+    nd_keep, nb_logodds, nb_keep, blocklisted, admitted,
+    n_mix_tokens)``; ``admitted`` implies every gate passed and the
+    source still had budget.
 
     Scale: the batch-side scrub is three narrow projections; the corpus
     side is consumed a fixed number of single passes (distinct
@@ -1883,24 +1891,86 @@ def curated_incremental_admit(
         F.col(text_col).alias("text"),
     )
 
-    # 0. stateless scrub of the batch text (the shipped-text contract):
-    # repetition collapse, then PII redaction; blocklist screening on
-    # the redacted text below
+    # 0. scrub of the batch text (the shipped-text contract): repetition
+    # collapse, then the FROZEN-STATE gates (boilerplate grams /
+    # ExactSubstr window membership), then PII redaction; blocklist
+    # screening on the redacted text below
     rep = textops.collapse_repetitions(raw_new)
     b1 = raw_new.select("doc_id", "source").join(
         rep.select("doc_id", "n_collapsed", F.col("clean_text").alias("text")),
         "doc_id",
     )
-    pii = pii_scrub(b1)
-    base_new = b1.select("doc_id", "source", "n_collapsed").join(
-        pii.select(
+    if boiler_grams is not None:
+        from . import extract
+
+        bp = extract.remove_boilerplate_ngrams(b1, n=5, grams=boiler_grams)
+        b1 = b1.select("doc_id", "source", "n_collapsed").join(
+            bp.select(
+                "doc_id",
+                F.col("n_dropped_tokens").alias("n_boiler_dropped"),
+                F.col("clean_text").alias("text"),
+            ),
             "doc_id",
-            (F.col("n_email") + F.col("n_ipv4") + F.col("n_long_number"))
-            .cast("long")
-            .alias("pii_redactions"),
-            F.col("clean_text").alias("text"),
-        ),
+        )
+    else:
+        b1 = b1.withColumn("n_boiler_dropped", F.lit(0).cast("long"))
+    if es_windows is not None:
+        from ..functions.text import normalized_text
+        from .dedup import remove_duplicate_blocks_overlap
+
+        # the curated pipeline's min-length policy: sub-2*block docs
+        # skip the gate (the covering tile would be the whole doc);
+        # every doc's text is normalized either way so the stage
+        # output stays uniform
+        b1n = b1.select(
+            "doc_id",
+            "source",
+            "n_collapsed",
+            "n_boiler_dropped",
+            normalized_text(F.col("text")).alias("nt"),
+        )
+        es = remove_duplicate_blocks_overlap(
+            b1n.filter(F.length("nt") >= 2 * es_block).select(
+                "doc_id", F.col("nt").alias("text")
+            ),
+            block=es_block,
+            known_hashes=es_windows,
+        )
+        b1 = (
+            b1n.join(
+                es.select(
+                    "doc_id", "clean_len", F.col("clean_text").alias("_es_text")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "source",
+                "n_collapsed",
+                "n_boiler_dropped",
+                F.coalesce(F.length("nt") - F.col("clean_len"), F.lit(0))
+                .cast("long")
+                .alias("es_dropped_chars"),
+                F.coalesce("_es_text", "nt").alias("text"),
+            )
+        )
+    else:
+        b1 = b1.withColumn("es_dropped_chars", F.lit(0).cast("long"))
+    pii = pii_scrub(
+        b1, keep_cols=("source", "n_collapsed", "n_boiler_dropped",
+                       "es_dropped_chars")
+    )
+    base_new = pii.select(
         "doc_id",
+        "source",
+        "n_collapsed",
+        "n_boiler_dropped",
+        "es_dropped_chars",
+        (F.col("n_email") + F.col("n_ipv4") + F.col("n_long_number"))
+        .cast("long")
+        .alias("pii_redactions"),
+        F.col("clean_text").alias("text"),
     )
     if blocklist is not None:
         bl = textops.blocklist_hits(
@@ -2004,6 +2074,8 @@ def curated_incremental_admit(
             "source",
             "text",
             "n_collapsed",
+            "n_boiler_dropped",
+            "es_dropped_chars",
             "pii_redactions",
             "e_keep",
             (~F.coalesce("_nd_drop", F.lit(False))).alias("nd_keep"),
@@ -2031,6 +2103,8 @@ def curated_incremental_admit(
         "doc_id",
         "source",
         "n_collapsed",
+        "n_boiler_dropped",
+        "es_dropped_chars",
         "pii_redactions",
         "e_keep",
         "nd_keep",

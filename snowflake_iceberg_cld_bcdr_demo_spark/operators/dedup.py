@@ -1083,11 +1083,49 @@ def remove_duplicate_blocks(
     )
 
 
+def window_hashes(
+    docs: DataFrame,
+    block: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ExactSubstr gate's FROZEN CORPUS STATE: the DISTINCT md5
+    hashes of every ``block``-char window at stride ``block/2`` of the
+    normalized corpus text — one ``h`` column.  An incremental batch
+    cut against this set (:func:`remove_duplicate_blocks_overlap`
+    ``known_hashes``) removes any batch passage that already exists
+    ANYWHERE in the corpus, even once: a single corpus occurrence plus
+    the batch copy IS a duplicate.  Persist it as its own compacted
+    lakehouse artifact at corpus-build time (32-byte uniform keys,
+    ~2 rows per block of corpus text)."""
+    if block < 2 or block % 2 != 0:
+        raise ValueError(
+            f"window_hashes: block must be an even int >= 2, got {block}"
+        )
+    hb = block // 2
+    norm = normalized_text(F.col(text_col))
+    return (
+        _parallelize_scan(docs)
+        .select(norm.alias("nt"))
+        .filter(F.length("nt") >= 1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(nt), {hb}), "
+                    f"i -> md5(substring(nt, i, {block})))"
+                )
+            ).alias("h")
+        )
+        .distinct()
+    )
+
+
 def remove_duplicate_blocks_overlap(
     docs: DataFrame,
     block: int = 50,
     text_col: str = "text",
     id_col: str = "doc_id",
+    known_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-phase ExactSubstr block removal — closes (half of) the
     boundary-straddle blind spot of :func:`remove_duplicate_blocks`
@@ -1122,7 +1160,14 @@ def remove_duplicate_blocks_overlap(
     Determinism caveat: as with :func:`remove_duplicate_blocks`, the
     detector and reassembly branches re-derive the normalized text
     from the input plan independently — ``docs`` must be a
-    deterministic plan (checkpoint/persist upstream otherwise)."""
+    deterministic plan (checkpoint/persist upstream otherwise).
+
+    ``known_hashes`` FREEZES the detector state: instead of mining
+    cross-document duplicated windows within ``docs``, a window is
+    flagged when its hash exists in the given one-column ``h`` table
+    (:func:`window_hashes` of the shipped corpus) — the
+    incremental-admission posture, where a batch passage that already
+    exists anywhere in the corpus is cut from the batch copy."""
     if block < 2 or block % 2 != 0:
         # block=1 would make the stride-hb sequence step 0; any odd block
         # breaks the window→tile index mapping (the j*hb arithmetic below
@@ -1147,12 +1192,15 @@ def remove_duplicate_blocks_overlap(
             )
         ).alias("j", "h"),
     )
-    dup = (
-        wins.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .select("h")
-    )
+    if known_hashes is not None:
+        dup = known_hashes.select("h")
+    else:
+        dup = (
+            wins.groupBy("h")
+            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") > 1)
+            .select("h")
+        )
     flagged = wins.join(dup, "h", "left_semi")
     # window j starts at char j*hb (0-based): it always overlaps tile
     # j div 2; an odd-j (half-aligned) window also overlaps the next

@@ -128,6 +128,45 @@ def boilerplate_share(
     )
 
 
+def boilerplate_grams(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """The boilerplate gate's FROZEN CORPUS STATE: the ``(source, gram)``
+    table of word n-grams appearing in at least ``min_docs`` distinct
+    documents of the same source — exactly the set
+    :func:`remove_boilerplate_ngrams` mines internally, exported so an
+    incremental batch can be cleaned against the gram table of the
+    build that shipped the corpus (persist it as its own lakehouse
+    artifact at corpus-build time; pass it back via the ``grams``
+    parameter).  One (source, gram) map-side-combined count over
+    row-locally deduped grams."""
+    from .dedup import _parallelize_scan
+
+    toks_col = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"\S+"), 0
+    ).alias("t")
+    base = _parallelize_scan(docs).select(
+        F.col(group_col).alias("source"), toks_col
+    )
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
+    )
+    grams_arr = F.transform(F.sequence(F.lit(1), F.size("t") - (n - 1)), gram)
+    return (
+        base.filter(F.size("t") >= n)
+        .select("source", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("source", "gram")
+    )
+
+
 def remove_boilerplate_ngrams(
     docs: DataFrame,
     n: int = 5,
@@ -135,6 +174,7 @@ def remove_boilerplate_ngrams(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """ACTING counterpart of :func:`boilerplate_share` (the
     CCNet/RefinedWeb boilerplate-removal step, not just its profile):
@@ -159,7 +199,14 @@ def remove_boilerplate_ngrams(
     (4) the doc_id reassembly rollup whose payload is the surviving
     tokens — never more than the corpus.  Mirrors the
     ``remove_duplicate_blocks`` sort_array(collect_list) rebuild, so
-    the DuckDB oracle replays it with a string_agg."""
+    the DuckDB oracle replays it with a string_agg.
+
+    ``grams`` FREEZES the gram state: a ``(source, gram)`` table (from
+    :func:`boilerplate_grams` at corpus-build time) is used instead of
+    mining this corpus — the incremental-admission posture, where a
+    daily batch is cleaned against the boilerplate set of the build
+    that shipped the corpus (``min_docs`` is then the state producer's
+    concern and ignored here)."""
     from .dedup import _parallelize_scan
 
     toks_col = F.regexp_extract_all(
@@ -174,15 +221,18 @@ def remove_boilerplate_ngrams(
     grams_arr = F.transform(
         F.sequence(F.lit(1), F.size("t") - (n - 1)), gram
     )
-    # counting side: row-local dedup -> count(*) per (source, gram) is
-    # the distinct-doc count (boilerplate_share's trick)
-    counts = (
-        base.filter(F.size("t") >= n)
-        .select("grp", F.explode(F.array_distinct(grams_arr)).alias("gram"))
-        .groupBy("grp", "gram")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-    boiler = counts.filter(F.col("n_docs") >= min_docs).select("grp", "gram")
+    if grams is not None:
+        boiler = grams.select(F.col("source").alias("grp"), "gram")
+    else:
+        # counting side: row-local dedup -> count(*) per (source, gram)
+        # is the distinct-doc count (boilerplate_share's trick)
+        counts = (
+            base.filter(F.size("t") >= n)
+            .select("grp", F.explode(F.array_distinct(grams_arr)).alias("gram"))
+            .groupBy("grp", "gram")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        boiler = counts.filter(F.col("n_docs") >= min_docs).select("grp", "gram")
     # marking side: positioned grams (1-based start) joined to the
     # boilerplate set; each hit covers token positions [pos, pos+n)
     gp = (

@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import corpus, dedup, similarity, textops
+from ..operators import corpus, dedup, extract, similarity, textops
 from ..sources.testdata import table
 from .registry import QuerySpec
 
@@ -4909,14 +4909,111 @@ _INCR_BAND = "\n        UNION ALL\n".join(
                string_agg(CASE WHEN keep THEN tok END, ' ' ORDER BY p) AS ct
         FROM decn1 GROUP BY doc_id
     ),
-    b1n AS (
+    b1n AS MATERIALIZED (
         SELECT w.doc_id, w.source,
                CAST(coalesce(r.n_collapsed, 0) AS BIGINT) AS n_collapsed,
                coalesce(r.ct, '') AS text
         FROM nw w LEFT JOIN rebn1 r USING (doc_id)
     ),
-    b2n AS (
-        SELECT doc_id, source, n_collapsed,
+    -- 0b. FROZEN boilerplate state: the (source, gram) table mined from
+    -- the existing corpus, applied to the batch's collapsed text
+    tgx2 AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+             FROM ex),
+    gpx AS (
+        SELECT source, gram FROM (
+            SELECT doc_id, source,
+                   unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                       p -> array_to_string(
+                           t[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)], ' '))))
+                       AS gram
+            FROM tgx2 WHERE len(t) >= 5
+        ) GROUP BY source, gram HAVING count(*) >= 3
+    ),
+    tb1 AS (SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+            FROM b1n),
+    gpn AS (
+        SELECT doc_id, source, CAST(p AS BIGINT) AS pos,
+               array_to_string(t[CAST(p AS INTEGER):CAST(p + 4 AS INTEGER)],
+                               ' ') AS gram
+        FROM (SELECT doc_id, source, t, unnest(range(1, len(t) - 3)) AS p
+              FROM tb1 WHERE len(t) >= 5)
+    ),
+    covn AS (
+        SELECT DISTINCT g.doc_id, g.pos + u.o AS cpos
+        FROM gpn g JOIN gpx b ON g.source = b.source AND g.gram = b.gram
+        CROSS JOIN range(0, 5) AS u(o)
+    ),
+    trb1 AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, t[CAST(p AS INTEGER)] AS tok
+        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM tb1)
+    ),
+    rebb AS (
+        SELECT tr.doc_id, count(c.cpos) AS n_dropped,
+               string_agg(CASE WHEN c.cpos IS NULL THEN tr.tok END, ' '
+                          ORDER BY tr.p) AS ct
+        FROM trb1 tr
+        LEFT JOIN covn c ON tr.doc_id = c.doc_id AND tr.p = c.cpos
+        GROUP BY tr.doc_id
+    ),
+    b1b AS MATERIALIZED (
+        SELECT d.doc_id, d.source, d.n_collapsed,
+               CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_boiler_dropped,
+               coalesce(r.ct, '') AS text
+        FROM b1n d LEFT JOIN rebb r USING (doc_id)
+    ),
+    -- 0c. FROZEN ExactSubstr state: the corpus's full window-hash set;
+    -- a batch passage that exists anywhere in the corpus is cut (docs
+    -- under 100 normalized chars skip the gate)
+    wset AS (
+        SELECT DISTINCT md5(substring(nt, CAST(p AS INTEGER), 50)) AS h
+        FROM (SELECT nt, unnest(range(1, length(nt) + 1, 25)) AS p
+              FROM (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                        AS nt FROM ex)
+              WHERE length(nt) >= 1)
+    ),
+    normn AS MATERIALIZED (
+        SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+        FROM b1b
+    ),
+    winsn AS (
+        SELECT doc_id, length(nt) AS ln, CAST((p - 1) / 25 AS BIGINT) AS j,
+               md5(substring(nt, CAST(p AS INTEGER), 50)) AS h
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 25)) AS p
+              FROM normn WHERE length(nt) >= 100)
+    ),
+    flgn AS (SELECT w.doc_id, w.j, w.ln FROM winsn w JOIN wset USING (h)),
+    dropn AS (
+        SELECT DISTINCT doc_id, t FROM (
+            SELECT doc_id, CAST(j // 2 AS BIGINT) AS t FROM flgn
+            UNION ALL
+            SELECT doc_id, CAST((j + 1) // 2 AS BIGINT) AS t FROM flgn
+            WHERE j % 2 = 1 AND ln > (j + 1) * 25
+        )
+    ),
+    tilesn AS (
+        SELECT doc_id, CAST((p - 1) / 50 AS BIGINT) AS t,
+               CAST(p AS INTEGER) AS pos,
+               substring(nt, CAST(p AS INTEGER), 50) AS tile
+        FROM (SELECT doc_id, nt, unnest(range(1, length(nt) + 1, 50)) AS p
+              FROM normn WHERE length(nt) >= 100)
+    ),
+    rebn3 AS (
+        SELECT t.doc_id,
+               coalesce(string_agg(CASE WHEN d.t IS NULL THEN t.tile END, ''
+                                   ORDER BY t.pos), '') AS ct
+        FROM tilesn t LEFT JOIN dropn d ON t.doc_id = d.doc_id AND t.t = d.t
+        GROUP BY t.doc_id
+    ),
+    b1c AS (
+        SELECT n.doc_id, d.source, d.n_collapsed, d.n_boiler_dropped,
+               CAST(coalesce(length(n.nt) - length(r.ct), 0) AS BIGINT)
+                   AS es_dropped_chars,
+               coalesce(r.ct, n.nt) AS text
+        FROM normn n JOIN b1b d USING (doc_id) LEFT JOIN rebn3 r USING (doc_id)
+    ),
+    b2n AS MATERIALIZED (
+        SELECT doc_id, source, n_collapsed, n_boiler_dropped,
+               es_dropped_chars,
                CAST(len(regexp_extract_all(text,
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
                     + len(regexp_extract_all(text,
@@ -4929,7 +5026,7 @@ _INCR_BAND = "\n        UNION ALL\n".join(
                    '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
                    '<IP>', 'g'),
                    '[0-9]{{6,}}', '<NUM>', 'g') AS text
-        FROM b1n
+        FROM b1c
     ),
     blkn AS (
         SELECT doc_id,
@@ -5081,7 +5178,8 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         FROM ex GROUP BY source
     ),
     flagsn AS MATERIALIZED (
-        SELECT w.doc_id, w.source, w.text, w.n_collapsed, w.pii_redactions,
+        SELECT w.doc_id, w.source, w.text, w.n_collapsed,
+               w.n_boiler_dropped, w.es_dropped_chars, w.pii_redactions,
                k.e_keep,
                (d.doc_id IS NULL) AS nd_keep,
                q.nb_logodds, q.nb_keep,
@@ -5112,7 +5210,8 @@ _INCR_BAND = "\n        UNION ALL\n".join(
         FROM tokn LEFT JOIN consumedx c USING (source)
     ),
     mixn AS (SELECT doc_id, n_tokens FROM cumn WHERE tok_before < target)
-    SELECT f.doc_id, f.source, f.n_collapsed, f.pii_redactions,
+    SELECT f.doc_id, f.source, f.n_collapsed, f.n_boiler_dropped,
+           f.es_dropped_chars, f.pii_redactions,
            f.e_keep, f.nd_keep, f.nb_logodds, f.nb_keep, f.blocklisted,
            (m.doc_id IS NOT NULL) AS admitted,
            CAST(coalesce(m.n_tokens, 0) AS BIGINT) AS n_mix_tokens
@@ -5133,13 +5232,18 @@ def curated_incremental_admit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental (append → sync → validate).  See
     :func:`operators.corpus.curated_incremental_admit`."""
     docs = table(spark, sf_dir, "documents")
+    ex_docs = docs.filter(F.col("doc_id") % 3 != 0)
     return corpus.curated_incremental_admit(
         docs.filter(F.col("doc_id") % 3 == 0),
-        docs.filter(F.col("doc_id") % 3 != 0),
+        ex_docs,
         F.col("source").isin("src0", "src1"),
         25_000,
         _MIX_SHARES,
         blocklist=["spark", "shuffle", "broadcast"],
+        # the frozen corpus state a production build persists at ship
+        # time (here derived from the stand-in corpus)
+        boiler_grams=extract.boilerplate_grams(ex_docs),
+        es_windows=dedup.window_hashes(ex_docs),
     )
 
 

@@ -1389,3 +1389,46 @@ def test_media_validity_bounds(spark):
         "doc_id long, media_type string, content binary",
     )
     assert M.media_validity(mixed).collect()[0].media_ok is False
+
+
+def test_curated_incremental_admit_frozen_state_gates(spark):
+    """The corpus-STATEFUL scrub gates run against FROZEN state: a batch
+    doc carrying the corpus's boilerplate footer has it removed (frozen
+    gram table), a batch doc containing a passage that exists ONCE in
+    the corpus has it cut (frozen window-hash set — one corpus
+    occurrence plus the batch copy IS a duplicate), and a clean batch
+    doc is untouched."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import dedup, extract
+
+    footer = "visit our great site today now"
+    passage = ("the quick brown fox jumps over the lazy dog again "
+               "and over again we go")
+    docs_a = spark.createDataFrame(
+        [
+            (1, f"first unique corpus body alpha beta {footer}", "src0"),
+            (2, f"second unique corpus body gamma delta {footer}", "src0"),
+            (3, f"third unique corpus body epsilon zeta {footer}", "src0"),
+            (4, f"{passage} " + " ".join(f"cu{j}" for j in range(12)), "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    grams = extract.boilerplate_grams(docs_a)          # footer grams (3 docs)
+    wset = dedup.window_hashes(docs_a)                 # every corpus window
+    batch = spark.createDataFrame(
+        [
+            (201, f"fresh batch report omega kappa {footer}", "src0"),
+            (203, f"{passage} " + " ".join(f"nb{j}" for j in range(12)), "src0"),
+            (205, "entirely novel words here nothing shared at all", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.doc_id: r for r in corpus.curated_incremental_admit(
+        batch, docs_a, F.lit(True), 100_000, {"src0": 1.0},
+        boiler_grams=grams, es_windows=wset,
+    ).collect()}
+    assert out[201].n_boiler_dropped > 0               # footer removed
+    assert out[201].es_dropped_chars == 0
+    assert out[203].es_dropped_chars > 0               # corpus passage cut
+    assert out[205].n_boiler_dropped == 0
+    assert out[205].es_dropped_chars == 0
+    assert out[205].e_keep and out[205].nd_keep
