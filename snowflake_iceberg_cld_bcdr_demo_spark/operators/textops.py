@@ -810,3 +810,115 @@ def blocklist_hits(
         hits.alias("n_hits"),
         (hits <= max_hits).alias("keep"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: score every document against a bag of
+    query terms with the Okapi BM25 function (Robertson/Sparck Jones
+    idf in the Lucene ``ln(1 + (N - df + 0.5)/(df + 0.5))`` form, so
+    scores stay non-negative) and return the top-k documents.  This is
+    the ranking half of the retrieval stack — `term_postings_index` /
+    `conjunctive_term_search` answer WHICH documents match, BM25 orders
+    them; `tfidf_top_terms` is the per-document dual (which terms
+    characterize a doc, not which docs answer a query).
+
+    Determinism contract: per-term tf and the per-document length come
+    from one tokenization (`regexp_extract_all(lower(text), '\\S+')` —
+    the corpus-wide convention); the score is a FIXED left-to-right sum
+    over the query terms (Python builds the expression term by term, no
+    data-order-dependent aggregation of doubles), rounded to 8 places,
+    and ranking orders by (rounded score DESC, id) so the rank column
+    is reproducible bit-for-bit in the SQL oracle — ``ln`` last-ulp
+    divergence between libm implementations is absorbed by the rounding
+    (the `unigram_logprob` precedent).
+
+    Scale: NO explode and NO per-term join — each query term compiles
+    to one ``size(filter(tokens, = term))`` projection column, so the
+    corpus is read in a single narrow codegen'd scan; the corpus stats
+    (N, total tokens, per-term df) reduce to ONE broadcast row; and the
+    final top-k is `TakeOrderedAndProject` (per-partition heaps, no
+    global sort shuffle).  Query cost is O(corpus scan) regardless of
+    k, with zero wide shuffles — at 100 TB this is the scan-bound
+    brute-force baseline; a standing query workload would precompute
+    `term_postings_index` and intersect instead."""
+    terms = sorted(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_search: query_terms is empty")
+
+    def _term_eq(t: str):
+        # one-arg lambda per term: a two-parameter lambda would make
+        # F.filter bind the second parameter to the ARRAY INDEX
+        return lambda x: x == F.lit(t)
+
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError(f"bm25_search: bad k1={k1} or b={b}")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    per = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
+        *[
+            F.coalesce(F.size(F.filter(toks, _term_eq(t))), F.lit(0))
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    ).withColumn(
+        "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
+    )
+    joined = per.join(F.broadcast(stats))
+
+    def _term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        )
+        norm = tf + F.lit(float(k1)) * (
+            F.lit(float(1.0 - b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(float(k1 + 1.0)) / norm)
+
+    score = _term_score(0)
+    for i in range(1, len(terms)):
+        score = score + _term_score(i)
+    n_matched = sum(
+        ((F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))),
+        start=F.lit(0),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        joined.select(
+            "doc_id",
+            n_matched.alias("n_matched"),
+            "dl",
+            F.round(score, 8).alias("score"),
+        )
+        .filter(F.col("n_matched") >= 1)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "n_matched", "dl", "score", "rank")

@@ -5284,3 +5284,78 @@ def char_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textclean
 
     return textclean.char_entropy(table(spark, sf_dir, "documents"))
+
+
+def _bm25_sql(terms: list[str], k1: float, b: float, top_k: int) -> str:
+    """DuckDB dual of :func:`operators.textops.bm25_search` — the same
+    fixed left-to-right term-score sum over per-term tf columns, every
+    operand promoted to DOUBLE before arithmetic (bare decimal literals
+    stay DECIMAL in DuckDB; Spark computes in doubles throughout)."""
+    terms = sorted(dict.fromkeys(t.lower() for t in terms))
+    tf_cols = ",\n               ".join(
+        f"coalesce(CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT), 0)"
+        f" AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_scores = " + ".join(
+        f"(ln(CAST(1.0 AS DOUBLE)"
+        f" + (CAST(n_docs AS DOUBLE) - df{i} + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * (CAST(tf{i} AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE)"
+        f" / (CAST(tf{i} AS DOUBLE) + CAST({k1!r} AS DOUBLE)"
+        f" * (CAST({1.0 - b!r} AS DOUBLE)"
+        f" + CAST({b!r} AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))))"
+        for i in range(len(terms))
+    )
+    n_matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(terms))
+    )
+    return f"""
+    WITH per AS (
+        SELECT doc_id,
+               coalesce(CAST(len(toks) AS BIGINT), 0) AS dl,
+               {tf_cols}
+        FROM (
+            SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+            FROM documents
+        ) t
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tokens, {df_cols},
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM per
+    )
+    SELECT doc_id, n_matched, dl, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+               AS rank
+    FROM (
+        SELECT doc_id,
+               CAST({n_matched} AS INTEGER) AS n_matched,
+               dl,
+               round({term_scores}, 8) AS score
+        FROM per CROSS JOIN stats
+    ) s
+    WHERE n_matched >= 1
+    ORDER BY score DESC, doc_id
+    LIMIT {top_k}
+    """
+
+
+_BM25_TERMS = ["dup", "hash", "join"]
+
+
+@_spec("bm25_search", _bm25_sql(_BM25_TERMS, k1=1.2, b=0.75, top_k=25))
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a fixed query-term bag — the
+    ranking half of the retrieval stack (postings/conjunctive search
+    answer WHICH docs match; BM25 orders them).  Hash-certified:
+    deterministic tokenization, fixed-order double fold, rounded score,
+    (score, id) rank tiebreak.  See :func:`operators.textops.bm25_search`
+    for the scan-bound single-pass scale shape."""
+    return textops.bm25_search(
+        table(spark, sf_dir, "documents"), _BM25_TERMS, top_k=25
+    )

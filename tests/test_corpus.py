@@ -1432,3 +1432,105 @@ def test_curated_incremental_admit_frozen_state_gates(spark):
     assert out[205].n_boiler_dropped == 0
     assert out[205].es_dropped_chars == 0
     assert out[205].e_keep and out[205].nd_keep
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_python_reference(spark):
+    """bm25_search reproduces the Okapi BM25 formula exactly (same
+    tokenization, same Lucene idf, fixed term order): scores, ranks,
+    match counts, and doc lengths all agree with a pure-Python replay
+    on a planted corpus; docs matching no query term are excluded."""
+    import math
+    import re
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple"),
+        (3, "banana banana date kiwi lime"),
+        (4, "cherry date egg fig grape melon pear plum"),
+        (5, "apple banana apple banana"),
+    ]
+    terms = ["banana", "apple"]
+    out = textops.bm25_search(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        terms,
+        top_k=10,
+    ).collect()
+
+    toks = {i: re.findall(r"\S+", t.lower()) for i, t in rows}
+    n = len(rows)
+    dl = {i: len(v) for i, v in toks.items()}
+    avgdl = sum(dl.values()) / n
+    q = sorted(set(terms))
+
+    def ref_score(i: int) -> float:
+        s = 0.0
+        for t in q:
+            tf = toks[i].count(t)
+            df = sum(1 for v in toks.values() if t in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl[i] / avgdl)))
+        return s
+
+    matched = [i for i in toks if any(t in toks[i] for t in q)]
+    expect = sorted(matched, key=lambda i: (-round(ref_score(i), 8), i))
+    assert [r.doc_id for r in out] == expect  # doc 4 (no match) excluded
+    assert [r.rank for r in out] == list(range(1, len(expect) + 1))
+    for r in out:
+        # Spark emits round(score, 8): the replay can differ by up to
+        # half an ulp of the 8th decimal
+        assert abs(r.score - ref_score(r.doc_id)) < 1e-8
+        assert r.dl == dl[r.doc_id]
+        assert r.n_matched == sum(1 for t in q if t in toks[r.doc_id])
+
+
+def test_bm25_rewards_tf_and_penalizes_length(spark):
+    """Directional sanity: more occurrences of the query term score
+    higher at equal length; equal tf in a longer document scores lower
+    (the b·dl/avgdl length normalization); a rarer query term
+    contributes more than a ubiquitous one (idf)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare x x x"),
+            (2, "rare rare x x"),           # same dl, higher tf -> higher
+            (3, "rare x x x y y y y"),      # same tf, longer -> lower
+            (4, "common x x x"),
+            (5, "common y common z"),
+            (6, "common z z z"),
+        ],
+        "doc_id long, text string",
+    )
+    s = {
+        r.doc_id: r.score
+        for r in textops.bm25_search(docs, ["rare", "common"], top_k=10).collect()
+    }
+    assert s[2] > s[1] > s[3]
+    # 'rare' in 3 docs, 'common' in 3 docs of 6 -> same idf; make 'rare'
+    # rarer by comparing single-match docs of equal shape
+    one_rare = textops.bm25_search(docs, ["rare"], top_k=10).collect()
+    one_common = textops.bm25_search(docs, ["common"], top_k=10).collect()
+    assert {r.doc_id for r in one_rare} == {1, 2, 3}
+    assert {r.doc_id for r in one_common} == {4, 5, 6}
+
+
+def test_bm25_validates_parameters(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textops.bm25_search(docs, [])
+    with pytest.raises(ValueError):
+        textops.bm25_search(docs, ["a"], k1=0.0)
+    with pytest.raises(ValueError):
+        textops.bm25_search(docs, ["a"], b=1.5)
+    # duplicate + mixed-case query terms dedupe to one term
+    out = textops.bm25_search(docs, ["A", "a", "A"], top_k=5).collect()
+    assert len(out) == 1 and out[0].n_matched == 1
