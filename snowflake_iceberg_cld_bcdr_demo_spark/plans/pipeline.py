@@ -5359,3 +5359,59 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.bm25_search(
         table(spark, sf_dir, "documents"), _BM25_TERMS, top_k=25
     )
+
+
+def _zorder_sql(cols: list[str], table_name: str, bits: int) -> str:
+    """DuckDB dual of :func:`operators.layout.zorder_cell_profile` —
+    the same exact integer quantization (``//`` floor division equals
+    Spark's ``div`` truncation on non-negative operands) and the same
+    Morton bit interleave (bit i of bucket j -> output bit
+    ``i*n_cols + j``)."""
+    n = len(cols)
+    scale = 1 << bits
+    mins = ", ".join(f"MIN({c}) AS mn{i}" for i, c in enumerate(cols))
+    maxs = ", ".join(f"MAX({c}) AS mx{i}" for i, c in enumerate(cols))
+    qs = ",\n               ".join(
+        f"(({c} - mn{i}) * {scale}) // (mx{i} - mn{i} + 1) AS q{i}"
+        for i, c in enumerate(cols)
+    )
+    z = " + ".join(
+        f"((q{j} >> {i}) & 1) * {1 << (i * n + j)}"
+        for i in range(bits)
+        for j in range(n)
+    )
+    qmins = ", ".join(f"MIN(q{i}) AS q{i}" for i in range(n))
+    bounds = ", ".join(
+        f"MIN({c}) AS c{i}_min, MAX({c}) AS c{i}_max"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+    WITH stats AS (SELECT {mins}, {maxs} FROM {table_name}),
+    keyed AS (
+        SELECT {", ".join(cols)},
+               {qs}
+        FROM {table_name} CROSS JOIN stats
+    )
+    SELECT ({z}) AS zvalue, {qmins}, COUNT(*) AS n_rows, {bounds}
+    FROM keyed GROUP BY 1
+    """
+
+
+@_spec(
+    "zorder_cells",
+    _zorder_sql(["l_partkey", "l_suppkey"], "lineitem", bits=4),
+)
+def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) curve cells over (l_partkey, l_suppkey):
+    exact-quantized bucket ids, the interleaved z-value, and each cell's
+    occupancy + per-dimension bounds — hash-certifying the Morton kernel
+    the lakehouse clustering rewrite sorts by
+    (`sources.lakehouse._zorder_value`; the production path buckets by
+    quantiles instead, see :mod:`operators.layout`).  Every cell's
+    bounds span ≈ 1/16 of BOTH key ranges — the per-file min/max
+    tightness a z-ordered layout gives multi-dimensional scans."""
+    from ..operators import layout
+
+    return layout.zorder_cell_profile(
+        table(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"], bits=4
+    )

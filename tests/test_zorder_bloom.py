@@ -542,3 +542,98 @@ def test_orphan_gc_collects_failed_purge_residue(spark, cat):
     out2 = cat.remove_orphan_files("lake", "orph", older_than_s=0.0)
     assert set(out2["deleted"]) == stranded
     assert cat.load("lake", "orph").count() == 60
+
+
+# ---------------------------------------------------------------------------
+# operators.layout: exact-quantized z-order keys (the SQL-replayable path)
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_keys_match_python_morton(spark):
+    """zorder_keys reproduces the Morton interleave of the exact affine
+    quantization bit-for-bit against a pure-Python replay."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import layout
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(
+        (x, y) for x in (3, 7, 19, 40, 63) for y in (100, 205, 399)
+    )]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    bits = 4
+    out = {r.id: r for r in layout.zorder_keys(df, ["x", "y"], bits).collect()}
+
+    xs, ys = [r[1] for r in rows], [r[2] for r in rows]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+
+    def q(v, mn, mx):
+        return ((v - mn) * (1 << bits)) // (mx - mn + 1)
+
+    def morton(q0, q1):
+        z = 0
+        for i in range(bits):
+            z |= ((q0 >> i) & 1) << (2 * i)
+            z |= ((q1 >> i) & 1) << (2 * i + 1)
+        return z
+
+    for i, x, y in rows:
+        q0, q1 = q(x, mnx, mxx), q(y, mny, mxy)
+        assert (out[i].q0, out[i].q1) == (q0, q1)
+        assert out[i].zvalue == morton(q0, q1)
+        assert 0 <= out[i].q0 < 16 and 0 <= out[i].q1 < 16
+
+
+def test_cluster_by_zorder_tightens_both_dimensions(spark, tmp_path):
+    """The layout property itself: files written along the z-curve have
+    small min/max spans on BOTH clustered columns, while a linear sort
+    is tight on its leading column only — the second dimension's
+    per-file span stays ~full-range, so filters on it prune nothing."""
+    import pyarrow.parquet as pq
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import layout
+
+    n = 64
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+
+    def spans(path):
+        out = []
+        for frag in pq.ParquetDataset(path).fragments:
+            t = pq.read_table(frag.path, columns=["x", "y"])
+            xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+            out.append(
+                (
+                    (max(xs) - min(xs)) / (n - 1),
+                    (max(ys) - min(ys)) / (n - 1),
+                )
+            )
+        return out
+
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    layout.cluster_by_zorder(grid, ["x", "y"], 16, bits=6).write.parquet(zdir)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        ldir
+    )
+    z_spans, l_spans = spans(zdir), spans(ldir)
+    # z-order: every file covers a small rectangle in BOTH dims
+    assert max(s[0] for s in z_spans) <= 0.5
+    assert max(s[1] for s in z_spans) <= 0.5
+    # linear sort: x tight, y full-range in (almost) every file
+    assert max(s[0] for s in l_spans) <= 0.5
+    assert min(s[1] for s in l_spans) > 0.9
+
+
+def test_zorder_keys_validates(spark):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError):
+        layout.zorder_keys(df, [])
+    with pytest.raises(ValueError):
+        layout.zorder_keys(df, ["x", "y"], bits=32)  # 64 bits > signed long
+    # degenerate span (min == max): all buckets 0, single cell
+    one = spark.createDataFrame([(5, 7), (5, 9)], "x long, y long")
+    rows = layout.zorder_keys(one, ["x", "y"], bits=4).collect()
+    assert all(r.q0 == 0 for r in rows)
+    # x constant -> even output bits all zero; y spreads: 7 -> bucket 0,
+    # 9 -> bucket (2*16)//3 = 10 (1010b) -> odd bits 3 and 7 -> 136
+    assert {r.zvalue for r in rows} == {0, 136}
