@@ -1143,54 +1143,18 @@ def dsir_importance(
     )
 
 
-def nb_quality_scores(
+def _nb_model_parts(
     docs: DataFrame,
     target_filter,
-    buckets: int = 256,
-    alpha: float = 0.5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    score_docs: DataFrame | None = None,
-) -> DataFrame:
-    """Model-based quality FILTERING (the GPT-3 appendix-A classifier
-    stage, closed-form): train a Naive Bayes classifier distinguishing
-    a trusted TARGET slice (``target_filter`` — the curated corpus)
-    from the raw pool on hashed unigram features, then score every
-    document with its class log-odds and emit a ``keep`` decision
-    (log-odds > 0, i.e. the doc looks more curated than raw).
-
-    This differs from :func:`dsir_importance` exactly the way a
-    classifier differs from importance weighting: a CLASS PRIOR enters
-    the score (log of the smoothed doc-count ratio), the decision is a
-    hard keep flag rather than a resampling weight, and features are
-    unigrams (the fastText-classifier convention) rather than bigrams.
-    Training is closed-form counting — no iterations, no optimizer —
-    so the ENTIRE train→score path is one deterministic plan the
-    DuckDB oracle replays (md5 buckets, add-α smoothing,
-    position-ordered log folds).
-
-    Output per doc: ``(id, is_target, n_tokens, nb_logodds, keep)``;
-    docs with no tokens get NULL log-odds and keep=false.
-
-    ``score_docs`` freezes the model: train on ``docs`` (full fit, same
-    bits) but score ``score_docs`` instead — the incremental-admission
-    posture where a daily batch is scored against the classifier the
-    shipped corpus was built with, without refitting.  In that mode the
-    output drops ``is_target`` (the scored frame has no training
-    label): ``(id, n_tokens, nb_logodds, keep)``.
-
-    Scale: training is one map-side-combined O(buckets) histogram
-    shuffle; the trained model folds into a ONE-ROW broadcast
-    ``map_from_entries`` map (THE model: the classifier is a
-    broadcastable 256-entry table), and scoring is a single NARROW
-    projection — ``F.aggregate`` over each doc's own token array with
-    map lookups, O(1) aggregation state per doc regardless of document
-    length (a book-length 1M-token doc costs nothing extra) and ZERO
-    scoring shuffles (no explode → join → regroup round trip).  The
-    prior is an O(1) aggregate cross-joined as a broadcast literal —
-    nothing collects.  The fold runs left-to-right over the token
-    array, the exact position order of the former sorted-struct fold —
-    same bits, same oracle."""
+    buckets: int,
+    alpha: float,
+    text_col: str,
+    id_col: str,
+):
+    """The two one-row NB model frames: ``(_mm, _oov)`` (the bucketed
+    log-odds map plus the out-of-vocabulary smoothed weight) and
+    ``(log_prior,)``.  Shared by :func:`nb_quality_scores` (inline fit)
+    and :func:`nb_model` (the persistable frozen-model artifact)."""
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
 
     def bucket(c):
@@ -1252,6 +1216,113 @@ def nb_quality_scores(
             )
         ).alias("log_prior")
     )
+    return tagged, model_map, prior
+
+
+def nb_model(
+    docs: DataFrame,
+    target_filter,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """THE Naive Bayes quality model as one persistable row:
+    ``(_mm map<long,double>, _oov double, log_prior double)`` — the
+    exact frames :func:`nb_quality_scores` fits inline, cross-joined.
+    Write it to parquet / a lakehouse table at corpus-ship time and pass
+    it back via ``nb_quality_scores(..., model=)`` (or
+    ``curated_incremental_admit(state=...)``) to score any later batch
+    WITHOUT rescanning the training corpus — the frozen-model posture
+    of a daily admission pipeline.  Score parity requires the same
+    ``buckets`` (the token hash is re-derived at score time)."""
+    _, model_map, prior = _nb_model_parts(
+        docs, target_filter, buckets, alpha, text_col, id_col
+    )
+    return model_map.crossJoin(prior)
+
+
+def nb_quality_scores(
+    docs: DataFrame | None,
+    target_filter,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_docs: DataFrame | None = None,
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """Model-based quality FILTERING (the GPT-3 appendix-A classifier
+    stage, closed-form): train a Naive Bayes classifier distinguishing
+    a trusted TARGET slice (``target_filter`` — the curated corpus)
+    from the raw pool on hashed unigram features, then score every
+    document with its class log-odds and emit a ``keep`` decision
+    (log-odds > 0, i.e. the doc looks more curated than raw).
+
+    This differs from :func:`dsir_importance` exactly the way a
+    classifier differs from importance weighting: a CLASS PRIOR enters
+    the score (log of the smoothed doc-count ratio), the decision is a
+    hard keep flag rather than a resampling weight, and features are
+    unigrams (the fastText-classifier convention) rather than bigrams.
+    Training is closed-form counting — no iterations, no optimizer —
+    so the ENTIRE train→score path is one deterministic plan the
+    DuckDB oracle replays (md5 buckets, add-α smoothing,
+    position-ordered log folds).
+
+    Output per doc: ``(id, is_target, n_tokens, nb_logodds, keep)``;
+    docs with no tokens get NULL log-odds and keep=false.
+
+    ``score_docs`` freezes the model: train on ``docs`` (full fit, same
+    bits) but score ``score_docs`` instead — the incremental-admission
+    posture where a daily batch is scored against the classifier the
+    shipped corpus was built with, without refitting.  In that mode the
+    output drops ``is_target`` (the scored frame has no training
+    label): ``(id, n_tokens, nb_logodds, keep)``.
+
+    Scale: training is one map-side-combined O(buckets) histogram
+    shuffle; the trained model folds into a ONE-ROW broadcast
+    ``map_from_entries`` map (THE model: the classifier is a
+    broadcastable 256-entry table), and scoring is a single NARROW
+    projection — ``F.aggregate`` over each doc's own token array with
+    map lookups, O(1) aggregation state per doc regardless of document
+    length (a book-length 1M-token doc costs nothing extra) and ZERO
+    scoring shuffles (no explode → join → regroup round trip).  The
+    prior is an O(1) aggregate cross-joined as a broadcast literal —
+    nothing collects.  The fold runs left-to-right over the token
+    array, the exact position order of the former sorted-struct fold —
+    same bits, same oracle.
+
+    ``model`` (a :func:`nb_model` row, typically reloaded from parquet)
+    skips the fit entirely: the training corpus is NEVER scanned — the
+    frozen-artifact posture of incremental admission.  Must have been
+    built with the same ``buckets``; ``docs``/``target_filter`` may be
+    None when both ``model`` and ``score_docs`` are given."""
+    if model is None and docs is None:
+        raise ValueError("nb_quality_scores: need docs to fit when model is None")
+    if model is not None and score_docs is None and docs is None:
+        raise ValueError("nb_quality_scores: nothing to score")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+
+    def bucket(c):
+        return F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+
+    if model is None:
+        tagged, model_map, prior = _nb_model_parts(
+            docs, target_filter, buckets, alpha, text_col, id_col
+        )
+    else:
+        tagged = (
+            docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+                toks.alias("_toks"),
+            )
+            if score_docs is None
+            else None
+        )
     fold = F.aggregate(
         F.transform(
             F.col("_toks"),
@@ -1272,9 +1343,13 @@ def nb_quality_scores(
         )
     )
     label = [F.col("_is_target").alias("is_target")] if score_docs is None else []
+    with_model = (
+        scored.crossJoin(F.broadcast(model_map)).crossJoin(F.broadcast(prior))
+        if model is None
+        else scored.crossJoin(F.broadcast(model))
+    )
     return (
-        scored.crossJoin(F.broadcast(model_map))
-        .crossJoin(F.broadcast(prior))
+        with_model
         .select(
             "doc_id",
             *label,
@@ -1793,9 +1868,93 @@ def curated_corpus(
     )
 
 
+def admission_state(
+    existing_docs: DataFrame,
+    nb_target,
+    nb_top_frac: float = 0.6,
+    buckets: int = 256,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> dict[str, DataFrame]:
+    """The persisted ADMISSION INDEX of a curated corpus: every piece of
+    corpus state :func:`curated_incremental_admit` needs, as five small
+    persistable tables — so daily batches are gated against a 100 TB
+    corpus WITHOUT ever rescanning it.  Build once at corpus-ship time
+    (one pass over the corpus, amortized), write each table to parquet /
+    a lakehouse table, and pass the reloaded dict back via
+    ``curated_incremental_admit(state=...)``:
+
+    - ``fingerprints``: distinct exact-dedup fingerprints
+      (``fingerprint``) — the membership side of the exact gate,
+    - ``signatures``: the corpus's banded MinHash signatures
+      (``_banded_signatures`` layout) — the probe side of the bipartite
+      near-dup gate; APPEND admitted docs' signatures after each batch
+      so batch N+1 sees batch N (the incremental index maintenance a
+      production near-dup service runs),
+    - ``consumed``: per-source BPE token totals — the mixture budget
+      already spent,
+    - ``nb_model``: the frozen quality classifier (:func:`nb_model`),
+    - ``nb_tau``: per-source frozen operating points (``source,
+      nb_tau``) — the corpus's own ``nb_top_frac`` rank-cut scores.
+
+    Values are bit-identical to what the admit recomputes from
+    ``existing_docs`` directly (the equality is pytest-pinned), so the
+    state path changes COST, not decisions."""
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_piece_count, fingerprint
+    from .dedup import _banded_signatures
+
+    base_ex = existing_docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.col(text_col).alias("text"),
+    )
+    fingerprints = base_ex.select(
+        fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
+    signatures = _banded_signatures(base_ex, "text", "doc_id")
+    consumed = base_ex.groupBy("source").agg(
+        F.sum(bpe_piece_count(F.col("text")).cast("long")).alias("consumed")
+    )
+    model = nb_model(base_ex, nb_target, buckets=buckets, alpha=alpha)
+    ex_scores = nb_quality_scores(
+        base_ex, nb_target, buckets=buckets, alpha=alpha
+    ).select("doc_id", "nb_logodds")
+    wsrc = Window.partitionBy("source").orderBy(
+        F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
+    )
+    wcnt = Window.partitionBy("source")
+    nb_tau = (
+        base_ex.select("doc_id", "source")
+        .join(ex_scores, "doc_id")
+        .withColumn("_rk", F.row_number().over(wsrc))
+        .withColumn(
+            "_cut",
+            F.ceil(F.lit(float(nb_top_frac)) * F.count(F.lit(1)).over(wcnt)),
+        )
+        .filter(F.col("_rk") == F.col("_cut"))
+        .select("source", F.col("nb_logodds").alias("nb_tau"))
+    )
+    return {
+        "fingerprints": fingerprints,
+        "signatures": signatures,
+        "consumed": consumed,
+        "nb_model": model,
+        "nb_tau": nb_tau,
+    }
+
+
+_ADMISSION_STATE_KEYS = frozenset(
+    {"fingerprints", "signatures", "consumed", "nb_model", "nb_tau"}
+)
+
+
 def curated_incremental_admit(
     new_docs: DataFrame,
-    existing_docs: DataFrame,
+    existing_docs: DataFrame | None,
     nb_target,
     token_budget: int,
     shares: dict[str, float],
@@ -1809,6 +1968,8 @@ def curated_incremental_admit(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    state: dict[str, DataFrame] | None = None,
+    include_text: bool = False,
 ) -> DataFrame:
     """Incremental admission of a NEW document batch against an EXISTING
     curated corpus — the production re-curation path every real pipeline
@@ -1874,21 +2035,46 @@ def curated_incremental_admit(
     lakehouse artifact and pass it in; banded signatures probed by the
     broadcast batch; one map-side-combined histogram for the frozen
     model + per-source token totals); nothing batch-sized ever shuffles
-    the corpus."""
+    the corpus.
+
+    ``state`` (any subset of :func:`admission_state`'s five tables)
+    replaces the corresponding corpus recomputation with the persisted
+    artifact — with ALL five present, ``existing_docs`` may be None and
+    the corpus is NEVER TOUCHED: the admit's cost becomes O(batch +
+    state tables), the true daily-ingest posture.  Values are
+    bit-identical either way (pytest-pinned); the oracle replays the
+    recompute path.  ``include_text`` appends the batch's SCRUBBED text
+    as a final ``text`` column (off by default — the certified trail
+    schema), so a sink can append admitted rows to the corpus under the
+    shipped-text contract."""
     from . import textops
     from .dedup import _banded_signatures
 
     from ..functions.text import bpe_piece_count, fingerprint
+
+    st = dict(state or {})
+    bad = set(st) - _ADMISSION_STATE_KEYS
+    if bad:
+        raise ValueError(f"curated_incremental_admit: unknown state keys {sorted(bad)}")
+    if existing_docs is None and (missing := _ADMISSION_STATE_KEYS - set(st)):
+        raise ValueError(
+            "curated_incremental_admit: existing_docs=None requires full "
+            f"state; missing {sorted(missing)}"
+        )
 
     raw_new = new_docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("source"),
         F.col(text_col).alias("text"),
     )
-    base_ex = existing_docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("source"),
-        F.col(text_col).alias("text"),
+    base_ex = (
+        existing_docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("source"),
+            F.col(text_col).alias("text"),
+        )
+        if existing_docs is not None
+        else None
     )
 
     # 0. scrub of the batch text (the shipped-text contract): repetition
@@ -1982,7 +2168,11 @@ def curated_incremental_admit(
     # 1. exact gate: corpus anti-membership + within-batch keep-lowest
     from pyspark.sql import Window
 
-    ex_fp = base_ex.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    ex_fp = (
+        st["fingerprints"].select(F.col("fingerprint").alias("_fp"))
+        if "fingerprints" in st
+        else base_ex.select(fingerprint(F.col("text")).alias("_fp")).distinct()
+    )
     nfp = base_new.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
     ek = (
         nfp.withColumn(
@@ -1997,7 +2187,11 @@ def curated_incremental_admit(
 
     # 2. near-dup vs the existing corpus (batch side broadcasts)
     nbnd = _banded_signatures(base_new, "text", "doc_id")
-    ebnd = _banded_signatures(base_ex, "text", "doc_id")
+    ebnd = (
+        st["signatures"]
+        if "signatures" in st
+        else _banded_signatures(base_ex, "text", "doc_id")
+    )
     n_, e_ = nbnd.alias("n"), ebnd.alias("e")
     agree = sum(
         F.when(F.col(f"n.h{i}") == F.col(f"e.h{i}"), 1).otherwise(0)
@@ -2023,26 +2217,33 @@ def curated_incremental_admit(
     # 3. frozen NB model + frozen operating point: fit on the corpus,
     # self-score it to locate the per-source nb_top_frac rank-cut score,
     # then score the batch against that threshold
-    ex_scores = nb_quality_scores(base_ex, nb_target, buckets=256).select(
-        "doc_id", "nb_logodds"
-    )
-    wsrc = Window.partitionBy("source").orderBy(
-        F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
-    )
-    wcnt = Window.partitionBy("source")
-    tau = (
-        base_ex.select("doc_id", "source")
-        .join(ex_scores, "doc_id")
-        .withColumn("_rk", F.row_number().over(wsrc))
-        .withColumn(
-            "_cut",
-            F.ceil(F.lit(float(nb_top_frac)) * F.count(F.lit(1)).over(wcnt)),
+    if "nb_tau" in st:
+        tau = st["nb_tau"].select("source", F.col("nb_tau").alias("_tau"))
+    else:
+        ex_scores = nb_quality_scores(base_ex, nb_target, buckets=256).select(
+            "doc_id", "nb_logodds"
         )
-        .filter(F.col("_rk") == F.col("_cut"))
-        .select("source", F.col("nb_logodds").alias("_tau"))
-    )
+        wsrc = Window.partitionBy("source").orderBy(
+            F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
+        )
+        wcnt = Window.partitionBy("source")
+        tau = (
+            base_ex.select("doc_id", "source")
+            .join(ex_scores, "doc_id")
+            .withColumn("_rk", F.row_number().over(wsrc))
+            .withColumn(
+                "_cut",
+                F.ceil(F.lit(float(nb_top_frac)) * F.count(F.lit(1)).over(wcnt)),
+            )
+            .filter(F.col("_rk") == F.col("_cut"))
+            .select("source", F.col("nb_logodds").alias("_tau"))
+        )
     new_scores = nb_quality_scores(
-        base_ex, nb_target, buckets=256, score_docs=base_new
+        base_ex,
+        nb_target,
+        buckets=256,
+        score_docs=base_new,
+        model=st.get("nb_model"),
     ).select("doc_id", "nb_logodds")
     scores = (
         base_new.select("doc_id", "source")
@@ -2060,8 +2261,12 @@ def curated_incremental_admit(
     )
 
     # 4. remaining mixture budget: per-source tokens already consumed
-    consumed = base_ex.groupBy("source").agg(
-        F.sum(bpe_piece_count(F.col("text")).cast("long")).alias("consumed")
+    consumed = (
+        st["consumed"]
+        if "consumed" in st
+        else base_ex.groupBy("source").agg(
+            F.sum(bpe_piece_count(F.col("text")).cast("long")).alias("consumed")
+        )
     )
 
     flags = (
@@ -2113,4 +2318,5 @@ def curated_incremental_admit(
         "blocklisted",
         F.coalesce("_adm", F.lit(False)).alias("admitted"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
+        *([F.col("text")] if include_text else []),
     )

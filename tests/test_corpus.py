@@ -1534,3 +1534,99 @@ def test_bm25_validates_parameters(spark):
     # duplicate + mixed-case query terms dedupe to one term
     out = textops.bm25_search(docs, ["A", "a", "A"], top_k=5).collect()
     assert len(out) == 1 and out[0].n_matched == 1
+
+
+def test_admission_state_path_is_bit_identical(spark, tmp_path):
+    """curated_incremental_admit(state=admission_state(...)) — including
+    the full round trip of every state table through parquet, and the
+    existing_docs=None never-touch-the-corpus posture — produces the
+    EXACT same decision trail as recomputing from the corpus."""
+    body = " ".join(f"w{j}" for j in range(40))
+    other = " ".join(f"q{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, f"bravo corpus document {other}", "src0"),
+            (5, "short target note here", "src0"),
+            (10, "held out benchmark text nothing shared", "src9"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, f"alpha corpus document {body}", "src0"),      # exact dup
+            (103, f"charlie corpus document {other}", "src0"),   # near dup
+            (105, "note here w0 q1 w2 q3 w4 q5 w6 q7 target", "src0"),
+            (109, "short document w9 q11 w13 q15 w17 q19 note", "src0"),
+            (201, "unseen source document never vouched", "srcX"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tgt = F.col("source") == "src0"
+    kw = dict(nb_top_frac=1.0, blocklist=["taboo"], blocklist_max_hits=2)
+    shares = {"src0": 1.0}
+
+    direct = sorted(
+        corpus.curated_incremental_admit(
+            batch, existing, tgt, 100_000, shares, **kw
+        ).collect()
+    )
+
+    state = corpus.admission_state(existing, tgt, nb_top_frac=1.0)
+    assert set(state) == {
+        "fingerprints", "signatures", "consumed", "nb_model", "nb_tau"
+    }
+    via_state = sorted(
+        corpus.curated_incremental_admit(
+            batch, existing, tgt, 100_000, shares, state=state, **kw
+        ).collect()
+    )
+    assert via_state == direct
+
+    # round-trip every table through parquet (map-typed model included),
+    # then admit WITHOUT the corpus at all
+    reloaded = {}
+    for name, df in state.items():
+        p = str(tmp_path / name)
+        df.write.parquet(p)
+        reloaded[name] = spark.read.parquet(p)
+    no_corpus = sorted(
+        corpus.curated_incremental_admit(
+            batch, None, tgt, 100_000, shares, state=reloaded, **kw
+        ).collect()
+    )
+    assert no_corpus == direct
+    # the gates actually bound in this fixture
+    by_id = {r.doc_id: r for r in no_corpus}
+    assert not by_id[101].e_keep
+    assert not by_id[103].nd_keep
+    assert by_id[105].admitted and by_id[109].admitted
+    assert not by_id[201].nb_keep  # unseen source: no frozen tau
+
+    # include_text carries the SCRUBBED batch text for sink appends
+    with_text = corpus.curated_incremental_admit(
+        batch, None, tgt, 100_000, shares, state=reloaded,
+        include_text=True, **kw
+    )
+    assert with_text.columns[-1] == "text"
+    admitted_text = {
+        r.doc_id: r.text for r in with_text.filter("admitted").collect()
+    }
+    assert set(admitted_text) == {105, 109}
+
+
+def test_admission_state_validation(spark):
+    batch = spark.createDataFrame(
+        [(1, "a", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="unknown state keys"):
+        corpus.curated_incremental_admit(
+            batch, batch, F.lit(True), 10, {"s": 1.0}, state={"bogus": batch}
+        )
+    with pytest.raises(ValueError, match="requires full state"):
+        corpus.curated_incremental_admit(
+            batch, None, F.lit(True), 10, {"s": 1.0},
+            state={"fingerprints": batch},
+        )
+    with pytest.raises(ValueError, match="need docs to fit"):
+        corpus.nb_quality_scores(None, F.lit(True))
