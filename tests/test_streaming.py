@@ -514,3 +514,95 @@ def test_stream_content_admit_dedup_within_and_across_batches(spark, tmp_path):
     texts = {r.text for r in out.select("text").collect()}
     assert "brand new gamma text" in texts
     assert 5 not in {r.doc_id for r in out.select("doc_id").collect()}
+
+
+def test_stream_curated_admission_full_gate_set_across_batches(spark, tmp_path):
+    """The full curation gate set as a continuous ingest against the
+    persisted admission index: exact/near-dup/NB/budget gates all bind
+    per micro-batch, admissions UPDATE the incremental state tables
+    (fingerprints, signatures, consumed deltas) so batch 2 gates against
+    batch 1's admissions, and the frozen model/tau never move — all
+    without the corpus ever being rescanned."""
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _Fd,
+        StructType as _T,
+    )
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    body = " ".join(f"w{j}" for j in range(40))
+    other = " ".join(f"q{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, f"bravo corpus document {other}", "src0"),
+            (5, "short target note here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("db", "corpus", existing)
+    state = corpus.admission_state(existing, F.lit(True), nb_top_frac=1.0)
+    C.save_admission_state(cat, "db", "adm", state)
+
+    schema = _T([
+        _Fd("doc_id", _L()), _Fd("text", _S()), _Fd("source", _S()),
+    ])
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    run = lambda: C.stream_curated_admission(
+        S.read_file_stream(spark, src, schema),
+        cat, "db", "corpus", "adm", ckpt,
+        token_budget=100_000, shares={"src0": 1.0},
+    ).awaitTermination(180)
+
+    doc_a = "note here w0 q1 w2 q3 w4 q5 w6 q7 target"
+    spark.createDataFrame(
+        [
+            (101, f"alpha corpus document {body}", "src0"),  # exact dup of corpus
+            (103, f"charlie corpus document {other}", "src0"),  # near dup of corpus
+            (105, doc_a, "src0"),                               # fresh -> admit
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    ids = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert ids == {1, 3, 5, 105}
+
+    n_fp1 = cat.load("db", "adm_fingerprints").count()
+    n_sig1 = cat.load("db", "adm_signatures").count()
+    assert n_fp1 == 4          # 3 corpus + 1 admitted
+    assert n_sig1 % 4 == 0     # 4 bands per doc
+
+    # wave 2: the statefulness — duplicates OF BATCH 1'S ADMISSION
+    spark.createDataFrame(
+        [
+            (201, doc_a, "src0"),                            # exact dup of 105
+            (203, "whee here w0 q1 w2 q3 w4 q5 w6 q7 target", "src0"),  # near dup of 105
+            (205, "short document w9 q11 w13 q15 w17 q19 note", "src0"),  # fresh
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+    ids = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert ids == {1, 3, 5, 105, 205}
+    assert cat.load("db", "adm_fingerprints").count() == 5
+
+    # consumed is an append-only delta log; totals aggregate at load and
+    # equal initial corpus consumption + the two admitted docs' tokens
+    raw_log = cat.load("db", "adm_consumed")
+    assert raw_log.count() == 3  # initial + one delta per admitting batch
+    total = C.load_admission_state(cat, "db", "adm")["consumed"].collect()
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.text import (
+        bpe_piece_count,
+    )
+    # totals == bpe tokens of the WHOLE admitted corpus (initial 3 docs +
+    # both admissions)
+    whole = (
+        cat.load("db", "corpus")
+        .select(bpe_piece_count(F.col("text")).cast("long").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert total[0].consumed == whole
