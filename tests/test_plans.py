@@ -99,6 +99,9 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # lineage cut at the flag table (the stage discipline): the
         # mixture walk over the checkpointed flags is what remains
         ("curated_incremental_admit", 7),
+        # round-10 session additions
+        ("bm25_search", 0),   # scan + scalar-agg broadcast + TakeOrdered
+        ("zorder_cells", 1),  # span-stats broadcast + one cell groupBy
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
@@ -169,6 +172,16 @@ def test_ann_cosine_topk_uses_take_ordered(spark):
     plan = _plan(spark, "ann_cosine_topk")
     assert "TakeOrderedAndProject" in plan
     assert exchange_count(QUERY_SPECS["ann_cosine_topk"].build(spark, SF_SMALL)) == 0
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """BM25 is the scan-bound retrieval baseline: per-term tf columns in
+    one narrow projection (no explode, no per-term join), corpus stats
+    as a broadcast row, and top-k via per-partition heaps — a global
+    sort here would materialize the whole scored corpus at 100 TB."""
+    plan = _plan(spark, "bm25_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode in the scoring path
 
 
 def test_curated_corpus_composition_adds_no_cartesian(spark):
