@@ -1877,6 +1877,10 @@ def admission_state(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    embeddings: DataFrame | None = None,
+    emb_centroids: list[list[float]] | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
 ) -> dict[str, DataFrame]:
     """The persisted ADMISSION INDEX of a curated corpus: every piece of
     corpus state :func:`curated_incremental_admit` needs, as five small
@@ -1938,18 +1942,35 @@ def admission_state(
         .filter(F.col("_rk") == F.col("_cut"))
         .select("source", F.col("nb_logodds").alias("nb_tau"))
     )
-    return {
+    out = {
         "fingerprints": fingerprints,
         "signatures": signatures,
         "consumed": consumed,
         "nb_model": model,
         "nb_tau": nb_tau,
     }
+    # optional sixth table: the corpus's frozen IVF embedding index (the
+    # semantic-dedup admission gate probes it; same codebook required at
+    # admit time)
+    if embeddings is not None:
+        if emb_centroids is None:
+            raise ValueError(
+                "admission_state: embeddings given without emb_centroids"
+            )
+        from .similarity import ivf_index
+
+        out["emb_index"] = ivf_index(
+            embeddings, emb_centroids, id_col=emb_id_col, vec_col=emb_vec_col
+        )
+    return out
 
 
 _ADMISSION_STATE_KEYS = frozenset(
     {"fingerprints", "signatures", "consumed", "nb_model", "nb_tau"}
 )
+# optional state: present only when the corpus ships with an embedding
+# index (the semantic-dedup admission gate)
+_ADMISSION_STATE_OPTIONAL = frozenset({"emb_index"})
 
 
 def curated_incremental_admit(
@@ -1970,6 +1991,10 @@ def curated_incremental_admit(
     group_col: str = "source",
     state: dict[str, DataFrame] | None = None,
     include_text: bool = False,
+    new_embeddings: DataFrame | None = None,
+    emb_centroids: list[list[float]] | None = None,
+    emb_nprobe: int = 2,
+    emb_threshold: float = 0.9,
 ) -> DataFrame:
     """Incremental admission of a NEW document batch against an EXISTING
     curated corpus — the production re-curation path every real pipeline
@@ -2046,20 +2071,38 @@ def curated_incremental_admit(
     recompute path.  ``include_text`` appends the batch's SCRUBBED text
     as a final ``text`` column (off by default — the certified trail
     schema), so a sink can append admitted rows to the corpus under the
-    shipped-text contract."""
+    shipped-text contract.
+
+    ``new_embeddings`` (``doc_id, embedding``) arms the SEMANTIC
+    admission gate: each batch doc's vector probes the corpus's frozen
+    IVF index (``state["emb_index"]`` — built by :func:`admission_state`
+    from the corpus embeddings; ``emb_centroids`` must be the same
+    codebook) and a nearest-corpus cosine ≥ ``emb_threshold`` rejects
+    the doc as a semantic duplicate the lexical gates can miss
+    (paraphrase, re-tokenization).  Adds an ``emb_keep`` column to the
+    trail (docs with no vector pass — no evidence, no veto); admitted
+    additionally requires it.  Off by default — the certified trail
+    schema is unchanged."""
     from . import textops
     from .dedup import _banded_signatures
 
     from ..functions.text import bpe_piece_count, fingerprint
 
     st = dict(state or {})
-    bad = set(st) - _ADMISSION_STATE_KEYS
+    bad = set(st) - _ADMISSION_STATE_KEYS - _ADMISSION_STATE_OPTIONAL
     if bad:
         raise ValueError(f"curated_incremental_admit: unknown state keys {sorted(bad)}")
     if existing_docs is None and (missing := _ADMISSION_STATE_KEYS - set(st)):
         raise ValueError(
             "curated_incremental_admit: existing_docs=None requires full "
             f"state; missing {sorted(missing)}"
+        )
+    if new_embeddings is not None and (
+        "emb_index" not in st or emb_centroids is None
+    ):
+        raise ValueError(
+            "curated_incremental_admit: the embedding gate requires "
+            "state['emb_index'] and emb_centroids (the same codebook)"
         )
 
     raw_new = new_docs.select(
@@ -2269,12 +2312,37 @@ def curated_incremental_admit(
         )
     )
 
-    flags = (
+    # optional semantic gate: batch vectors probe the corpus's FROZEN
+    # IVF index (batch = the small probing side, exactly the admission
+    # asymmetry of the lexical nd gate)
+    if new_embeddings is not None:
+        from .similarity import embedding_decontaminate_ivf
+
+        eg = embedding_decontaminate_ivf(
+            new_embeddings,
+            None,
+            emb_centroids,
+            nprobe=emb_nprobe,
+            threshold=emb_threshold,
+            id_col="doc_id",
+            index=st["emb_index"],
+        ).select("doc_id", (~F.col("leaked")).alias("_emb_keep"))
+
+    joined = (
         base_new.join(ek, "doc_id")
         .join(nd_drop, "doc_id", "left")
         .join(scores, "doc_id")
         .join(bl, "doc_id")
-        .select(
+    )
+    if new_embeddings is not None:
+        joined = joined.join(eg, "doc_id", "left")
+    emb_cols = (
+        [F.coalesce("_emb_keep", F.lit(True)).alias("emb_keep")]
+        if new_embeddings is not None
+        else []
+    )
+    flags = (
+        joined.select(
             "doc_id",
             "source",
             "text",
@@ -2287,11 +2355,15 @@ def curated_incremental_admit(
             "nb_logodds",
             "nb_keep",
             "blocklisted",
+            *emb_cols,
         )
         # the mixture walk and the final assembly both consume the flag
         # table: cut lineage here (the curated_corpus stage discipline)
         # so the corpus-side gate subtrees evaluate once, not per branch
         .localCheckpoint(eager=False)
+    )
+    emb_pass = (
+        F.col("emb_keep") if new_embeddings is not None else F.lit(True)
     )
     mix = mixture_token_budget(
         flags.filter(
@@ -2299,6 +2371,7 @@ def curated_incremental_admit(
             & F.col("nd_keep")
             & F.col("nb_keep")
             & ~F.col("blocklisted")
+            & emb_pass
         ),
         token_budget,
         shares,
@@ -2316,6 +2389,7 @@ def curated_incremental_admit(
         "nb_logodds",
         "nb_keep",
         "blocklisted",
+        *(["emb_keep"] if new_embeddings is not None else []),
         F.coalesce("_adm", F.lit(False)).alias("admitted"),
         F.coalesce("_mt", F.lit(0).cast("long")).alias("n_mix_tokens"),
         *([F.col("text")] if include_text else []),

@@ -617,14 +617,42 @@ def embedding_decontaminate(
     )
 
 
+def ivf_index(
+    ref_emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PERSISTABLE side of :func:`embedding_decontaminate_ivf`: the
+    reference vectors assigned to their centroid cells once, with the
+    pair-loop L2 norm hoisted — ``(eval_id, ev, cell, _en)``.  Write it
+    to parquet / a lakehouse table and pass it back via
+    ``embedding_decontaminate_ivf(index=...)`` so repeated probes (a
+    daily admission batch vs the same corpus, many training runs vs the
+    same benchmark suite) never re-assign the reference side.  Cell
+    assignment is deterministic from the centroid literals, so the
+    round trip is value-identical to inline assignment (pytest-pinned)."""
+    if not centroids:
+        raise ValueError("ivf_index: centroids is empty")
+    return ivf_assign(
+        ref_emb.select(id_col, vec_col), centroids, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        "cell",
+        norm(F.col(vec_col)).alias("_en"),
+    )
+
+
 def embedding_decontaminate_ivf(
     train_emb: DataFrame,
-    eval_emb: DataFrame,
+    eval_emb: DataFrame | None,
     centroids: list[list[float]],
     nprobe: int = 2,
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-probed embedding decontamination — the unconditionally
     scale-safe variant of :func:`embedding_decontaminate`: eval vectors
@@ -657,13 +685,15 @@ def embedding_decontaminate_ivf(
             f"embedding_decontaminate_ivf: nprobe must be in "
             f"[1, {len(centroids)}], got {nprobe}"
         )
-    ev = ivf_assign(
-        eval_emb.select(id_col, vec_col), centroids, id_col, vec_col
-    ).select(
-        F.col(id_col).alias("eval_id"),
-        F.col(vec_col).alias("ev"),
-        "cell",
-        norm(F.col(vec_col)).alias("_en"),
+    if eval_emb is None and index is None:
+        raise ValueError(
+            "embedding_decontaminate_ivf: need eval_emb or a prebuilt index"
+        )
+    # ``index``: the frozen reference-side assignment (:func:`ivf_index`)
+    # — must have been built with the SAME centroids (the probe ranking
+    # below re-derives cells from them)
+    ev = index if index is not None else ivf_index(
+        eval_emb, centroids, id_col, vec_col
     )
     sims = [
         F.struct(

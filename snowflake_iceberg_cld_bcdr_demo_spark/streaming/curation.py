@@ -56,7 +56,9 @@ def save_admission_state(
     missing = set(STATE_TABLES) - set(state)
     if missing:
         raise ValueError(f"save_admission_state: missing {sorted(missing)}")
-    for name in STATE_TABLES:
+    # the optional sixth table (the frozen IVF embedding index) persists
+    # alongside the core five when present
+    for name in state:
         catalog.create_table(namespace, f"{prefix}_{name}", state[name])
 
 
@@ -70,6 +72,8 @@ def load_admission_state(
         name: catalog.load(namespace, f"{prefix}_{name}")
         for name in STATE_TABLES
     }
+    if catalog.table_exists(namespace, f"{prefix}_emb_index"):
+        state["emb_index"] = catalog.load(namespace, f"{prefix}_emb_index")
     state["consumed"] = (
         state["consumed"]
         .groupBy("source")

@@ -1630,3 +1630,74 @@ def test_admission_state_validation(spark):
         )
     with pytest.raises(ValueError, match="need docs to fit"):
         corpus.nb_quality_scores(None, F.lit(True))
+
+
+def test_admission_embedding_gate_blocks_semantic_duplicates(spark, tmp_path):
+    """The semantic admission gate: a batch doc that is LEXICALLY novel
+    but whose vector sits on top of a corpus vector is rejected via the
+    frozen IVF index (emb_keep=False); a doc with no vector passes the
+    gate (no evidence, no veto); the trail gains emb_keep only when the
+    gate is armed; misconfiguration fails fast."""
+    body = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (5, "short target note here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    corpus_vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (5, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    state = corpus.admission_state(
+        existing, F.lit(True), nb_top_frac=1.0,
+        embeddings=corpus_vecs, emb_centroids=cents,
+    )
+    assert "emb_index" in state
+    # round-trip the index like a real deployment
+    p = str(tmp_path / "emb_index")
+    state["emb_index"].write.parquet(p)
+    state["emb_index"] = spark.read.parquet(p)
+
+    batch = spark.createDataFrame(
+        [
+            # lexically novel, vector ~ corpus doc 1 -> semantic dup
+            (101, "note here w0 target w2 note w4 target w6 here", "src0"),
+            # lexically novel, orthogonal vector -> admitted
+            (103, "short document w9 target w13 note w17 here w19", "src0"),
+            # no vector at all -> gate passes
+            (105, "target note w1 here w3 note w5 target w7 doc", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch_vecs = spark.createDataFrame(
+        [(101, [0.999, 0.01, 0.0]), (103, [0.0, 0.01, 0.999])],
+        "doc_id long, embedding array<double>",
+    )
+    out = {r.doc_id: r for r in corpus.curated_incremental_admit(
+        batch, None, None, 100_000, {"src0": 1.0},
+        state=state, new_embeddings=batch_vecs, emb_centroids=cents,
+        emb_nprobe=1, emb_threshold=0.9,
+    ).collect()}
+    assert not out[101].emb_keep and not out[101].admitted
+    assert out[101].e_keep and out[101].nd_keep  # lexical gates passed
+    assert out[103].emb_keep and out[103].admitted
+    assert out[105].emb_keep and out[105].admitted
+
+    # gate off -> no emb_keep column, 101 admitted (lexical gates alone)
+    plain = corpus.curated_incremental_admit(
+        batch, None, None, 100_000, {"src0": 1.0}, state=state,
+    )
+    assert "emb_keep" not in plain.columns
+    assert {r.doc_id for r in plain.filter("admitted").collect()} == {
+        101, 103, 105
+    }
+
+    with pytest.raises(ValueError, match="embedding gate requires"):
+        corpus.curated_incremental_admit(
+            batch, None, None, 100_000, {"src0": 1.0},
+            state={k: v for k, v in state.items() if k != "emb_index"},
+            new_embeddings=batch_vecs, emb_centroids=cents,
+        )

@@ -488,3 +488,31 @@ def test_embedding_decontaminate_ivf_partial_probe_recall(spark, emb):
     assert not (leaked_ivf - leaked_exact)  # no false positives vs exact
     recall = len(leaked_ivf & leaked_exact) / len(leaked_exact)
     assert recall >= 0.5
+
+
+def test_ivf_index_round_trip_is_value_identical(spark, emb, tmp_path):
+    """decontaminate-with-prebuilt-index == decontaminate-inline, bit for
+    bit, including the index's parquet round trip — the frozen-artifact
+    contract the admission pipeline relies on."""
+    cents = similarity.sample_centroids(emb, k=8)
+    train = emb.filter("vec_id % 3 = 0")
+    ref = emb.filter("vec_id % 3 <> 0")
+    inline = sorted(
+        similarity.embedding_decontaminate_ivf(
+            train, ref, cents, nprobe=2, threshold=0.8
+        ).collect()
+    )
+    idx = similarity.ivf_index(ref, cents)
+    p = str(tmp_path / "emb_index")
+    idx.write.parquet(p)
+    frozen = sorted(
+        similarity.embedding_decontaminate_ivf(
+            train, None, cents, nprobe=2, threshold=0.8,
+            index=spark.read.parquet(p),
+        ).collect()
+    )
+    assert frozen == inline
+    with pytest.raises(ValueError, match="need eval_emb or a prebuilt"):
+        similarity.embedding_decontaminate_ivf(train, None, cents)
+    with pytest.raises(ValueError, match="centroids is empty"):
+        similarity.ivf_index(ref, [])
