@@ -177,3 +177,23 @@ def stream_curated_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_consumed_log(
+    catalog: LakehouseCatalog, namespace: str, prefix: str
+) -> None:
+    """Offline maintenance for the consumed delta log: rewrite it as one
+    row per source (the aggregated totals).  Semantics are unchanged —
+    :func:`load_admission_state` aggregates either way — this just stops
+    the log growing one row per source per batch forever.  Run it
+    BETWEEN stream runs (compaction is a replace snapshot; a stream
+    crash-replaying a batch from before the compaction would no longer
+    find its batch_id guard), e.g. from the same maintenance window as
+    `jobs.cleanup.table_maintenance`."""
+    t = f"{prefix}_consumed"
+    totals = (
+        catalog.load(namespace, t)
+        .groupBy("source")
+        .agg(F.sum("consumed").alias("consumed"))
+    )
+    catalog.merge_upsert(namespace, t, totals, ["source"])

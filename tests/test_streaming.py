@@ -606,3 +606,29 @@ def test_stream_curated_admission_full_gate_set_across_batches(spark, tmp_path):
         .agg(F.sum("n")).collect()[0][0]
     )
     assert total[0].consumed == whole
+
+
+def test_compact_consumed_log_preserves_totals(spark, tmp_path):
+    """The consumed delta log compacts to one row per source with
+    identical aggregated totals (and survives further appends)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    log = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), ("a", 1)],
+        "source string, consumed long",
+    )
+    cat.create_table("db", "adm_consumed", log)
+    C.compact_consumed_log(cat, "db", "adm")
+    rows = cat.load("db", "adm_consumed").collect()
+    assert len(rows) == 2
+    assert {(r.source, r.consumed) for r in rows} == {("a", 16), ("b", 7)}
+    # a post-compaction delta still aggregates correctly at load time
+    cat.append("db", "adm_consumed",
+               spark.createDataFrame([("b", 3)], "source string, consumed long"))
+    agg = {
+        (r.source, r.consumed)
+        for r in cat.load("db", "adm_consumed")
+        .groupBy("source").agg(F.sum("consumed").alias("consumed")).collect()
+    }
+    assert agg == {("a", 16), ("b", 10)}
