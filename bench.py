@@ -108,7 +108,13 @@ EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
 EXTRA_BUDGETS = {
     # ~2x the r10 recorded median (was a loose 30s placeholder in r9)
     "curated_corpus_report": 40.0,
-    "curated_incremental_admit": 10.0,
+    # ~2x the measured median (~19-20 s; the 10 s first guess predated a
+    # real bench run and breached immediately).  NOTE: the registry
+    # query deliberately measures the RECOMPUTE path (oracle-replayable:
+    # corpus state derived in-query); the production daily cost is the
+    # state path (admission_state persisted once), which never rescans
+    # the corpus — pytest pins the two paths' outputs bit-equal.
+    "curated_incremental_admit": 40.0,
 }
 
 #: sf1 spot-check set: the most expensive headline queries, plus the
