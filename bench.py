@@ -108,13 +108,14 @@ EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
 EXTRA_BUDGETS = {
     # ~2x the r10 recorded median (was a loose 30s placeholder in r9)
     "curated_corpus_report": 40.0,
-    # ~2x the measured median (~19-20 s; the 10 s first guess predated a
-    # real bench run and breached immediately).  NOTE: the registry
-    # query deliberately measures the RECOMPUTE path (oracle-replayable:
-    # corpus state derived in-query); the production daily cost is the
-    # state path (admission_state persisted once), which never rescans
-    # the corpus — pytest pins the two paths' outputs bit-equal.
-    "curated_incremental_admit": 40.0,
+    # ~2x the measured median (~12-13 s warm).  The query runs the
+    # STATE path: the admission index stages once per scale (ship-time
+    # posture, memoized across builds) so run 1 pays the one-time build
+    # (~35 s) and the median measures the DAILY admission cost; the
+    # scrub chain is lineage-cut so ES/boiler evaluate once, not once
+    # per downstream gate (was ~22 s warm before the cut; the 10 s
+    # first guess predated any real bench run and breached immediately).
+    "curated_incremental_admit": 25.0,
 }
 
 #: sf1 spot-check set: the most expensive headline queries, plus the

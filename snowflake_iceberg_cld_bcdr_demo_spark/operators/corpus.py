@@ -2200,7 +2200,12 @@ def curated_incremental_admit(
         .cast("long")
         .alias("pii_redactions"),
         F.col("clean_text").alias("text"),
-    )
+        # lineage cut: the scrubbed text fans out into EVERY gate below
+        # (fingerprint, 16 minhash signatures, the NB token fold, the
+        # BPE budget count) — without the cut each consumer re-evaluates
+        # the whole collapse→boiler→ES→PII chain (measured ~3x the
+        # admit's cost at sf0.1); with it the scrub runs once
+    ).localCheckpoint(eager=False)
     if blocklist is not None:
         bl = textops.blocklist_hits(
             base_new, list(blocklist), max_hits=blocklist_max_hits
