@@ -922,3 +922,60 @@ def bm25_search(
             Window.orderBy(F.col("score").desc(), F.col("doc_id"))
         ),
     ).select("doc_id", "n_matched", "dl", "score", "rank")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase search via positional postings: documents containing
+    the tokens of ``phrase`` CONSECUTIVELY, with the occurrence count
+    and the (1-based) position of the first occurrence.  Completes the
+    retrieval trio — `conjunctive_term_search` is boolean AND-anywhere,
+    `bm25_search` is ranked, THIS is adjacency.
+
+    Mechanics (pure Catalyst, one narrow scan, zero shuffles): for the
+    k-th phrase term, collect its 1-based token positions and shift
+    them back by k; an exact phrase occurrence is a position present in
+    EVERY shifted list, so the occurrence set is a left-to-right
+    ``array_intersect`` chain anchored on term 0.  Positions are
+    distinct by construction, so the intersect's set semantics lose
+    nothing; the count and min are order-independent.  At 100 TB this
+    is the scan-bound path; a standing phrase workload would persist
+    positional postings (`term_postings_index` + a position column) and
+    join instead."""
+    terms = [t.lower() for t in phrase]
+    if not terms or any((not t) or any(c.isspace() for c in t) for t in terms):
+        raise ValueError(f"phrase_search: bad phrase {phrase!r}")
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+
+    def _indexed_match(t: str):
+        # (element, index) lambda: 1-based position where the token
+        # matches, -1 otherwise (positions are >= 1, so -1 never
+        # collides).  Factory-bound — extra lambda params would be
+        # misread as the index argument.
+        return lambda x, i: F.when(x == F.lit(t), i + F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+
+    def _shift(k: int):
+        return lambda p: p - F.lit(k)
+
+    def _positive(p):
+        return p >= F.lit(1)
+
+    anchor = None
+    for k, t in enumerate(terms):
+        raw = F.filter(F.transform(toks, _indexed_match(t)), _positive)
+        shifted = F.transform(raw, _shift(k)) if k else raw
+        anchor = shifted if anchor is None else F.array_intersect(anchor, shifted)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(anchor).cast("long").alias("n_occurrences"),
+            F.array_min(anchor).cast("long").alias("first_pos"),
+        )
+        .filter(F.col("n_occurrences") >= 1)
+    )

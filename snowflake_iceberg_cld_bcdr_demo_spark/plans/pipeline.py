@@ -5463,3 +5463,51 @@ def zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout.zorder_cell_profile(
         table(spark, sf_dir, "lineitem"), ["l_partkey", "l_suppkey"], bits=4
     )
+
+
+def _phrase_sql(terms: list[str]) -> str:
+    """DuckDB dual of :func:`operators.textops.phrase_search`: 1-based
+    positions per term via ``list_filter(range(...))``, shifted back by
+    the term's offset, intersected left to right (both engines'
+    intersects are set-semantics over already-distinct positions, so
+    count and min agree)."""
+    terms = [t.lower() for t in terms]
+    pos_cols = []
+    for k, t in enumerate(terms):
+        raw = f"list_filter(range(1, len(toks) + 1), p -> toks[p] = '{t}')"
+        pos_cols.append(
+            f"list_transform({raw}, p -> p - {k}) AS p{k}" if k else f"{raw} AS p0"
+        )
+    inter = "p0"
+    for k in range(1, len(terms)):
+        inter = f"list_intersect({inter}, p{k})"
+    joined_pos = ",\n               ".join(pos_cols)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               {joined_pos}
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(a) AS BIGINT) AS n_occurrences,
+           CAST(list_min(a) AS BIGINT) AS first_pos
+    FROM (SELECT doc_id, {inter} AS a FROM pos) x
+    WHERE len(a) >= 1
+    """
+
+
+_PHRASE = ["customer", "join"]
+
+
+@_spec("phrase_search", _phrase_sql(_PHRASE))
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval (positional adjacency) — completes the
+    retrieval trio with `conjunctive_term_search` (boolean) and
+    `bm25_search` (ranked).  Pure Catalyst positional postings:
+    per-term 1-based positions, shifted, array-intersected; one narrow
+    scan, zero shuffles.  See :func:`operators.textops.phrase_search`."""
+    return textops.phrase_search(table(spark, sf_dir, "documents"), _PHRASE)

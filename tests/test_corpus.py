@@ -1701,3 +1701,41 @@ def test_admission_embedding_gate_blocks_semantic_duplicates(spark, tmp_path):
             state={k: v for k, v in state.items() if k != "emb_index"},
             new_embeddings=batch_vecs, emb_centroids=cents,
         )
+
+
+def test_phrase_search_positions_and_counts(spark):
+    """Exact-phrase adjacency: occurrences counted at every consecutive
+    position (including overlapping and repeated-term phrases), 1-based
+    first position, scattered-term docs excluded, validation on bad
+    phrases."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox and the quick fox again"),
+            (2, "quick the fox — scattered, all terms, never adjacent"),
+            (3, "prefix the quick fox"),
+            (4, "the the the"),          # repeated-term phrase target
+            (5, "no match at all"),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in textops.phrase_search(docs, ["the", "quick", "fox"]).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1].n_occurrences == 2 and out[1].first_pos == 1
+    assert out[3].n_occurrences == 1 and out[3].first_pos == 2
+
+    rep = {r.doc_id: r for r in textops.phrase_search(docs, ["the", "the"]).collect()}
+    assert rep[4].n_occurrences == 2 and rep[4].first_pos == 1  # overlapping
+
+    one = {r.doc_id: r for r in textops.phrase_search(docs, ["fox"]).collect()}
+    assert set(one) == {1, 2, 3} and one[1].n_occurrences == 2
+
+    with pytest.raises(ValueError):
+        textops.phrase_search(docs, [])
+    with pytest.raises(ValueError):
+        textops.phrase_search(docs, ["two words"])

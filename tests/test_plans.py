@@ -102,6 +102,7 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # round-10 session additions
         ("bm25_search", 0),   # scan + scalar-agg broadcast + TakeOrdered
         ("zorder_cells", 1),  # span-stats broadcast + one cell groupBy
+        ("phrase_search", 0),  # positional intersect: pure projection
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):
