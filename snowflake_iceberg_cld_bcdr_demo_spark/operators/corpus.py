@@ -1206,6 +1206,10 @@ def _nb_model_parts(
             ).alias("_mm"),
             F.first("lo0").alias("_oov"),
         )
+        # the codebook size rides IN the artifact: a persisted model
+        # scores later batches with ITS OWN bucket count, so a
+        # mismatched `buckets` argument can't silently mis-hash tokens
+        .withColumn("_buckets", F.lit(int(buckets)).cast("long"))
     )
     prior = tagged.agg(
         F.log(
@@ -1234,8 +1238,10 @@ def nb_model(
     it back via ``nb_quality_scores(..., model=)`` (or
     ``curated_incremental_admit(state=...)``) to score any later batch
     WITHOUT rescanning the training corpus — the frozen-model posture
-    of a daily admission pipeline.  Score parity requires the same
-    ``buckets`` (the token hash is re-derived at score time)."""
+    of a daily admission pipeline.  The codebook size is stored IN the
+    row (``_buckets``) and scoring re-derives the token hash from it,
+    so a model built with any ``buckets`` scores correctly regardless
+    of the ``buckets`` argument passed at score time."""
     _, model_map, prior = _nb_model_parts(
         docs, target_filter, buckets, alpha, text_col, id_col
     )
@@ -1302,11 +1308,21 @@ def nb_quality_scores(
     if model is not None and score_docs is None and docs is None:
         raise ValueError("nb_quality_scores: nothing to score")
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    # A frozen model built by :func:`nb_model` carries its own codebook
+    # size (`_buckets`); score with THAT, not the `buckets` argument —
+    # a mismatched argument would silently re-hash tokens into the
+    # wrong buckets and degrade every score.  Models persisted before
+    # the column existed fall back to the argument (legacy contract).
+    model_buckets = (
+        F.col("_buckets")
+        if model is not None and "_buckets" in model.columns
+        else F.lit(buckets)
+    )
 
     def bucket(c):
         return F.pmod(
             F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
-            F.lit(buckets),
+            model_buckets,
         )
 
     if model is None:
@@ -1981,6 +1997,7 @@ def curated_incremental_admit(
     shares: dict[str, float],
     nd_threshold: float = 0.5,
     nb_top_frac: float = 0.6,
+    nb_buckets: int = 256,
     blocklist: list[str] | None = None,
     blocklist_max_hits: int = 2,
     boiler_grams: DataFrame | None = None,
@@ -2216,8 +2233,13 @@ def curated_incremental_admit(
     # 1. exact gate: corpus anti-membership + within-batch keep-lowest
     from pyspark.sql import Window
 
+    # distinct on BOTH paths: admission_state builds fingerprints
+    # distinct, but a user-supplied or externally-maintained table may
+    # not be — duplicate keys would multiply batch rows through the left
+    # join below (duplicate trail rows, double-counted admitted tokens).
+    # Fingerprints are 32-byte keys; the dedup is cheap.
     ex_fp = (
-        st["fingerprints"].select(F.col("fingerprint").alias("_fp"))
+        st["fingerprints"].select(F.col("fingerprint").alias("_fp")).distinct()
         if "fingerprints" in st
         else base_ex.select(fingerprint(F.col("text")).alias("_fp")).distinct()
     )
@@ -2268,7 +2290,7 @@ def curated_incremental_admit(
     if "nb_tau" in st:
         tau = st["nb_tau"].select("source", F.col("nb_tau").alias("_tau"))
     else:
-        ex_scores = nb_quality_scores(base_ex, nb_target, buckets=256).select(
+        ex_scores = nb_quality_scores(base_ex, nb_target, buckets=nb_buckets).select(
             "doc_id", "nb_logodds"
         )
         wsrc = Window.partitionBy("source").orderBy(
@@ -2286,10 +2308,14 @@ def curated_incremental_admit(
             .filter(F.col("_rk") == F.col("_cut"))
             .select("source", F.col("nb_logodds").alias("_tau"))
         )
+    # nb_buckets governs the recompute fit; a frozen state model carries
+    # its own `_buckets` column and scores with THAT (see
+    # nb_quality_scores), so a codebook mismatch cannot silently
+    # mis-score the batch
     new_scores = nb_quality_scores(
         base_ex,
         nb_target,
-        buckets=256,
+        buckets=nb_buckets,
         score_docs=base_new,
         model=st.get("nb_model"),
     ).select("doc_id", "nb_logodds")

@@ -720,9 +720,19 @@ def embedding_decontaminate_ivf(
         F.explode(probe_cells).alias("cell"),
     )
     sim = dot(F.col(vec_col), F.col("ev")) / (F.col("_tn") * F.col("_en"))
+    # Broadcast asymmetry: with an INLINE eval set, eval is the small
+    # side (an eval benchmark vs the whole training corpus) → broadcast
+    # it.  With a PREBUILT index the index is the persistent, possibly
+    # corpus-sized side (the admission flow probes a daily batch against
+    # the frozen corpus index) → broadcast the probing side instead;
+    # broadcasting the index there would ship the corpus to every
+    # executor.
+    if index is not None:
+        joined = F.broadcast(probed).join(ev, "cell")
+    else:
+        joined = probed.join(F.broadcast(ev), "cell")
     best = (
-        probed.join(F.broadcast(ev), "cell")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(F.max(F.struct(sim.alias("cos"), F.col("eval_id"))).alias("b"))
     )
     return (

@@ -773,6 +773,19 @@ class LakehouseCatalog:
         ]
         return bool(committed) and max(committed) >= batch_id
 
+    def batch_committed(self, namespace: str, table: str, batch_id: int) -> bool:
+        """Whether a streaming micro-batch with id >= ``batch_id`` has
+        already committed to ``table``.  Lets foreachBatch sinks that fan
+        one decision out to several tables detect a crash-replay and
+        re-derive the remaining appends from a staged artifact instead of
+        recomputing decisions against state the first attempt already
+        mutated (see ``streaming.curation.stream_curated_admission``)."""
+        if not self.table_exists(namespace, table):
+            return False
+        return self._batch_already_committed(
+            self._read_manifest(namespace, table), batch_id
+        )
+
     def _claim_data_dir(self, namespace: str, table: str, sid: int) -> str:
         """Reserve a unique data dir name (atomic mkdir) so concurrent
         writers never write into the same directory."""

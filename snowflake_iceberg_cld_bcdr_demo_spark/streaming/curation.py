@@ -27,8 +27,18 @@ State layout (all lakehouse tables under one prefix):
   model and its per-source operating points never move inside the
   stream; retrain offline and :func:`save_admission_state` to rotate.
 
-Every per-batch append shares the micro-batch id, so a restart between
-append and checkpoint replays into no-ops on every table.
+Crash-replay correctness: the per-batch gate decisions DEPEND on state
+tables the same batch appends to (batch N's fingerprints land in
+``{prefix}_fingerprints``, which the exact-dup gate reads).  A naive
+replay that recomputed the gates after a partial commit would see its
+own fingerprints and reject every doc, so the remaining appends would
+never happen.  The sink therefore makes the DECISION itself durable
+first: the admitted trail is staged to a ``{prefix}_staging`` table
+(batch_id-keyed) BEFORE any state append, and every append fans out
+from that artifact.  On replay, a batch already present in staging
+skips the gates entirely and re-derives the appends from the stored
+trail; each append is additionally batch_id-guarded, so the ones that
+did commit before the crash no-op.
 """
 
 from __future__ import annotations
@@ -82,6 +92,99 @@ def load_admission_state(
     return state
 
 
+def _admit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    catalog: LakehouseCatalog,
+    namespace: str,
+    corpus_table: str,
+    state_prefix: str,
+    *,
+    token_budget: int,
+    shares: dict[str, float],
+    nd_threshold: float = 0.5,
+    blocklist: list[str] | None = None,
+    blocklist_max_hits: int = 2,
+    boiler_grams: DataFrame | None = None,
+    es_windows: DataFrame | None = None,
+) -> None:
+    """One micro-batch of :func:`stream_curated_admission` (module-level
+    so crash-replay is testable without a StreamingQuery).  Gate → stage
+    the decision artifact → fan out the five appends; see the module
+    docstring for the replay contract."""
+    if batch_df.isEmpty():
+        return
+    staging_table = f"{state_prefix}_staging"
+    if catalog.batch_committed(namespace, staging_table, batch_id):
+        # Crash-replay: this batch's gate decisions are already durable,
+        # and the state tables may already contain its own fingerprints/
+        # signatures (recomputing the gates now would reject everything
+        # as exact dups).  Fan the appends out from the staged trail
+        # instead; the batch_id guard on each append no-ops the ones
+        # that committed before the crash.
+        admitted = (
+            catalog.load(namespace, staging_table)
+            .filter(F.col("batch_id") == batch_id)
+            .drop("batch_id")
+        )
+    else:
+        state = load_admission_state(catalog, namespace, state_prefix)
+        trail = corpus_ops.curated_incremental_admit(
+            batch_df,
+            None,
+            None,  # nb_target unused: the model and tau come frozen
+            token_budget,
+            shares,
+            nd_threshold=nd_threshold,
+            blocklist=blocklist,
+            blocklist_max_hits=blocklist_max_hits,
+            boiler_grams=boiler_grams,
+            es_windows=es_windows,
+            state=state,
+            include_text=True,
+        )
+        admitted = (
+            trail.filter("admitted")
+            .select("doc_id", "source", "text", "n_mix_tokens")
+            # the decision trail feeds five sinks: evaluate the gates
+            # once, not once per append
+            .localCheckpoint()
+        )
+        # Make the decision artifact durable BEFORE any state append
+        # (staged even when empty, so a replay never re-runs the gates
+        # for a batch whose decisions were already taken).
+        staged = admitted.withColumn("batch_id", F.lit(batch_id))
+        if catalog.table_exists(namespace, staging_table):
+            catalog.append(namespace, staging_table, staged, batch_id=batch_id)
+        else:
+            catalog.create_table(namespace, staging_table, staged, batch_id=batch_id)
+    if admitted.isEmpty():
+        return
+    docs = admitted.select("doc_id", "source", "text")
+    if catalog.table_exists(namespace, corpus_table):
+        catalog.append(namespace, corpus_table, docs, batch_id=batch_id)
+    else:
+        catalog.create_table(namespace, corpus_table, docs, batch_id=batch_id)
+    catalog.append(
+        namespace,
+        f"{state_prefix}_fingerprints",
+        docs.select(fingerprint(F.col("text")).alias("fingerprint")),
+        batch_id=batch_id,
+    )
+    catalog.append(
+        namespace,
+        f"{state_prefix}_signatures",
+        _banded_signatures(docs, "text", "doc_id"),
+        batch_id=batch_id,
+    )
+    catalog.append(
+        namespace,
+        f"{state_prefix}_consumed",
+        admitted.groupBy("source").agg(F.sum("n_mix_tokens").alias("consumed")),
+        batch_id=batch_id,
+    )
+
+
 def stream_curated_admission(
     docs_stream: DataFrame,
     catalog: LakehouseCatalog,
@@ -103,11 +206,16 @@ def stream_curated_admission(
     Each micro-batch: (1) reload the admission index (fingerprints and
     signatures grow as earlier batches admit; model/tau stay frozen),
     (2) gate the batch with ``curated_incremental_admit(state=...,
-    existing_docs=None)`` — the corpus itself is NEVER read, (3) append
-    the admitted docs (scrubbed text — the shipped-text contract) to the
-    corpus table, (4) append their fingerprints + banded signatures and
-    the per-source token deltas to the state tables.  All four appends
-    carry the micro-batch id → idempotent under restart-replay.
+    existing_docs=None)`` — the corpus itself is NEVER read, (3) stage
+    the admitted trail to ``{state_prefix}_staging`` (the durable
+    decision artifact — see the module docstring for why this must
+    precede every state append), (4) append the admitted docs (scrubbed
+    text — the shipped-text contract) to the corpus table, (5) append
+    their fingerprints + banded signatures and the per-source token
+    deltas to the state tables.  Every append carries the micro-batch
+    id, and a replayed batch re-derives (4)-(5) from the staged trail
+    instead of re-running the gates → idempotent under restart-replay
+    at ANY crash point.
 
     Scale: per batch the corpus-sized inputs are the state tables only
     — fingerprint anti-join on 32-byte keys, signature probe with the
@@ -117,56 +225,20 @@ def stream_curated_admission(
     Returns the started StreamingQuery."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        state = load_admission_state(catalog, namespace, state_prefix)
-        trail = corpus_ops.curated_incremental_admit(
+        _admit_batch(
             batch_df,
-            None,
-            None,  # nb_target unused: the model and tau come frozen
-            token_budget,
-            shares,
+            batch_id,
+            catalog,
+            namespace,
+            corpus_table,
+            state_prefix,
+            token_budget=token_budget,
+            shares=shares,
             nd_threshold=nd_threshold,
             blocklist=blocklist,
             blocklist_max_hits=blocklist_max_hits,
             boiler_grams=boiler_grams,
             es_windows=es_windows,
-            state=state,
-            include_text=True,
-        )
-        admitted = (
-            trail.filter("admitted")
-            .select("doc_id", "source", "text", "n_mix_tokens")
-            # the decision trail feeds four sinks: evaluate the gates
-            # once, not once per append
-            .localCheckpoint()
-        )
-        if admitted.isEmpty():
-            return
-        docs = admitted.select("doc_id", "source", "text")
-        if catalog.table_exists(namespace, corpus_table):
-            catalog.append(namespace, corpus_table, docs, batch_id=batch_id)
-        else:
-            catalog.create_table(namespace, corpus_table, docs, batch_id=batch_id)
-        catalog.append(
-            namespace,
-            f"{state_prefix}_fingerprints",
-            docs.select(fingerprint(F.col("text")).alias("fingerprint")),
-            batch_id=batch_id,
-        )
-        catalog.append(
-            namespace,
-            f"{state_prefix}_signatures",
-            _banded_signatures(docs, "text", "doc_id"),
-            batch_id=batch_id,
-        )
-        catalog.append(
-            namespace,
-            f"{state_prefix}_consumed",
-            admitted.groupBy("source").agg(
-                F.sum("n_mix_tokens").alias("consumed")
-            ),
-            batch_id=batch_id,
         )
 
     writer = (

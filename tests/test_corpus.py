@@ -1739,3 +1739,99 @@ def test_phrase_search_positions_and_counts(spark):
         textops.phrase_search(docs, [])
     with pytest.raises(ValueError):
         textops.phrase_search(docs, ["two words"])
+
+
+def test_admission_state_nonstandard_nb_buckets(spark):
+    """A frozen NB model carries its own codebook size: state built with
+    buckets != 256 scores batches IDENTICALLY to the recompute path with
+    the same buckets — the silent mis-hash a hard-coded score-time 256
+    would cause cannot happen (r10 ADVICE)."""
+    body = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, "short target note here", "src0"),
+            (5, "bravo corpus text entirely different words", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, "note here w0 w2 w4 target fresh", "src0"),
+            (103, "completely novel subject matter zzz", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tgt = F.col("source") == "src0"
+
+    model = corpus.nb_model(existing, tgt, buckets=64)
+    assert "_buckets" in model.columns
+    # scoring with a WRONG buckets argument: the stored _buckets wins
+    frozen = {
+        r.doc_id: r.nb_logodds
+        for r in corpus.nb_quality_scores(
+            None, None, buckets=256, score_docs=batch, model=model
+        ).collect()
+    }
+    inline = {
+        r.doc_id: r.nb_logodds
+        for r in corpus.nb_quality_scores(
+            existing, tgt, buckets=64, score_docs=batch
+        ).collect()
+    }
+    assert frozen == inline
+
+    # end-to-end: admit via buckets=64 state == recompute with nb_buckets=64
+    state = corpus.admission_state(existing, tgt, nb_top_frac=1.0, buckets=64)
+    via_state = sorted(
+        corpus.curated_incremental_admit(
+            batch, None, tgt, 100_000, {"src0": 1.0}, state=state,
+            nb_top_frac=1.0,
+        ).collect()
+    )
+    direct = sorted(
+        corpus.curated_incremental_admit(
+            batch, existing, tgt, 100_000, {"src0": 1.0},
+            nb_top_frac=1.0, nb_buckets=64,
+        ).collect()
+    )
+    assert via_state == direct
+
+
+def test_admission_state_duplicate_fingerprints_no_row_multiplication(spark):
+    """A non-distinct (user-maintained) fingerprints table must not
+    multiply batch rows through the exact-gate left join: one trail row
+    per batch doc, decisions unchanged (r10 ADVICE)."""
+    body = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, "short target note here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (101, f"alpha corpus document {body}", "src0"),   # exact dup
+            (105, "note here w0 w2 w4 target fresh", "src0"),  # fresh
+        ],
+        "doc_id long, text string, source string",
+    )
+    tgt = F.col("source") == "src0"
+    state = corpus.admission_state(existing, tgt, nb_top_frac=1.0)
+    clean = sorted(
+        corpus.curated_incremental_admit(
+            batch, None, tgt, 100_000, {"src0": 1.0}, state=state,
+            nb_top_frac=1.0,
+        ).collect()
+    )
+    dirty = dict(state)
+    dirty["fingerprints"] = state["fingerprints"].union(state["fingerprints"])
+    out = sorted(
+        corpus.curated_incremental_admit(
+            batch, None, tgt, 100_000, {"src0": 1.0}, state=dirty,
+            nb_top_frac=1.0,
+        ).collect()
+    )
+    assert len(out) == batch.count()
+    assert out == clean

@@ -516,3 +516,28 @@ def test_ivf_index_round_trip_is_value_identical(spark, emb, tmp_path):
         similarity.embedding_decontaminate_ivf(train, None, cents)
     with pytest.raises(ValueError, match="centroids is empty"):
         similarity.ivf_index(ref, [])
+
+
+def test_ivf_prebuilt_index_broadcasts_probe_side(spark, emb):
+    """Broadcast asymmetry (r10 ADVICE): with a PREBUILT index the index
+    is the persistent, possibly corpus-sized side, so the PROBE side
+    must be the broadcast build side (BuildLeft — the probe is the left
+    join input); inline eval stays broadcast (the eval benchmark is the
+    small side there).  BuildLeft can only come from our explicit hint:
+    the operator's other join is left-outer, which only builds right."""
+    cents = similarity.sample_centroids(emb, k=8)
+    train = emb.filter("vec_id % 3 = 0")
+    ref = emb.filter("vec_id % 3 <> 0")
+    idx = similarity.ivf_index(ref, cents)
+    plan_index = (
+        similarity.embedding_decontaminate_ivf(
+            train, None, cents, nprobe=2, index=idx
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BuildLeft" in plan_index
+    plan_inline = (
+        similarity.embedding_decontaminate_ivf(train, ref, cents, nprobe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BuildLeft" not in plan_inline
+    assert "BroadcastExchange" in plan_inline

@@ -632,3 +632,96 @@ def test_compact_consumed_log_preserves_totals(spark, tmp_path):
         .groupBy("source").agg(F.sum("consumed").alias("consumed")).collect()
     }
     assert agg == {("a", 16), ("b", 10)}
+
+
+def test_stream_admission_crash_replay_partial_commit(spark, tmp_path):
+    """The replay contract at the worst crash point (r10 ADVICE): the
+    stream dies AFTER the batch's fingerprints hit the state table but
+    BEFORE its signatures/consumed deltas commit.  A replay that re-ran
+    the gates would see the batch's own fingerprints and reject every
+    doc (signatures lost forever, budget undercounted); the staged
+    decision artifact must instead fan the remaining appends out
+    unchanged — and a second replay must be a full no-op."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.text import (
+        bpe_piece_count,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    body = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, "short target note here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("db", "corpus", existing)
+    state = corpus.admission_state(existing, F.lit(True), nb_top_frac=1.0)
+    C.save_admission_state(cat, "db", "adm", state)
+
+    batch = spark.createDataFrame(
+        [
+            (101, f"alpha corpus document {body}", "src0"),   # exact dup
+            (105, "note here w0 w2 w4 target fresh", "src0"),  # fresh -> admit
+        ],
+        "doc_id long, text string, source string",
+    )
+    kw = dict(token_budget=100_000, shares={"src0": 1.0})
+
+    # first attempt crashes immediately after the fingerprints append
+    real_append = cat.append
+
+    def crashing_append(namespace, table, df, **kwargs):
+        snap = real_append(namespace, table, df, **kwargs)
+        if table == "adm_fingerprints":
+            raise RuntimeError("simulated crash after fingerprints commit")
+        return snap
+
+    cat.append = crashing_append
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
+    cat.append = real_append
+
+    # partial-commit state: decisions staged, corpus + fingerprints in,
+    # signatures + consumed missing
+    assert cat.batch_committed("db", "adm_staging", 0)
+    assert cat.load("db", "adm_fingerprints").count() == 3  # 2 corpus + 1
+    sig_docs = {
+        r.doc_id for r in cat.load("db", "adm_signatures")
+        .select("doc_id").distinct().collect()
+    }
+    assert 105 not in sig_docs
+    assert cat.load("db", "adm_consumed").count() == 1  # initial only
+
+    # replay (what foreachBatch does on restart): completes the fan-out
+    C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
+    ids = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert ids == {1, 3, 105}  # admitted exactly once
+    assert cat.load("db", "adm_fingerprints").count() == 3  # no double append
+    sig_docs = {
+        r.doc_id for r in cat.load("db", "adm_signatures")
+        .select("doc_id").distinct().collect()
+    }
+    assert 105 in sig_docs
+    totals = {
+        (r.source, r.consumed)
+        for r in C.load_admission_state(cat, "db", "adm")["consumed"].collect()
+    }
+    admitted_tokens = (
+        cat.load("db", "corpus")
+        .select(bpe_piece_count(F.col("text")).cast("long").alias("n"))
+        .agg(F.sum("n")).collect()[0][0]
+    )
+    assert totals == {("src0", admitted_tokens)}
+
+    # a second replay is a complete no-op on every table
+    before = {
+        t: cat.load("db", t).count()
+        for t in ("corpus", "adm_fingerprints", "adm_signatures",
+                  "adm_consumed", "adm_staging")
+    }
+    C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
+    after = {t: cat.load("db", t).count() for t in before}
+    assert after == before
