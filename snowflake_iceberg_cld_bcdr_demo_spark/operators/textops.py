@@ -468,7 +468,7 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
-    max_words: int | None = None,
+    max_words: int | None = 1 << 20,
 ) -> list[tuple[str, str]]:
     """Byte-pair-encoding merge rules, trained the way production
     tokenizer trainers actually scale: the corpus reduces to its WORD
@@ -483,10 +483,19 @@ def bpe_train(
 
     ``max_words`` caps driver memory by keeping only the most frequent
     words (count DESC, word ASC) — the standard trainer cap (HuggingFace
-    ``limit_alphabet``-style); ``None`` trains on the full vocabulary.
+    ``limit_alphabet``-style).  The DEFAULT is a finite 2²⁰: on web-scale
+    text the distinct-word table (typos, URLs, hashes) is billions of
+    rows, and an uncapped collect is a driver OOM — the cap bounds the
+    collect at ~1M rows while the count-ranked cut keeps every word that
+    matters to merge statistics (below-cutoff words are the long tail of
+    hapaxes).  Pass ``None`` to explicitly train on the full vocabulary
+    (small corpora / parity tests), or use :func:`bpe_train_distributed`
+    when even the capped table must stay distributed.
 
     Total Spark jobs: ONE collect (plus one top-k sort when
     ``max_words`` is set), independent of ``n_merges``."""
+    if max_words is not None and max_words < 1:
+        raise ValueError(f"bpe_train: max_words must be >= 1, got {max_words}")
     wc = _word_counts(docs, text_col)
     if max_words is not None:
         wc = wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_words)

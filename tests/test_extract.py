@@ -322,3 +322,36 @@ def test_collapse_repetitions_caps_runs_and_loops(spark):
     assert out[3].n_collapsed == 0
     assert out[4].clean_text == "a a b a a b"  # period-3: outside v1 scope
     assert out[5].n_tokens == 0 and out[5].clean_text == ""
+
+
+def test_bpe_train_max_words_cap_boundary(spark):
+    """The finite default cap (r10 verdict): bpe_train's collect is
+    bounded by max_words.  At or above the vocab size (and at the 2^20
+    default on any sane test corpus) the cap is a no-op; below it,
+    training must equal training on exactly the top-max_words words by
+    (count DESC, word ASC); max_words=None stays the explicit full-vocab
+    escape hatch; a non-positive cap fails fast."""
+    import pytest as _pytest
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import textops
+
+    # distinct counts -> unambiguous rank cut
+    corpus = [("aaa", 9), ("aab", 7), ("abb", 5), ("bbb", 3), ("bab", 2)]
+    text = " ".join(w for w, n in corpus for _ in range(n))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    full = textops.bpe_train(docs, n_merges=4, max_words=None)
+    assert textops.bpe_train(docs, n_merges=4) == full          # default cap no-op
+    assert textops.bpe_train(docs, n_merges=4, max_words=5) == full  # cap == vocab
+    assert textops.bpe_train(docs, n_merges=4, max_words=99) == full  # cap > vocab
+
+    for k in (1, 2, 3, 4):
+        top_text = " ".join(w for w, n in corpus[:k] for _ in range(n))
+        top_docs = spark.createDataFrame(
+            [(1, top_text)], "doc_id long, text string"
+        )
+        assert textops.bpe_train(docs, n_merges=4, max_words=k) == \
+            textops.bpe_train(top_docs, n_merges=4, max_words=None)
+
+    with _pytest.raises(ValueError, match="max_words"):
+        textops.bpe_train(docs, max_words=0)
