@@ -13,6 +13,7 @@ from . import (
     dedup,
     extract,
     quality,
+    retrieval,
     sessions,
     similarity,
     skew,
@@ -22,6 +23,6 @@ from . import (
 )
 
 __all__ = [
-    "asof", "corpus", "dedup", "extract", "quality", "sessions",
-    "similarity", "skew", "textclean", "textops", "timeseries",
+    "asof", "corpus", "dedup", "extract", "quality", "retrieval",
+    "sessions", "similarity", "skew", "textclean", "textops", "timeseries",
 ]

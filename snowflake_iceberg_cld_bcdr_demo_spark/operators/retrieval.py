@@ -1,0 +1,302 @@
+"""Persisted inverted index + index-consuming retrieval — the
+precompute-once-serve-many posture for the retrieval trio.
+
+:func:`operators.textops.bm25_search`,
+:func:`operators.textops.phrase_search` and
+:func:`operators.corpus.conjunctive_term_search` are the certified
+SCAN-BOUND baselines: each query re-reads and re-tokenizes the whole
+corpus.  That is the right shape for one-off queries, but a standing
+query workload over a 100 TB corpus pays the scan once per query —
+exactly the workload the reference serves with materialized views
+(`/root/reference/sql/12_materialized_views.sql:41-64`: precompute the
+expensive aggregation once, let every later query read the small
+artifact).  This module applies that pattern to retrieval, the same way
+:func:`operators.corpus.admission_state` applied it to admission:
+
+- :func:`retrieval_index` builds the index ONCE — full positional
+  postings ``(term, doc_id, tf, positions)`` plus per-document lengths
+  ``(doc_id, dl)`` — one token shuffle over the corpus, amortized
+  across every query that follows,
+- :func:`bm25_search_indexed` / :func:`phrase_search_indexed` /
+  :func:`conjunctive_term_search_indexed` answer the SAME queries from
+  the index, bit-identical to the rescan operators (pytest-pinned),
+  reading only the postings rows of the query's own terms — the
+  ``term IN (...)`` filter pushes into the postings parquet scan, so a
+  3-term query over a 10⁹-doc corpus reads 3 terms' rows, not 10⁹
+  documents,
+- :func:`save_retrieval_index` / :func:`load_retrieval_index` persist
+  the pair as lakehouse tables (snapshotted, time-travelable — index
+  rebuilds are BCDR-managed state like the admission index).
+
+Scale notes: the postings build shuffles once on ``(term, doc_id)`` —
+the composite key keeps hot terms (stopwords) spread across documents,
+so no reducer sees a stopword's full posting list; per-row position
+arrays are bounded by single-document term frequency.  ``doclens`` is a
+narrow projection.  On the query side nothing corpus-sized shuffles:
+BM25 pivots the matched postings (|terms| × df rows) and joins doclens
+on doc_id; phrase/conjunctive never touch doclens at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INDEX_TABLES = ("postings", "doclens")
+
+
+def retrieval_index(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict[str, DataFrame]:
+    """Build the positional inverted index of a corpus as two frames:
+
+    - ``postings``: one row per (term, document) — ``(term, doc_id,
+      tf, positions)`` with 1-based ascending token positions.  FULL
+      (no df floor, no posting cap): unlike
+      :func:`operators.corpus.term_postings`' capped ARRAY layout, the
+      row layout has no per-term array to blow up, so completeness
+      costs nothing and BM25/phrase answers stay exact,
+    - ``doclens``: ``(doc_id, dl)`` for EVERY document (empty and
+      null-text docs get dl=0) — BM25's length norm and corpus stats.
+
+    Tokenization is the corpus-wide convention
+    (``regexp_extract_all(lower(text), '\\S+')``), so index answers are
+    bit-identical to the rescan operators'."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"\S+"), 0)
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    doclens = base.select(
+        "doc_id",
+        F.coalesce(F.size("_toks"), F.lit(0)).cast("long").alias("dl"),
+    )
+    postings = (
+        base.select("doc_id", F.posexplode("_toks").alias("pos", "term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.sort_array(F.collect_list(F.col("pos") + F.lit(1))).alias(
+                "positions"
+            ),
+        )
+    )
+    return {"postings": postings, "doclens": doclens}
+
+
+def save_retrieval_index(
+    catalog, namespace: str, prefix: str, index: dict[str, DataFrame]
+) -> None:
+    """Persist a :func:`retrieval_index` dict as two lakehouse tables
+    under ``prefix`` — the build-once artifact every later query
+    consumes."""
+    missing = set(INDEX_TABLES) - set(index)
+    if missing:
+        raise ValueError(f"save_retrieval_index: missing {sorted(missing)}")
+    for name in INDEX_TABLES:
+        catalog.create_table(namespace, f"{prefix}_{name}", index[name])
+
+
+def load_retrieval_index(catalog, namespace: str, prefix: str) -> dict[str, DataFrame]:
+    """Reload a persisted retrieval index."""
+    return {
+        name: catalog.load(namespace, f"{prefix}_{name}")
+        for name in INDEX_TABLES
+    }
+
+
+def _require(index: dict[str, DataFrame], fn: str) -> tuple[DataFrame, DataFrame]:
+    missing = set(INDEX_TABLES) - set(index)
+    if missing:
+        raise ValueError(f"{fn}: index missing {sorted(missing)}")
+    return index["postings"], index["doclens"]
+
+
+def bm25_search_indexed(
+    index: dict[str, DataFrame],
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 top-k from the persisted index — bit-identical to
+    :func:`operators.textops.bm25_search` (same Lucene idf, same fixed
+    left-to-right term fold, same rounding and (score, id) tiebreak;
+    a term with tf=0 contributes exactly +0.0 to the IEEE sum, so
+    folding only MATCHED terms in the same term order reproduces the
+    full fold bit for bit).
+
+    Cost: the ``term IN (...)`` filter reaches the postings scan
+    (PushedFilters — pytest-pinned), so the read is O(Σ df of the query
+    terms) postings rows + one narrow doclens pass for the corpus stats
+    and length norm, instead of tokenizing every document.  The only
+    shuffles are the |matched-docs| pivot and the doc_id join; the
+    final top-k is TakeOrdered, no global sort."""
+    terms = sorted(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("bm25_search_indexed: query_terms is empty")
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError(f"bm25_search_indexed: bad k1={k1} or b={b}")
+    postings, doclens = _require(index, "bm25_search_indexed")
+    stats = (
+        doclens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+        .withColumn(
+            "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
+        )
+    )
+    matched = postings.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", "tf"
+    )
+    # true per-term document frequencies, one broadcastable row (sum
+    # over an empty match set is NULL — coalesce keeps df=0 exact)
+    dfs = matched.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("term") == F.lit(t)).cast("long")), F.lit(0)
+            ).alias(f"_df{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    per = matched.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == F.lit(t), F.col("tf"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    joined = (
+        per.join(doclens, "doc_id")
+        .join(F.broadcast(stats))
+        .join(F.broadcast(dfs))
+    )
+
+    def _term_score(i: int):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}").cast("double") + F.lit(0.5))
+        )
+        norm = tf + F.lit(float(k1)) * (
+            F.lit(float(1.0 - b))
+            + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return idf * (tf * F.lit(float(k1 + 1.0)) / norm)
+
+    score = _term_score(0)
+    for i in range(1, len(terms)):
+        score = score + _term_score(i)
+    n_matched = sum(
+        ((F.col(f"_tf{i}") > 0).cast("int") for i in range(len(terms))),
+        start=F.lit(0),
+    )
+    from pyspark.sql import Window
+
+    ranked = (
+        joined.select(
+            "doc_id",
+            n_matched.alias("n_matched"),
+            "dl",
+            F.round(score, 8).alias("score"),
+        )
+        .filter(F.col("n_matched") >= 1)
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(top_k)
+    )
+    return ranked.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+        ),
+    ).select("doc_id", "n_matched", "dl", "score", "rank")
+
+
+def phrase_search_indexed(
+    index: dict[str, DataFrame], phrase: list[str]
+) -> DataFrame:
+    """Exact-phrase search from the persisted positional postings —
+    bit-identical to :func:`operators.textops.phrase_search` (the
+    stored 1-based positions are exactly the arrays the rescan builds;
+    shift-and-intersect is the same set algebra, and occurrence count /
+    first position are order-independent).
+
+    Cost: reads only the phrase terms' postings rows (filter pushed to
+    the scan) and pivots them per document — one |matched-docs| shuffle,
+    no corpus scan, doclens untouched."""
+    terms = [t.lower() for t in phrase]
+    if not terms or any((not t) or any(c.isspace() for c in t) for t in terms):
+        raise ValueError(f"phrase_search_indexed: bad phrase {phrase!r}")
+    postings, _ = _require(index, "phrase_search_indexed")
+    wanted = sorted(set(terms))
+    col_of = {t: f"_p{i}" for i, t in enumerate(wanted)}
+    piv = (
+        postings.filter(F.col("term").isin(wanted))
+        .select("doc_id", "term", "positions")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.first(
+                    F.when(F.col("term") == F.lit(t), F.col("positions")),
+                    ignorenulls=True,
+                ).alias(col_of[t])
+                for t in wanted
+            ]
+        )
+    )
+
+    def _shift(k: int):
+        return lambda p: p - F.lit(k)
+
+    anchor = None
+    for k, t in enumerate(terms):
+        raw = F.col(col_of[t])
+        shifted = F.transform(raw, _shift(k)) if k else raw
+        anchor = shifted if anchor is None else F.array_intersect(anchor, shifted)
+    return (
+        piv.select(
+            "doc_id",
+            F.size(anchor).cast("long").alias("n_occurrences"),
+            F.array_min(anchor).cast("long").alias("first_pos"),
+        )
+        # a doc missing ANY phrase term has a NULL pivot column -> NULL
+        # intersect -> NULL size: dropped here, same as the rescan's
+        # empty-intersection filter
+        .filter(F.col("n_occurrences") >= 1)
+    )
+
+
+def conjunctive_term_search_indexed(
+    index: dict[str, DataFrame],
+    terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Conjunctive (AND) term search from the persisted index —
+    bit-identical to :func:`operators.corpus.conjunctive_term_search`
+    (the stored per-(term, doc) tf rows ARE the frame that operator
+    builds by exploding the corpus; everything downstream is the same
+    aggregation).
+
+    Cost: reads the query terms' postings rows only; one doc_id
+    shuffle carrying at most |terms| rows per matched document."""
+    if not terms:
+        raise ValueError("conjunctive_term_search_indexed: terms is empty")
+    postings, _ = _require(index, "conjunctive_term_search_indexed")
+    wanted = sorted({t.lower() for t in terms})
+    return (
+        postings.filter(F.col("term").isin(wanted))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum("tf").alias("total_hits"),
+        )
+        .filter(F.col("n_terms_matched") == len(wanted))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_terms_matched",
+            F.col("total_hits").cast("long").alias("total_hits"),
+        )
+    )

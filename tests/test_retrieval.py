@@ -1,0 +1,129 @@
+"""Persisted-inverted-index invariants: the index-consuming retrieval
+operators must be BIT-IDENTICAL to their certified rescan twins —
+including the full round trip of the index through lakehouse tables —
+and the query-side postings read must push the term filter into the
+scan (the serve-many contract: a query reads its own terms' rows, not
+the corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import (
+    corpus,
+    retrieval,
+    textops,
+)
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import LakehouseCatalog
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+from .conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return table(spark, SF_SMALL, "documents")
+
+
+@pytest.fixture(scope="module")
+def frozen_index(spark, docs, tmp_path_factory):
+    """The build-once artifact: index persisted to lakehouse tables and
+    reloaded — every equality test runs against the FROZEN form, so the
+    parquet round trip (array<int> positions included) is in scope."""
+    cat = LakehouseCatalog(
+        spark, str(tmp_path_factory.mktemp("wh")), name="idx"
+    )
+    retrieval.save_retrieval_index(
+        cat, "db", "docs", retrieval.retrieval_index(docs)
+    )
+    return retrieval.load_retrieval_index(cat, "db", "docs")
+
+
+def test_bm25_indexed_bit_equal_to_rescan(spark, docs, frozen_index):
+    terms = ["dup", "hash", "join"]
+    rescan = sorted(textops.bm25_search(docs, terms, top_k=25).collect())
+    indexed = sorted(
+        retrieval.bm25_search_indexed(frozen_index, terms, top_k=25).collect()
+    )
+    assert indexed == rescan
+    assert len(indexed) > 0
+
+
+def test_bm25_indexed_single_term_and_unmatched_term(spark, docs, frozen_index):
+    """Term order 0 unmatched: the rescan folds +0.0 first; the indexed
+    fold must reproduce that bit for bit.  'zzzznothing' matches no doc."""
+    terms = ["zzzznothing", "join"]
+    rescan = sorted(textops.bm25_search(docs, terms, top_k=10).collect())
+    indexed = sorted(
+        retrieval.bm25_search_indexed(frozen_index, terms, top_k=10).collect()
+    )
+    assert indexed == rescan
+
+
+def test_phrase_indexed_bit_equal_to_rescan(spark, docs, frozen_index):
+    phrase = ["customer", "join"]
+    rescan = sorted(textops.phrase_search(docs, phrase).collect())
+    indexed = sorted(
+        retrieval.phrase_search_indexed(frozen_index, phrase).collect()
+    )
+    assert indexed == rescan
+    assert len(indexed) > 0
+
+
+def test_phrase_indexed_repeated_term(spark, docs, frozen_index):
+    """A phrase with a repeated token exercises the distinct-pivot +
+    per-occurrence shift path."""
+    phrase = ["the", "the"]
+    rescan = sorted(textops.phrase_search(docs, phrase).collect())
+    indexed = sorted(
+        retrieval.phrase_search_indexed(frozen_index, phrase).collect()
+    )
+    assert indexed == rescan
+
+
+def test_conjunctive_indexed_bit_equal_to_rescan(spark, docs, frozen_index):
+    terms = ["spark", "window", "join"]
+    rescan = sorted(
+        corpus.conjunctive_term_search(docs, terms).collect()
+    )
+    indexed = sorted(
+        retrieval.conjunctive_term_search_indexed(frozen_index, terms).collect()
+    )
+    assert indexed == rescan
+    assert len(indexed) > 0
+
+
+def test_indexed_queries_push_term_filter_into_scan(spark, frozen_index):
+    """The serve-many win: the postings scan must carry the term IN
+    filter (PushedFilters), so a query reads O(sum df) rows, never the
+    whole postings table."""
+    for df in (
+        retrieval.bm25_search_indexed(frozen_index, ["dup", "join"], top_k=5),
+        retrieval.phrase_search_indexed(frozen_index, ["customer", "join"]),
+        retrieval.conjunctive_term_search_indexed(frozen_index, ["spark"]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "In(term" in plan or "EqualTo(term," in plan, plan
+
+
+def test_doclens_covers_every_doc(spark, docs, frozen_index):
+    assert frozen_index["doclens"].count() == docs.count()
+    # empty/whitespace docs appear with dl=0 (BM25 avgdl parity needs them)
+    nulls = frozen_index["doclens"].filter(F.col("dl").isNull()).count()
+    assert nulls == 0
+
+
+def test_index_validation(spark, docs, frozen_index):
+    with pytest.raises(ValueError, match="query_terms is empty"):
+        retrieval.bm25_search_indexed(frozen_index, [])
+    with pytest.raises(ValueError, match="bad phrase"):
+        retrieval.phrase_search_indexed(frozen_index, ["two words"])
+    with pytest.raises(ValueError, match="terms is empty"):
+        retrieval.conjunctive_term_search_indexed(frozen_index, [])
+    with pytest.raises(ValueError, match="index missing"):
+        retrieval.bm25_search_indexed(
+            {"postings": frozen_index["postings"]}, ["a"]
+        )
+    with pytest.raises(ValueError, match="missing"):
+        retrieval.save_retrieval_index(None, "db", "x", {})
