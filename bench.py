@@ -10,10 +10,13 @@ the driver — the closest local analog of a cluster job writing results.
 (A plain ``count()`` would let Catalyst prune the computed columns and
 under-measure map-heavy queries.)
 
-Noise control: every query is timed ``$SPARK_GRAFT_BENCH_RUNS`` times
-(default 3) and the MEDIAN is reported (the shared host shows ±25%
-swings on sub-second queries with single runs); per-run detail lands in
-the ``runs`` field.
+Noise control: every query first runs ONCE UNTIMED (the cold run pays
+JIT, codegen-compile and page-cache warm-up — r10's drift adjudication
+traced every "regression" to cold-first medians), then is timed
+``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and the MEDIAN is
+reported; sub-second queries (where host noise is proportionally
+largest) extend to median-of-5.  Per-run detail lands in the ``runs``
+field.
 
 Scale check: unless ``SPARK_GRAFT_SF1_SPOT=0``, the heaviest queries
 also run ONCE at a deterministic 10x scale-up of sf0.1 (generated into
@@ -105,9 +108,22 @@ BUDGETS = {
 #: own visibility row; curated_incremental_admit is the r10 daily
 #: re-curation path.
 EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
+#: Streaming extra: the continuous-ingest flagship
+#: (`streaming.curation.stream_curated_admission`) has no QuerySpec —
+#: it is a PIPELINE with side effects (temp warehouse + checkpoint), so
+#: it is measured ONCE end-to-end: build the admission index from a
+#: third of the documents, then stream the other two thirds in as two
+#: waves (wave 2 gating against wave 1's admissions through the
+#: persisted state).  The measured window covers the two stream runs
+#: only — state build is the ship-time cost the batch extras already
+#: show.
+STREAM_EXTRA = "stream_curated_admission_two_waves"
+
 EXTRA_BUDGETS = {
     # ~2x the r10 recorded median (was a loose 30s placeholder in r9)
     "curated_corpus_report": 40.0,
+    # ~2.5x the r11 measured two-wave wall (14.7 s, see BASELINE.md)
+    STREAM_EXTRA: 35.0,
     # ~2x the measured median (~12-13 s warm).  The query runs the
     # STATE path: the admission index stages once per scale (ship-time
     # posture, memoized across builds) so run 1 pays the one-time build
@@ -151,6 +167,73 @@ def _time_once(spec, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _time_query(spec, spark, sf_dir: str) -> tuple[float, list[float]]:
+    """Discard one cold run, then median of RUNS timed runs — extended
+    to median-of-5 when the query is sub-second (noise is
+    proportionally largest there)."""
+    _time_once(spec, spark, sf_dir)  # cold discard: JIT/codegen/page cache
+    rs = [_time_once(spec, spark, sf_dir) for _ in range(RUNS)]
+    if statistics.median(rs) < 1.0 and len(rs) < 5:
+        rs += [_time_once(spec, spark, sf_dir) for _ in range(5 - len(rs))]
+    return round(statistics.median(rs), 3), rs
+
+
+def _time_stream_admission(spark, sf_dir: str) -> float:
+    """Two-wave streaming curated admission, end-to-end wall seconds.
+
+    Setup (untimed): a corpus of every third document, its persisted
+    admission index, and wave 1 landed as a parquet file.  Timed: stream
+    run 1 (gates + admits wave 1, updates the index), land wave 2,
+    stream run 2 (wave 2 gates against wave 1's admissions through the
+    PERSISTED state — the cross-batch statefulness that makes this the
+    production ingest shape).  Fresh warehouse + checkpoint per call, so
+    repeat invocations measure work, not batch-id no-op replays."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus as corpus_ops
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import events as S
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        corpus_docs = docs.filter(F.col("doc_id") % 3 == 0)
+        sources = [r.source for r in docs.select("source").distinct().collect()]
+        shares = {s: 1.0 / len(sources) for s in sources}
+        cat = LakehouseCatalog(spark, os.path.join(tmp, "wh"), name="bench_stream")
+        cat.create_table("db", "corpus", corpus_docs)
+        C.save_admission_state(
+            cat, "db", "adm",
+            corpus_ops.admission_state(corpus_docs, F.lit(True), nb_top_frac=1.0),
+        )
+        src = os.path.join(tmp, "src")
+        ckpt = os.path.join(tmp, "ckpt")
+        schema = docs.schema
+        docs.filter(F.col("doc_id") % 3 == 1).write.mode("append").parquet(src)
+
+        def run_wave() -> None:
+            C.stream_curated_admission(
+                S.read_file_stream(spark, src, schema),
+                cat, "db", "corpus", "adm", ckpt,
+                token_budget=1_000_000_000, shares=shares,
+            ).awaitTermination()
+
+        t0 = time.perf_counter()
+        run_wave()
+        docs.filter(F.col("doc_id") % 3 == 2).write.mode("append").parquet(src)
+        run_wave()
+        return round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     from snowflake_iceberg_cld_bcdr_demo_spark.plans import QUERY_SPECS
     from snowflake_iceberg_cld_bcdr_demo_spark.session import build_session
@@ -165,17 +248,21 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        spec = QUERY_SPECS[name]
-        rs = [_time_once(spec, spark, SF_DIR) for _ in range(RUNS)]
-        runs[name] = rs
-        timings[name] = round(statistics.median(rs), 3)
-        print(f"# {name}: median {timings[name]:.3f}s of {rs}", file=sys.stderr)
+        timings[name], runs[name] = _time_query(QUERY_SPECS[name], spark, SF_DIR)
+        print(
+            f"# {name}: median {timings[name]:.3f}s of {runs[name]}",
+            file=sys.stderr,
+        )
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
-        rs = [_time_once(QUERY_SPECS[name], spark, SF_DIR) for _ in range(RUNS)]
-        extras[name] = round(statistics.median(rs), 3)
+        # the cold discard also absorbs the admit's one-time staged
+        # state build, so the median measures the recurring daily cost
+        extras[name], rs = _time_query(QUERY_SPECS[name], spark, SF_DIR)
         print(f"# extra {name}: median {extras[name]:.3f}s of {rs}", file=sys.stderr)
+
+    extras[STREAM_EXTRA] = _time_stream_admission(spark, SF_DIR)
+    print(f"# extra {STREAM_EXTRA}: {extras[STREAM_EXTRA]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -233,12 +320,29 @@ def main() -> None:
                     f"({ratio[name]:.2f}x of linear)",
                     file=sys.stderr,
                 )
+            # streaming spot runs LAST and only when wall budget
+            # remains (a two-wave sf1 ingest is minutes); a skip is
+            # recorded, and BASELINE.md carries a measured number
+            stream_skip = None
+            if time.perf_counter() - T_START <= SF1_BUDGET_S:
+                spot[STREAM_EXTRA] = _time_stream_admission(spark, SF1_DIR)
+                base = max(extras.get(STREAM_EXTRA, 0.0), 0.001)
+                ratio[STREAM_EXTRA] = round(spot[STREAM_EXTRA] / (SF1_MULT * base), 2)
+                print(
+                    f"# sf1_spot {STREAM_EXTRA}: {spot[STREAM_EXTRA]:.3f}s "
+                    f"({ratio[STREAM_EXTRA]:.2f}x of linear)",
+                    file=sys.stderr,
+                )
+            else:
+                stream_skip = f"{STREAM_EXTRA}: wall budget exhausted"
             out["sf1_spot"] = {
                 "scale_multiple": SF1_MULT,
                 "queries": spot,
                 "ratio_vs_linear": ratio,
                 "anomalies": [n for n, r in ratio.items() if r > 3.0],
             }
+            if stream_skip:
+                out["sf1_spot"]["skipped_queries"] = [stream_skip]
         except Exception as ex:  # spot-check is best-effort; never break bench
             out["sf1_spot"] = {"error": f"{type(ex).__name__}: {ex}"}
             print(f"# sf1_spot failed: {ex}", file=sys.stderr)

@@ -710,9 +710,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------------------
 
 
-@_spec(
-    "ann_cosine_topk",
-    """
+_ANN_COS_SQL = """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id, e.label,
            list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
@@ -724,8 +722,10 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.vec_id != 0
     ORDER BY cosine_sim DESC, e.vec_id
     LIMIT 10
-    """,
-)
+    """
+
+
+@_spec("ann_cosine_topk", _ANN_COS_SQL)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 vs vec_id=0 (exact baseline; broadcast
     query + TakeOrdered — the pattern that scales to a full-scan scorer)."""
@@ -787,9 +787,7 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_spec(
-    "ann_ivf_topk",
-    f"""
+_ANN_IVF_SQL = f"""
     WITH cent AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
                CAST(embedding AS DOUBLE[]) AS cv
@@ -814,8 +812,10 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM asgn a, q
     WHERE a.cell IN (SELECT cell FROM probes) AND a.vec_id != 0
     ORDER BY cosine_sim DESC, a.vec_id LIMIT 10
-    """,
-)
+    """
+
+
+@_spec("ann_ivf_topk", _ANN_IVF_SQL)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-10, probing 4 of 8 cells.  With the deterministic seed
     centroids (the 8 lowest-id vectors) the whole index — cell argmax
@@ -828,9 +828,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, query_vec_id=0, centroids=cents, k=10, nprobe=4)
 
 
-@_spec(
-    "ann_lsh_topk",
-    f"""
+_ANN_LSH_SQL = f"""
     WITH b AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
                {{bucket}} AS bucket
@@ -840,8 +838,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.vec_id, b.label, {_sql_cos('b.v', 'q.qv')} AS cosine_sim
     FROM b, q WHERE b.bucket = q.qb AND b.vec_id != 0
     ORDER BY cosine_sim DESC, b.vec_id LIMIT 10
-    """.replace("{bucket}", _sql_bucket(_PLANES, "CAST(e.embedding AS DOUBLE[])")),
-)
+    """.replace("{bucket}", _sql_bucket(_PLANES, "CAST(e.embedding AS DOUBLE[])"))
+
+
+@_spec("ann_lsh_topk", _ANN_LSH_SQL)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN top-10.  Bucket ids are signs of
     plane·vec against the fixed literal planes — deterministic in both
@@ -3425,6 +3425,82 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = similarity.pq_train(unit, m=8, k=16, iters=1)
     return similarity.pq_topk(
         unit, query_vec_id=0, codebooks=books, k=10, rerank=100
+    )
+
+
+def _ann_recall_sql() -> str:
+    """DuckDB dual of :func:`ann_recall_datasheet`: each method's top-10
+    replays via its own certified SQL (nested-WITH subqueries keep the
+    CTE scopes separate), and the recall fractions are plain set
+    intersections against the exact baseline."""
+    pq_sql = _pq_oracle_sql(m=8, kk=16, sub=8)
+    return f"""
+    WITH exact AS (SELECT vec_id FROM ({_ANN_COS_SQL}) t),
+    ivf AS (SELECT vec_id FROM ({_ANN_IVF_SQL}) t),
+    lsh AS (SELECT vec_id FROM ({_ANN_LSH_SQL}) t),
+    pq AS (SELECT vec_id FROM ({pq_sql}) t)
+    SELECT 10 AS k, 8 AS ivf_cells, 4 AS ivf_nprobe,
+           {len(_PLANES)} AS lsh_planes, 8 AS pq_m, 16 AS pq_k,
+           100 AS pq_rerank,
+           round(CAST((SELECT count(*) FROM exact JOIN ivf USING (vec_id))
+                 AS DOUBLE) / 10, 4) AS recall_ivf,
+           round(CAST((SELECT count(*) FROM exact JOIN lsh USING (vec_id))
+                 AS DOUBLE) / 10, 4) AS recall_lsh,
+           round(CAST((SELECT count(*) FROM exact JOIN pq USING (vec_id))
+                 AS DOUBLE) / 10, 4) AS recall_pq
+    """
+
+
+@_spec("ann_recall_datasheet", _ann_recall_sql())
+def ann_recall_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN RECALL CONTRACT as one datasheet row — the similarity
+    analog of `corpus_datasheet`'s dedup-guarantee columns: recall@10 of
+    each approximate index (IVF nprobe=4/8 cells, hyperplane LSH with
+    the fixed 8-plane codebook, PQ m=8/k=16 with 100-wide exact rerank)
+    against the brute-force cosine baseline, plus the index
+    configurations those numbers are valid for.  Every method's top-10
+    is deterministic (literal centroids/planes, fixed-point codebooks),
+    so the recalls themselves are HASH-CERTIFIED by the oracle — a
+    consumer reads what the index family trades for its speed without
+    running a benchmark.  Floors are additionally pinned in
+    tests/test_similarity_recall.py."""
+    from ..functions.vectors import l2_normalize
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, k=8)
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    )
+    books = similarity.pq_train(unit, m=8, k=16, iters=1)
+    exact = similarity.brute_force_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    approx = {
+        "recall_ivf": similarity.ivf_topk(
+            emb, query_vec_id=0, centroids=cents, k=10, nprobe=4
+        ),
+        "recall_lsh": similarity.lsh_topk(
+            emb, query_vec_id=0, planes=_PLANES, k=10
+        ),
+        "recall_pq": similarity.pq_topk(
+            unit, query_vec_id=0, codebooks=books, k=10, rerank=100
+        ),
+    }
+    row = None
+    for name, df in approx.items():
+        c = exact.join(df.select("vec_id"), "vec_id", "left_semi").agg(
+            F.round(F.count(F.lit(1)).cast("double") / F.lit(10.0), 4).alias(name)
+        )
+        row = c if row is None else row.crossJoin(c)
+    return row.select(
+        F.lit(10).alias("k"),
+        F.lit(8).alias("ivf_cells"),
+        F.lit(4).alias("ivf_nprobe"),
+        F.lit(len(_PLANES)).alias("lsh_planes"),
+        F.lit(8).alias("pq_m"),
+        F.lit(16).alias("pq_k"),
+        F.lit(100).alias("pq_rerank"),
+        "recall_ivf",
+        "recall_lsh",
+        "recall_pq",
     )
 
 

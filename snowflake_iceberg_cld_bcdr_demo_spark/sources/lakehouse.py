@@ -526,6 +526,7 @@ class LakehouseCatalog:
         cluster_by: list[str] | None = None,
         zorder_bits: int = 4,
         target_file_mb: int | None = None,
+        exact: bool = False,
     ) -> Snapshot:
         """Small-file compaction (Iceberg ``rewrite_data_files``): rewrite
         the current snapshot's accumulated data dirs into one ``replace``
@@ -549,6 +550,16 @@ class LakehouseCatalog:
         (lexicographic order survives, so range predicates still prune).
         Nulls sort into the lowest bucket.
 
+        ``exact=True`` swaps the quantile bucketing for the EXACT affine
+        integer quantization of :func:`operators.layout.zorder_keys`
+        (``(x - min) * 2**bits div (max - min + 1)``): no sampling, no
+        floating point — the key derivation is bit-reproducible and
+        hash-certified by the ``zorder_cells`` oracle query, the layout
+        contract an auditor can replay.  Requires integral cluster
+        columns (the price of exactness); uniform-width bins also mean a
+        heavily skewed key can crowd the curve — prefer the default
+        quantile path for skewed production data.
+
         ``target_file_mb`` sizes the rewrite from the snapshot's actual
         on-disk bytes (Iceberg ``target-file-size-bytes``): output
         partitions = ceil(current bytes / target) — the ops-friendly
@@ -569,7 +580,27 @@ class LakehouseCatalog:
                 1, -(-total // (target_file_mb * 1024 * 1024))
             )
         file_stats_cols = None
-        if cluster_by:
+        if cluster_by and exact:
+            from ..operators.layout import zorder_keys
+
+            integral = {"tinyint", "smallint", "int", "bigint"}
+            dtypes = dict(df.dtypes)
+            bad = [c for c in cluster_by if dtypes.get(c) not in integral]
+            if bad:
+                raise ValueError(
+                    f"compact: exact=True requires integral cluster columns; "
+                    f"{bad} are {[dtypes.get(c) for c in bad]} "
+                    "(use exact=False for strings/timestamps/doubles)"
+                )
+            n = target_file_partitions or self.spark.sparkContext.defaultParallelism
+            keyed = zorder_keys(df, cluster_by, bits=zorder_bits)
+            df = (
+                keyed.repartitionByRange(n, "zvalue")
+                .sortWithinPartitions("zvalue")
+                .select(*df.columns)
+            )
+            file_stats_cols = list(cluster_by)
+        elif cluster_by:
             n = target_file_partitions or self.spark.sparkContext.defaultParallelism
             nb = 1 << zorder_bits
             probs = [i / nb for i in range(1, nb)]

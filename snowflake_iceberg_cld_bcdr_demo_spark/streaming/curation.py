@@ -269,3 +269,51 @@ def compact_consumed_log(
         .agg(F.sum("consumed").alias("consumed"))
     )
     catalog.merge_upsert(namespace, t, totals, ["source"])
+
+
+def compact_admission_state(
+    catalog: LakehouseCatalog,
+    namespace: str,
+    prefix: str,
+    keep_last_snapshots: int = 2,
+) -> dict[str, int]:
+    """Full lifecycle maintenance for the admission index — run BETWEEN
+    stream runs (every rewrite here is a replace/delete snapshot; a
+    stream crash-replaying a batch from before the maintenance would no
+    longer find its batch_id guard on the rewritten table).  Keeps the
+    index's cost O(admitted docs), never O(batches):
+
+    - ``consumed``: the per-batch delta log folds to one row per source
+      (:func:`compact_consumed_log` — totals unchanged),
+    - ``fingerprints`` / ``signatures``: CONTENT already grows one row
+      per admitted doc, but each micro-batch appended its own file and
+      snapshot — small-file compaction rewrites the accumulated dirs
+      into one, and snapshot expiry drops the per-batch history (the
+      manifest keeps expired entries marked, so the batch_id replay
+      guard survives),
+    - ``staging``: the durable decision artifacts are TRANSIENT — the
+      stream starts batch N+1 only after batch N's sink returned, so
+      every staged trail below the newest staged batch_id belongs to a
+      fully committed batch and is dead weight.  Rows below the max
+      batch_id are deleted (TTL), then the survivor is compacted.
+
+    Returns per-table row counts after maintenance (the state-size
+    budget a scheduler can alert on)."""
+    compact_consumed_log(catalog, namespace, prefix)
+    tables = [f"{prefix}_consumed", f"{prefix}_fingerprints", f"{prefix}_signatures"]
+    staging = f"{prefix}_staging"
+    if catalog.table_exists(namespace, staging):
+        max_bid = (
+            catalog.metadata_table(namespace, staging, "snapshots")
+            .agg(F.max("batch_id"))
+            .collect()[0][0]
+        )
+        if max_bid is not None:
+            catalog.delete_where(namespace, staging, [("batch_id", "<", max_bid)])
+        tables.append(staging)
+    sizes: dict[str, int] = {}
+    for t in tables:
+        catalog.compact(namespace, t)
+        catalog.expire_snapshots(namespace, t, keep_last=keep_last_snapshots)
+        sizes[t[len(prefix) + 1:]] = catalog.load(namespace, t).count()
+    return sizes

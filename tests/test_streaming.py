@@ -725,3 +725,75 @@ def test_stream_admission_crash_replay_partial_commit(spark, tmp_path):
     C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
     after = {t: cat.load("db", t).count() for t in before}
     assert after == before
+
+
+def test_compact_admission_state_bounds_growth(spark, tmp_path):
+    """State lifecycle: after N admitted batches the index holds one
+    data dir per table (not one per batch), staging keeps only the
+    newest batch's trail, consumed totals are preserved, and the next
+    batch still gates correctly against the compacted state — size
+    O(admitted docs), never O(batches)."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    body = " ".join(f"w{j}" for j in range(40))
+    existing = spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, "short target note here", "src0"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("db", "corpus", existing)
+    C.save_admission_state(
+        cat, "db", "adm",
+        corpus.admission_state(existing, F.lit(True), nb_top_frac=1.0),
+    )
+    kw = dict(token_budget=100_000, shares={"src0": 1.0})
+    # corpus-vocab texts (the frozen NB gate must score them in) that are
+    # pairwise lexically distant (no cross-wave near-dup rejection)
+    waves = [
+        (100 + i, f"note here w{2*i} w{2*i+1} target fresh item{i} study {i}",
+         "src0")
+        for i in range(3)
+    ]
+    for bid, (did, text, src) in enumerate(waves):
+        batch = spark.createDataFrame(
+            [(did, text, src)], "doc_id long, text string, source string"
+        )
+        C._admit_batch(batch, bid, cat, "db", "corpus", "adm", **kw)
+
+    ids = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert ids == {1, 3, 100, 101, 102}  # every wave admitted
+    # pre-maintenance: one data dir per batch accumulated
+    n_dirs_before = len(cat.current_snapshot("db", "adm_fingerprints").data_dirs)
+    assert n_dirs_before >= 3
+    totals_before = sorted(
+        C.load_admission_state(cat, "db", "adm")["consumed"].collect()
+    )
+
+    sizes = C.compact_admission_state(cat, "db", "adm")
+
+    for t in ("adm_fingerprints", "adm_signatures", "adm_consumed", "adm_staging"):
+        assert len(cat.current_snapshot("db", t).data_dirs) == 1, t
+    # content O(admitted docs): 2 corpus + 3 admitted fingerprints
+    assert sizes["fingerprints"] == 5
+    assert sizes["consumed"] == 1
+    # staging TTL: only the newest batch's trail survives
+    staged = cat.load("db", "adm_staging").collect()
+    assert {r.batch_id for r in staged} == {2}
+    assert sorted(
+        C.load_admission_state(cat, "db", "adm")["consumed"].collect()
+    ) == totals_before
+
+    # the compacted state still gates: an exact dup of batch 0's doc is
+    # rejected, a fresh doc admits
+    nxt = spark.createDataFrame(
+        [(900, waves[0][1], "src0"),
+         (901, "note here w30 w31 target fresh item9 study 9", "src0")],
+        "doc_id long, text string, source string",
+    )
+    C._admit_batch(nxt, 3, cat, "db", "corpus", "adm", **kw)
+    ids2 = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert 901 in ids2 and 900 not in ids2

@@ -637,3 +637,43 @@ def test_zorder_keys_validates(spark):
     # x constant -> even output bits all zero; y spreads: 7 -> bucket 0,
     # 9 -> bucket (2*16)//3 = 10 (1010b) -> odd bits 3 and 7 -> 136
     assert {r.zvalue for r in rows} == {0, 136}
+
+
+def test_exact_zorder_compact_skips_files_on_both_dimensions(spark, cat):
+    """compact(cluster_by=..., exact=True): the hash-certified affine
+    quantization drives the production rewrite — per-file bounds prune
+    on BOTH clustered dimensions, content is unchanged, and non-integral
+    cluster columns fail fast."""
+    df = _two_dim_frame(spark)
+    cat.create_table("lake", "epoints", df.filter("row_id % 2 = 0"))
+    cat.append("lake", "epoints", df.filter("row_id % 2 = 1"))
+    before = cat.prune_preview("lake", "epoints", [("x", "<", 500)])
+    assert before["skipped"] == []
+
+    cat.compact(
+        "lake", "epoints", target_file_partitions=16,
+        cluster_by=["x", "y"], exact=True,
+    )
+    manifest = cat._read_manifest("lake", "epoints")
+    files = next(iter(manifest["file_stats"].values()))
+    assert len(files) == 16
+    for col in ("x", "y"):
+        pv = cat.prune_preview("lake", "epoints", [(col, "<", 500)])
+        (d,) = pv["kept"]
+        assert len(pv["skipped_files"][d]) >= len(pv["kept_files"][d])
+
+    full = sorted(cat.load("lake", "epoints").collect())
+    assert full == sorted(df.collect())
+    got = sorted(
+        cat.load("lake", "epoints", filters=[("x", "<", 500), ("y", ">", 2000)])
+        .collect()
+    )
+    want = sorted(df.filter("x < 500 AND y > 2000").collect())
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="integral cluster columns"):
+        strs = _two_dim_frame(spark, n=50).withColumn(
+            "s", F.col("x").cast("string")
+        )
+        cat.create_table("lake", "spoints", strs)
+        cat.compact("lake", "spoints", cluster_by=["s"], exact=True)
