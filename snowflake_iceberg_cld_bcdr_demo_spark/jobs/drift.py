@@ -69,10 +69,18 @@ def detect_schema_drift(
     secondary_meta: DataFrame,
     monitoring: LakehouseCatalog,
     auto_resync_into: ViewRegistry | None = None,
+    max_findings: int = 10_000,
 ) -> dict:
     """3-way drift diff between two exported metadata snapshots (F4).
     Returns the report dict; logs each drift row; optionally resyncs
-    missing/mismatched definitions into the secondary registry."""
+    missing/mismatched definitions into the secondary registry.
+
+    The findings collect to the driver by design (they carry object
+    DEFINITIONS for the resync/log path, and real drift is a handful of
+    objects); ``max_findings`` caps each category so a pathological
+    snapshot — e.g. diffing against an empty secondary of a
+    million-object catalog — cannot OOM the driver.  Truncation is
+    reported (``truncated=True``) so the operator re-runs scoped."""
     t0 = time.time()
     keys = ["object_type", "schema_name", "object_name"]
     p = primary_meta.select(
@@ -92,6 +100,20 @@ def detect_schema_drift(
         p.join(s, keys, "inner")  # J6 `33:333-348`
         .filter(F.col("primary_hash") != F.col("secondary_hash"))
     )
+
+    truncated = False
+    if max_findings is not None:
+        truncated = (
+            max(
+                missing_on_secondary.count(),
+                missing_on_primary.count(),
+                mismatched.count(),
+            )
+            > max_findings
+        )
+        missing_on_secondary = missing_on_secondary.limit(max_findings)
+        missing_on_primary = missing_on_primary.limit(max_findings)
+        mismatched = mismatched.limit(max_findings)
 
     drift_rows: list[dict] = []
     for r in missing_on_secondary.collect():
@@ -179,6 +201,7 @@ def detect_schema_drift(
             1 for r in drift_rows if r["drift_type"] == "DEFINITION_MISMATCH"
         ),
         "resynced": resynced,
+        "truncated": truncated,
         "object_counts": {
             r.object_type: (r.primary_count, r.secondary_count) for r in count_cmp
         },

@@ -102,6 +102,27 @@ def load_retrieval_index(catalog, namespace: str, prefix: str) -> dict[str, Data
     }
 
 
+def append_retrieval_index(
+    catalog,
+    namespace: str,
+    prefix: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incremental index maintenance — the `admission_state` pattern:
+    when new documents are admitted, append THEIR postings and doc
+    lengths instead of rebuilding over the corpus.  Correct by layout:
+    postings rows are per (term, document), so disjoint new doc_ids
+    contribute exactly the rows a full rebuild would add
+    (append-vs-rebuild equality is pytest-pinned).  Cost is O(batch),
+    the corpus is never rescanned.  Run the lakehouse small-file
+    compaction on the two tables on the usual maintenance cadence."""
+    idx = retrieval_index(new_docs, text_col, id_col)
+    for name in INDEX_TABLES:
+        catalog.append(namespace, f"{prefix}_{name}", idx[name])
+
+
 def _require(index: dict[str, DataFrame], fn: str) -> tuple[DataFrame, DataFrame]:
     missing = set(INDEX_TABLES) - set(index)
     if missing:
@@ -299,4 +320,123 @@ def conjunctive_term_search_indexed(
             "n_terms_matched",
             F.col("total_hits").cast("long").alias("total_hits"),
         )
+    )
+
+
+def bm25_search_many(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    query_id_col: str = "query_id",
+    term_col: str = "term",
+) -> DataFrame:
+    """BATCHED BM25: serve a whole TABLE of queries from the persisted
+    index in one pass — the workload shape a training-data pipeline
+    actually runs (thousands of retrieval probes per build: eval-set
+    leak checks, hard-negative mining, dedup-by-retrieval), where
+    per-query operators would launch thousands of jobs.
+
+    ``queries`` is ``(query_id, term)`` — one row per query term
+    (duplicate terms within a query are deduped after lowercasing, the
+    single-query operator's convention).  Output: ``(query_id, doc_id,
+    n_matched, dl, score, rank)``, the top ``top_k`` docs per query
+    ranked like :func:`operators.textops.bm25_search` — and for any
+    single query the (doc_id, score) set is BIT-IDENTICAL to that
+    operator (pytest-pinned): the per-doc score folds term
+    contributions in ascending-term order via a sorted-struct
+    ``F.aggregate`` (never a float groupBy-sum, whose addition order is
+    partition-dependent), and an unmatched term's contribution is
+    exactly +0.0 in the single-query fold, so dropping it changes no
+    bits.
+
+    Scale: query terms join the postings on ``term`` — |queries|·|terms|
+    is the SMALL side (broadcast); the postings side streams map-side
+    with no shuffle of the index.  Per-term dfs reduce to one
+    O(distinct query terms) broadcast table; corpus stats to one row.
+    The only wide exchanges are the (query_id, doc_id) score fold and
+    the per-query top-k window — both sized by matched postings, not
+    by the corpus."""
+    if not (k1 > 0 and 0 <= b <= 1):
+        raise ValueError(f"bm25_search_many: bad k1={k1} or b={b}")
+    postings, doclens = _require(index, "bm25_search_many")
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.lower(F.col(term_col)).alias("term"),
+        )
+        .distinct()
+    )
+    stats = (
+        doclens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+        .withColumn(
+            "avgdl", F.col("total_tokens").cast("double") / F.col("n_docs")
+        )
+    )
+    # true per-term document frequency, computed once per DISTINCT term
+    # across all queries (a term shared by 1000 queries costs one row)
+    dfs = (
+        postings.join(
+            F.broadcast(qt.select("term").distinct()), "term", "left_semi"
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    matched = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfs), "term")
+        .join(doclens, "doc_id")
+        .join(F.broadcast(stats))
+    )
+    tf = F.col("tf").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    norm = tf + F.lit(float(k1)) * (
+        F.lit(float(1.0 - b))
+        + F.lit(float(b)) * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    contrib = idf * (tf * F.lit(float(k1 + 1.0)) / norm)
+    folded = (
+        matched.select(
+            "query_id",
+            "doc_id",
+            "dl",
+            F.struct(F.col("term"), contrib.alias("c")).alias("tc"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_matched"),
+            F.first("dl").alias("dl"),
+            # ascending-term fold: the SAME addition order as the
+            # single-query operator (and the oracle's sum ORDER BY term)
+            F.aggregate(
+                F.sort_array(F.collect_list("tc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("_s"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "n_matched",
+            "dl",
+            F.round(F.col("_s"), 8).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        folded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "doc_id", "n_matched", "dl", "score", "rank")
     )

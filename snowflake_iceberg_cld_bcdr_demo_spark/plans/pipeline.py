@@ -5536,6 +5536,90 @@ def bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_search_indexed(idx, _BM25_TERMS, top_k=25)
 
 
+#: the fixed query batch of the bm25_search_many registry entry
+_BM25_MANY_QUERIES = [
+    (1, "dup"), (1, "hash"), (1, "join"),
+    (2, "customer"), (2, "join"),
+    (3, "spark"), (3, "window"),
+]
+
+
+def _bm25_many_sql(k1: float, b: float, top_k: int) -> str:
+    """DuckDB dual of :func:`operators.retrieval.bm25_search_many`: the
+    per-(query, doc) score sums term contributions ``ORDER BY term`` —
+    the exact addition order of the Spark side's sorted-struct fold."""
+    vals = ", ".join(f"({q}, '{t}')" for q, t in _BM25_MANY_QUERIES)
+    return f"""
+    WITH qt AS (SELECT DISTINCT * FROM (VALUES {vals}) AS v(query_id, term)),
+    post AS (
+        SELECT term, doc_id, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+            FROM documents
+        ) GROUP BY term, doc_id
+    ),
+    dl AS (
+        SELECT doc_id,
+               coalesce(len(regexp_extract_all(lower(text), '\\S+')), 0) AS dl
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    dfs AS (
+        SELECT term, count(*) AS df
+        FROM post JOIN (SELECT DISTINCT term FROM qt) USING (term)
+        GROUP BY term
+    ),
+    m AS (
+        SELECT qt.query_id, post.doc_id, qt.term, post.tf, dfs.df, dl.dl,
+               stats.n_docs, stats.avgdl
+        FROM qt JOIN post USING (term) JOIN dfs USING (term)
+        JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    folded AS (
+        SELECT query_id, doc_id,
+               CAST(count(*) AS INTEGER) AS n_matched,
+               CAST(min(dl) AS BIGINT) AS dl,
+               round(sum(
+                   ln(CAST(1.0 AS DOUBLE)
+                      + (CAST(n_docs AS DOUBLE) - df + 0.5)
+                        / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * CAST({k1 + 1.0!r} AS DOUBLE)
+                      / (CAST(tf AS DOUBLE) + CAST({k1!r} AS DOUBLE)
+                         * (CAST({1.0 - b!r} AS DOUBLE)
+                            + CAST({b!r} AS DOUBLE)
+                              * CAST(dl AS DOUBLE) / avgdl)))
+                   ORDER BY term), 8) AS score
+        FROM m GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_matched, dl, score,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS INTEGER) AS rank
+    FROM folded
+    QUALIFY rank <= {top_k}
+    """
+
+
+@_spec("bm25_search_many", _bm25_many_sql(k1=1.2, b=0.75, top_k=10))
+def bm25_search_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BM25 from the persisted index: a query TABLE (three
+    queries here) served in ONE pass — the thousand-probe workload
+    shape (leak checks, hard-negative mining) where per-query operators
+    would launch a job per query.  Per-(query, doc) scores fold term
+    contributions in ascending-term order (sorted-struct `F.aggregate`,
+    never a float groupBy-sum), so the whole batch is hash-certified
+    and any single query is bit-identical to `bm25_search`.  See
+    :func:`operators.retrieval.bm25_search_many`."""
+    idx = retrieval.retrieval_index(table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        _BM25_MANY_QUERIES, "query_id int, term string"
+    )
+    return retrieval.bm25_search_many(idx, queries, top_k=10)
+
+
 def _zorder_sql(cols: list[str], table_name: str, bits: int) -> str:
     """DuckDB dual of :func:`operators.layout.zorder_cell_profile` —
     the same exact integer quantization (``//`` floor division equals
@@ -5648,3 +5732,33 @@ def phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the phrase terms' postings rows.  See :mod:`operators.retrieval`."""
     idx = retrieval.retrieval_index(table(spark, sf_dir, "documents"))
     return retrieval.phrase_search_indexed(idx, _PHRASE)
+
+
+@_spec(
+    "conjunctive_search_indexed",
+    """
+    WITH hits AS (
+        SELECT doc_id, term, count(*) AS tf FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+            FROM documents
+        ) WHERE term IN ('spark', 'window', 'join')
+        GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(tf) AS BIGINT) AS total_hits
+    FROM hits GROUP BY doc_id HAVING count(*) = 3
+    """,
+)
+def conjunctive_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) term search from the PERSISTED index — the
+    stored per-(term, doc) tf rows ARE the frame the rescan operator
+    builds by exploding the corpus, so the oracle is the same SQL as
+    `conjunctive_term_search` and answers match bit for bit while the
+    query reads only its own terms' postings rows.  See
+    :mod:`operators.retrieval`."""
+    idx = retrieval.retrieval_index(table(spark, sf_dir, "documents"))
+    return retrieval.conjunctive_term_search_indexed(
+        idx, ["spark", "window", "join"]
+    )

@@ -155,8 +155,20 @@ def test_drift_detection_and_resync(spark, stack):
     assert report["missing_on_secondary"] == 1  # campaigns
     assert report["missing_on_primary"] == 1  # only_on_secondary
     assert report["definition_mismatch"] == 1  # v_clicks_daily
+    assert report["truncated"] is False
     log = mon.load(MONITORING_NS, "schema_drift_log")
     assert log.filter(F.col("status") == "DETECTED").count() == 3
+
+    # the driver-OOM guard: a pathological cap caps each category and
+    # reports the truncation so an operator re-runs scoped
+    capped = drift.detect_schema_drift(spark, pm, sm, mon, max_findings=0)
+    assert capped["truncated"] is True
+    assert (
+        capped["missing_on_secondary"]
+        == capped["missing_on_primary"]
+        == capped["definition_mismatch"]
+        == 0
+    )
 
     # auto-resync copies primary definitions over (`33:450-497`)
     report2 = drift.detect_schema_drift(spark, pm, sm, mon, auto_resync_into=s_reg)

@@ -28,12 +28,14 @@ def test_oracle_parity(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    spec = QUERY_SPECS[name]
-    df = spec.build(spark, SF_SMALL)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    """Round 11 bound-certified the last four rows-only queries (the
+    HLL/GK/FreqItems sketches and the zlib signal now emit exact
+    columns + published-bound flags the oracle replays), so the WHOLE
+    registry is oracle-bearing.  This pin replaces the per-query
+    rows-only runner — an empty parametrize list would otherwise show
+    up as a phantom pytest skip forever."""
+    assert _ROWS_ONLY == [], f"rows-only queries reappeared: {_ROWS_ONLY}"
 
 
 def test_registry_order_tiers():

@@ -103,6 +103,22 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("bm25_search", 0),   # scan + scalar-agg broadcast + TakeOrdered
         ("zorder_cells", 1),  # span-stats broadcast + one cell groupBy
         ("phrase_search", 0),  # positional intersect: pure projection
+        # round-11 additions.  The *_indexed registry entries build the
+        # postings index INLINE (the oracle replays build+query as one
+        # plan); the served production shape reads a persisted index, so
+        # the build's (term, doc_id) shuffle disappears there.
+        ("bm25_search_indexed", 5),   # index build + pivot + dl join
+        ("phrase_search_indexed", 2),  # index build + per-doc pivot
+        ("conjunctive_search_indexed", 2),  # index build + doc rollup
+        # inline build (postings + dfs + doclens agg) + (q,doc) fold +
+        # per-query top-k window; the served form drops the build side
+        ("bm25_search_many", 8),
+        ("ann_recall_datasheet", 0),   # four top-k sets, all broadcast folds
+        # bound-certified sketch audits: exact + sketch share the group agg
+        ("distinct_users_by_type_approx", 2),
+        ("event_value_deciles_approx", 2),   # sketch agg + rank recount
+        ("heavy_hitters_approx", 3),         # exact rollup + sketch + total
+        ("compression_quality_signals", 0),  # Arrow stage + broadcast join
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):

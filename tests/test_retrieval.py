@@ -127,3 +127,68 @@ def test_index_validation(spark, docs, frozen_index):
         )
     with pytest.raises(ValueError, match="missing"):
         retrieval.save_retrieval_index(None, "db", "x", {})
+
+
+def test_bm25_many_single_query_bit_equal_to_single_operator(spark, docs, frozen_index):
+    """bm25_search_many with one query must reproduce bm25_search's
+    (doc, n_matched, dl, score, rank) bit for bit — the batched fold's
+    ascending-term order is the single operator's order, and dropped
+    zero-tf terms contribute exactly +0.0 there."""
+    terms = ["dup", "hash", "join"]
+    single = sorted(
+        (r.doc_id, r.n_matched, r.dl, r.score, r.rank)
+        for r in textops.bm25_search(docs, terms, top_k=25).collect()
+    )
+    q = spark.createDataFrame([(7, t) for t in terms], "query_id int, term string")
+    many = sorted(
+        (r.doc_id, r.n_matched, r.dl, r.score, r.rank)
+        for r in retrieval.bm25_search_many(
+            frozen_index, q, top_k=25
+        ).collect()
+    )
+    assert many == single and many
+
+
+def test_bm25_many_isolates_queries_and_dedupes_terms(spark, docs, frozen_index):
+    """Queries must not leak into each other's rankings, and duplicate
+    (or case-colliding) terms within a query count once."""
+    q = spark.createDataFrame(
+        [(1, "dup"), (1, "DUP"), (1, "dup"), (2, "customer"), (2, "join")],
+        "query_id int, term string",
+    )
+    out = retrieval.bm25_search_many(frozen_index, q, top_k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    dedup_single = {
+        r.doc_id: r.score
+        for r in textops.bm25_search(docs, ["dup"], top_k=5).collect()
+    }
+    assert {r.doc_id: r.score for r in by_q[1]} == dedup_single
+    two_single = {
+        r.doc_id: r.score
+        for r in textops.bm25_search(docs, ["customer", "join"], top_k=5).collect()
+    }
+    assert {r.doc_id: r.score for r in by_q[2]} == two_single
+
+
+def test_append_retrieval_index_equals_rebuild(spark, docs, tmp_path):
+    """Incremental maintenance: save(index(corpus)) + append(batch) must
+    equal a full rebuild over corpus+batch — as table multisets AND
+    through a BM25 answer."""
+    corpus_docs = docs.filter("doc_id % 5 <> 0")
+    batch = docs.filter("doc_id % 5 = 0")
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="idx2")
+    retrieval.save_retrieval_index(
+        cat, "db", "docs", retrieval.retrieval_index(corpus_docs)
+    )
+    retrieval.append_retrieval_index(cat, "db", "docs", batch)
+    incr = retrieval.load_retrieval_index(cat, "db", "docs")
+    full = retrieval.retrieval_index(docs)
+    for t in retrieval.INDEX_TABLES:
+        assert sorted(map(tuple, incr[t].collect())) == sorted(
+            map(tuple, full[t].collect())
+        )
+    terms = ["dup", "join"]
+    assert sorted(retrieval.bm25_search_indexed(incr, terms, top_k=10).collect()) == \
+        sorted(retrieval.bm25_search_indexed(full, terms, top_k=10).collect())
