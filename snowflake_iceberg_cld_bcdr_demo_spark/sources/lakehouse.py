@@ -379,6 +379,7 @@ class LakehouseCatalog:
         bloom_m: int = 8192,
         bloom_k: int = 4,
         write_distribution: str | None = None,
+        writer_id: str | None = None,
     ) -> Snapshot:
         """Create (or replace with ``mode='overwrite'``) a table from a
         DataFrame — the S5 `CREATE TABLE … USING iceberg PARTITIONED BY`
@@ -438,7 +439,10 @@ class LakehouseCatalog:
             manifest["bloom"] = {
                 "cols": list(bloom_filter_cols), "m": bloom_m, "k": bloom_k,
             }
-        return self._commit(namespace, table, manifest, df, "create", batch_id=batch_id)
+        return self._commit(
+            namespace, table, manifest, df, "create",
+            batch_id=batch_id, writer_id=writer_id,
+        )
 
     def append(
         self,
@@ -447,23 +451,31 @@ class LakehouseCatalog:
         df: DataFrame,
         batch_id: int | None = None,
         branch: str | None = None,
+        writer_id: str | None = None,
     ) -> Snapshot:
         """Append a new snapshot — `05_append_campaigns.py:119-123`.
 
         ``batch_id`` makes the append idempotent for streaming sinks:
         if a snapshot with ``batch_id >= current`` is already committed
         (restart after crash-between-append-and-checkpoint), the append is
-        skipped and the current snapshot returned.
+        skipped and the current snapshot returned.  ``writer_id`` scopes
+        that guard to one stream lineage (Delta ``txnAppId`` style):
+        batch ids restart at 0 for a NEW checkpoint, so without a writer
+        identity a fresh stream pointed at an existing table would be
+        silently no-op'd by a previous stream's batch numbers.
 
         ``branch`` stages the commit on a named branch (Iceberg
         write-audit-publish): main readers don't see it until
         :meth:`publish_branch` fast-forwards; branch readers use
         ``load(..., ref=branch)``."""
         manifest = self._read_manifest(namespace, table)
-        if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+        if batch_id is not None and self._batch_already_committed(
+            manifest, batch_id, writer_id
+        ):
             return self.current_snapshot(namespace, table)
         return self._commit(
-            namespace, table, manifest, df, "append", batch_id=batch_id, branch=branch
+            namespace, table, manifest, df, "append",
+            batch_id=batch_id, branch=branch, writer_id=writer_id,
         )
 
     # -- maintenance (Iceberg MERGE / rewrite_data_files / expire_snapshots
@@ -798,23 +810,41 @@ class LakehouseCatalog:
         return stats
 
     @staticmethod
-    def _batch_already_committed(manifest: dict, batch_id: int) -> bool:
+    def _batch_already_committed(
+        manifest: dict, batch_id: int, writer_id: str | None = None
+    ) -> bool:
+        # the guard is scoped per WRITER (Delta's txnAppId discipline):
+        # micro-batch ids restart at 0 for every new checkpoint, so a
+        # fresh stream writing to an existing table must not be no-op'd
+        # by a previous stream's batch numbers
         committed = [
-            s["batch_id"] for s in manifest["snapshots"] if s.get("batch_id") is not None
+            s["batch_id"]
+            for s in manifest["snapshots"]
+            if s.get("batch_id") is not None
+            and s.get("writer_id") == writer_id
         ]
         return bool(committed) and max(committed) >= batch_id
 
-    def batch_committed(self, namespace: str, table: str, batch_id: int) -> bool:
+    def batch_committed(
+        self,
+        namespace: str,
+        table: str,
+        batch_id: int,
+        writer_id: str | None = None,
+    ) -> bool:
         """Whether a streaming micro-batch with id >= ``batch_id`` has
-        already committed to ``table``.  Lets foreachBatch sinks that fan
-        one decision out to several tables detect a crash-replay and
-        re-derive the remaining appends from a staged artifact instead of
-        recomputing decisions against state the first attempt already
-        mutated (see ``streaming.curation.stream_curated_admission``)."""
+        already committed to ``table`` by the SAME writer (``writer_id``
+        — a stable identity of the stream lineage, e.g. a hash of its
+        checkpoint dir; None = the legacy unscoped guard).  Lets
+        foreachBatch sinks that fan one decision out to several tables
+        detect a crash-replay and re-derive the remaining appends from a
+        staged artifact instead of recomputing decisions against state
+        the first attempt already mutated (see
+        ``streaming.curation.stream_curated_admission``)."""
         if not self.table_exists(namespace, table):
             return False
         return self._batch_already_committed(
-            self._read_manifest(namespace, table), batch_id
+            self._read_manifest(namespace, table), batch_id, writer_id
         )
 
     def _claim_data_dir(self, namespace: str, table: str, sid: int) -> str:
@@ -998,6 +1028,7 @@ class LakehouseCatalog:
         extra_dir_rows: dict[str, int] | None = None,
         branch: str | None = None,
         file_stats_cols: list[str] | None = None,
+        writer_id: str | None = None,
     ) -> Snapshot:
         """Write ``df`` as a new data dir and publish a snapshot.
 
@@ -1109,7 +1140,9 @@ class LakehouseCatalog:
                 # caller had to count once)
                 dir_rows = {**manifest.get("dir_rows", {}), **(extra_dir_rows or {})}
                 carried_rows = sum(dir_rows.get(d, 0) for d in carry_dirs or [])
-            if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+            if batch_id is not None and self._batch_already_committed(
+                manifest, batch_id, writer_id
+            ):
                 # a concurrent/restarted writer already committed this batch
                 return self.current_snapshot(namespace, table)
             snap = {
@@ -1137,6 +1170,7 @@ class LakehouseCatalog:
                 ),
                 "columns": evolved,
                 "batch_id": batch_id,
+                **({"writer_id": writer_id} if writer_id is not None else {}),
             }
             if branch:
                 snap["branch"] = branch
@@ -2440,6 +2474,7 @@ class LakehouseCatalog:
         equality_cols: list[str],
         delete_condition: object | None = None,
         batch_id: int | None = None,
+        writer_id: str | None = None,
     ) -> Snapshot:
         """Merge-on-read UPSERT: ONE snapshot referencing an equality-
         delete dir (every incoming key, scoped to the pre-commit data
@@ -2457,7 +2492,9 @@ class LakehouseCatalog:
         The commit ABORTS if the head advanced since planning (the delete
         scope depends on it) — callers retry the whole upsert."""
         manifest = self._read_manifest(namespace, table)
-        if batch_id is not None and self._batch_already_committed(manifest, batch_id):
+        if batch_id is not None and self._batch_already_committed(
+            manifest, batch_id, writer_id
+        ):
             return self.current_snapshot(namespace, table)
         head = self._resolve_snapshot(manifest, namespace, table, None)
         cols = list(head.get("columns") or manifest.get("columns") or [])
@@ -2534,6 +2571,7 @@ class LakehouseCatalog:
                 ],
                 "columns": cols,
                 "batch_id": batch_id,
+                **({"writer_id": writer_id} if writer_id is not None else {}),
             }
             candidate = dict(manifest)
             candidate["snapshots"] = [*manifest["snapshots"], new_snap]
@@ -2629,6 +2667,7 @@ class LakehouseCatalog:
         validate_unique_keys: bool = True,
         insert_condition: object | None = None,
         batch_id: int | None = None,
+        writer_id: str | None = None,
     ) -> Snapshot:
         """Full ``MERGE INTO`` (Iceberg/Delta-style) with file-level
         copy-on-write: target dirs whose key bounds cannot overlap the
@@ -2660,7 +2699,7 @@ class LakehouseCatalog:
         if not (when_matched_update or when_matched_delete or when_not_matched_insert):
             raise ValueError("merge_into: no clauses given")
         if batch_id is not None and self._batch_already_committed(
-            self._read_manifest(namespace, table), batch_id
+            self._read_manifest(namespace, table), batch_id, writer_id
         ):
             # replayed streaming micro-batch: the merge already committed —
             # skip the whole plan, not just the manifest publish
@@ -2767,6 +2806,7 @@ class LakehouseCatalog:
             namespace, table, manifest, merged, "rewrite",
             batch_id=batch_id, carry_dirs=carried,
             base_snapshot_id=snap["snapshot_id"], extra_dir_rows=backfill,
+            writer_id=writer_id,
         )
 
     def load(

@@ -107,15 +107,18 @@ def _admit_batch(
     blocklist_max_hits: int = 2,
     boiler_grams: DataFrame | None = None,
     es_windows: DataFrame | None = None,
+    writer_id: str | None = None,
 ) -> None:
     """One micro-batch of :func:`stream_curated_admission` (module-level
     so crash-replay is testable without a StreamingQuery).  Gate → stage
     the decision artifact → fan out the five appends; see the module
-    docstring for the replay contract."""
+    docstring for the replay contract.  ``writer_id`` scopes every
+    batch_id guard to one stream lineage (micro-batch ids restart at 0
+    for a new checkpoint — see ``events.checkpoint_writer_id``)."""
     if batch_df.isEmpty():
         return
     staging_table = f"{state_prefix}_staging"
-    if catalog.batch_committed(namespace, staging_table, batch_id):
+    if catalog.batch_committed(namespace, staging_table, batch_id, writer_id):
         # Crash-replay: this batch's gate decisions are already durable,
         # and the state tables may already contain its own fingerprints/
         # signatures (recomputing the gates now would reject everything
@@ -124,8 +127,15 @@ def _admit_batch(
         # that committed before the crash.
         admitted = (
             catalog.load(namespace, staging_table)
-            .filter(F.col("batch_id") == batch_id)
-            .drop("batch_id")
+            .filter(
+                (F.col("batch_id") == batch_id)
+                # null-safe: two stream lineages may both have a batch 0
+                # staged; only THIS writer's trail replays
+                & F.col("writer_id").eqNullSafe(
+                    F.lit(writer_id).cast("string")
+                )
+            )
+            .drop("batch_id", "writer_id")
         )
     else:
         state = load_admission_state(catalog, namespace, state_prefix)
@@ -153,35 +163,52 @@ def _admit_batch(
         # Make the decision artifact durable BEFORE any state append
         # (staged even when empty, so a replay never re-runs the gates
         # for a batch whose decisions were already taken).
-        staged = admitted.withColumn("batch_id", F.lit(batch_id))
+        staged = admitted.withColumn("batch_id", F.lit(batch_id)).withColumn(
+            "writer_id", F.lit(writer_id).cast("string")
+        )
         if catalog.table_exists(namespace, staging_table):
-            catalog.append(namespace, staging_table, staged, batch_id=batch_id)
+            catalog.append(
+                namespace, staging_table, staged,
+                batch_id=batch_id, writer_id=writer_id,
+            )
         else:
-            catalog.create_table(namespace, staging_table, staged, batch_id=batch_id)
+            catalog.create_table(
+                namespace, staging_table, staged,
+                batch_id=batch_id, writer_id=writer_id,
+            )
     if admitted.isEmpty():
         return
     docs = admitted.select("doc_id", "source", "text")
     if catalog.table_exists(namespace, corpus_table):
-        catalog.append(namespace, corpus_table, docs, batch_id=batch_id)
+        catalog.append(
+            namespace, corpus_table, docs,
+            batch_id=batch_id, writer_id=writer_id,
+        )
     else:
-        catalog.create_table(namespace, corpus_table, docs, batch_id=batch_id)
+        catalog.create_table(
+            namespace, corpus_table, docs,
+            batch_id=batch_id, writer_id=writer_id,
+        )
     catalog.append(
         namespace,
         f"{state_prefix}_fingerprints",
         docs.select(fingerprint(F.col("text")).alias("fingerprint")),
         batch_id=batch_id,
+        writer_id=writer_id,
     )
     catalog.append(
         namespace,
         f"{state_prefix}_signatures",
         _banded_signatures(docs, "text", "doc_id"),
         batch_id=batch_id,
+        writer_id=writer_id,
     )
     catalog.append(
         namespace,
         f"{state_prefix}_consumed",
         admitted.groupBy("source").agg(F.sum("n_mix_tokens").alias("consumed")),
         batch_id=batch_id,
+        writer_id=writer_id,
     )
 
 
@@ -224,6 +251,10 @@ def stream_curated_admission(
 
     Returns the started StreamingQuery."""
 
+    from .events import checkpoint_writer_id
+
+    wid = checkpoint_writer_id(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         _admit_batch(
             batch_df,
@@ -239,6 +270,7 @@ def stream_curated_admission(
             blocklist_max_hits=blocklist_max_hits,
             boiler_grams=boiler_grams,
             es_windows=es_windows,
+            writer_id=wid,
         )
 
     writer = (
@@ -303,13 +335,20 @@ def compact_admission_state(
     tables = [f"{prefix}_consumed", f"{prefix}_fingerprints", f"{prefix}_signatures"]
     staging = f"{prefix}_staging"
     if catalog.table_exists(namespace, staging):
-        max_bid = (
-            catalog.metadata_table(namespace, staging, "snapshots")
-            .agg(F.max("batch_id"))
-            .collect()[0][0]
+        # TTL is per WRITER lineage (batch ids restart per checkpoint):
+        # a row is dead once ITS writer has staged a newer batch.  The
+        # delete API is range-based, so take the conservative cut — the
+        # smallest per-writer max — which is exact for the common
+        # single-writer case and never deletes a writer's newest trail.
+        st = catalog.load(namespace, staging)
+        per_writer_max = (
+            st.groupBy("writer_id").agg(F.max("batch_id").alias("mx"))
+            if "writer_id" in st.columns
+            else st.agg(F.max("batch_id").alias("mx"))
         )
-        if max_bid is not None:
-            catalog.delete_where(namespace, staging, [("batch_id", "<", max_bid)])
+        cut = per_writer_max.agg(F.min("mx")).collect()[0][0]
+        if cut is not None:
+            catalog.delete_where(namespace, staging, [("batch_id", "<", cut)])
         tables.append(staging)
     sizes: dict[str, int] = {}
     for t in tables:

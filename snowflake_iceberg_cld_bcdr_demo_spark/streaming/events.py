@@ -26,6 +26,21 @@ from pyspark.sql.types import StructType
 from ..sources.lakehouse import LakehouseCatalog
 
 
+def checkpoint_writer_id(checkpoint_dir: str) -> str:
+    """A stable WRITER identity for a stream lineage, derived from its
+    checkpoint dir: micro-batch ids restart at 0 for every new
+    checkpoint, so every batch_id-guarded sink scopes its idempotency
+    to this id (the Delta ``txnAppId`` discipline).  Same checkpoint →
+    same id → crash-replays still no-op; a NEW checkpoint pointed at an
+    EXISTING table gets a fresh id, so its batch 0 is not silently
+    swallowed by a previous stream's batch 0."""
+    import hashlib
+    import os as _os
+
+    key = _os.path.abspath(checkpoint_dir)
+    return "ckpt-" + hashlib.md5(key.encode()).hexdigest()[:12]
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
@@ -155,6 +170,8 @@ def stream_content_admit(
         .dropDuplicates(["fingerprint"])
     )
 
+    wid = checkpoint_writer_id(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -164,9 +181,13 @@ def stream_content_admit(
             fresh = batch_df.join(seen, "fingerprint", "left_anti")
             if fresh.isEmpty():
                 return
-            catalog.append(namespace, corpus_table, fresh, batch_id=batch_id)
+            catalog.append(
+                namespace, corpus_table, fresh, batch_id=batch_id, writer_id=wid
+            )
         else:
-            catalog.create_table(namespace, corpus_table, fresh, batch_id=batch_id)
+            catalog.create_table(
+                namespace, corpus_table, fresh, batch_id=batch_id, writer_id=wid
+            )
 
     writer = (
         deduped.writeStream.foreachBatch(_sink)
@@ -197,13 +218,19 @@ def write_stream_to_lakehouse(
     snapshot and skips any batch already committed — replays become
     no-ops, the idempotent-sink contract Structured Streaming expects."""
 
+    wid = checkpoint_writer_id(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         if not catalog.table_exists(namespace, table):
-            catalog.create_table(namespace, table, batch_df, batch_id=batch_id)
+            catalog.create_table(
+                namespace, table, batch_df, batch_id=batch_id, writer_id=wid
+            )
         else:
-            catalog.append(namespace, table, batch_df, batch_id=batch_id)
+            catalog.append(
+                namespace, table, batch_df, batch_id=batch_id, writer_id=wid
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(_sink)
@@ -354,6 +381,8 @@ def apply_cdc_stream(
     if mode not in ("cow", "mor"):
         raise ValueError(f"apply_cdc_stream: unknown mode {mode!r}")
 
+    wid = checkpoint_writer_id(checkpoint_dir)
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -365,7 +394,9 @@ def apply_cdc_stream(
         )
         if not catalog.table_exists(namespace, table):
             init = latest.filter(F.col(op_col) != F.lit("D")).drop(op_col)
-            catalog.create_table(namespace, table, init, batch_id=batch_id)
+            catalog.create_table(
+                namespace, table, init, batch_id=batch_id, writer_id=wid
+            )
             return
         if mode == "mor":
             # the op column never reaches the table: upsert_mor projects
@@ -377,6 +408,7 @@ def apply_cdc_stream(
                 equality_cols=key_cols,
                 delete_condition=f"{op_col} = 'D'",
                 batch_id=batch_id,
+                writer_id=wid,
             )
             return
         data_cols = [c for c in latest.columns if c != op_col and c not in key_cols]
@@ -390,6 +422,7 @@ def apply_cdc_stream(
             when_not_matched_insert=True,
             insert_condition=F.col(op_col) != F.lit("D"),
             batch_id=batch_id,
+            writer_id=wid,
         )
 
     writer = (

@@ -797,3 +797,95 @@ def test_compact_admission_state_bounds_growth(spark, tmp_path):
     C._admit_batch(nxt, 3, cat, "db", "corpus", "adm", **kw)
     ids2 = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
     assert 901 in ids2 and 900 not in ids2
+
+
+def test_writer_scoped_batch_guard_new_checkpoint_not_swallowed(spark, tmp_path):
+    """Micro-batch ids restart at 0 for every new checkpoint.  The
+    batch_id guard is scoped per writer lineage (Delta txnAppId style):
+    a SECOND stream (new writer) appending to the same state tables
+    must not be no-op'd by the first stream's batch 0 — and each
+    writer's own crash-replay must still no-op, replaying only ITS
+    staged trail."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import corpus
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    existing = spark.createDataFrame(
+        [(1, "alpha corpus document " + " ".join(f"w{j}" for j in range(40)), "src0"),
+         (3, "short target note here", "src0")],
+        "doc_id long, text string, source string",
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    cat.create_table("db", "corpus", existing)
+    C.save_admission_state(
+        cat, "db", "adm",
+        corpus.admission_state(existing, F.lit(True), nb_top_frac=1.0),
+    )
+    kw = dict(token_budget=100_000, shares={"src0": 1.0})
+    b1 = spark.createDataFrame(
+        [(100, "note here w0 w1 target fresh item0 study 0", "src0")],
+        "doc_id long, text string, source string",
+    )
+    b2 = spark.createDataFrame(
+        [(200, "note here w4 w5 target fresh item2 study 2", "src0")],
+        "doc_id long, text string, source string",
+    )
+    C._admit_batch(b1, 0, cat, "db", "corpus", "adm", writer_id="w1", **kw)
+    # a NEW stream lineage reuses batch id 0 against the same tables
+    C._admit_batch(b2, 0, cat, "db", "corpus", "adm", writer_id="w2", **kw)
+    ids = {r.doc_id for r in cat.load("db", "corpus").select("doc_id").collect()}
+    assert ids == {1, 3, 100, 200}  # w2's batch 0 was NOT swallowed
+
+    # replays stay no-ops, each scoped to its own staged trail
+    before = cat.load("db", "corpus").count()
+    C._admit_batch(b1, 0, cat, "db", "corpus", "adm", writer_id="w1", **kw)
+    C._admit_batch(b2, 0, cat, "db", "corpus", "adm", writer_id="w2", **kw)
+    assert cat.load("db", "corpus").count() == before
+    assert cat.load("db", "adm_fingerprints").count() == 4  # 2 corpus + 2
+
+    # the writer column rides the staged trail, so the two batch-0
+    # trails are distinguishable
+    staged = cat.load("db", "adm_staging").collect()
+    assert {(r.writer_id, r.batch_id, r.doc_id) for r in staged} == {
+        ("w1", 0, 100), ("w2", 0, 200),
+    }
+
+
+def test_stream_content_admit_fresh_checkpoint_not_swallowed(spark, tmp_path):
+    """events.stream_content_admit: a brand-new checkpoint (new stream
+    lineage) over an existing corpus table must admit fresh docs even
+    though its batch ids restart at 0."""
+    import datetime as _dt
+
+    from pyspark.sql.types import (
+        LongType as _L,
+        StringType as _S,
+        StructField as _Fd,
+        StructType as _T,
+        TimestampType as _TS,
+    )
+
+    schema = _T([
+        _Fd("doc_id", _L()), _Fd("text", _S()), _Fd("ingested_at", _TS()),
+    ])
+    t0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+
+    src1 = str(tmp_path / "src1")
+    spark.createDataFrame([(1, "first stream doc", t0)], schema) \
+        .write.mode("append").parquet(src1)
+    S.stream_content_admit(
+        S.read_file_stream(spark, src1, schema), cat, "db", "corpus",
+        str(tmp_path / "ckpt1"),
+    ).awaitTermination(120)
+    assert cat.load("db", "corpus").count() == 1
+
+    # second stream: NEW source dir + NEW checkpoint -> batch ids restart
+    src2 = str(tmp_path / "src2")
+    spark.createDataFrame([(2, "second stream doc", t0)], schema) \
+        .write.mode("append").parquet(src2)
+    S.stream_content_admit(
+        S.read_file_stream(spark, src2, schema), cat, "db", "corpus",
+        str(tmp_path / "ckpt2"),
+    ).awaitTermination(120)
+    texts = {r.text for r in cat.load("db", "corpus").select("text").collect()}
+    assert texts == {"first stream doc", "second stream doc"}
