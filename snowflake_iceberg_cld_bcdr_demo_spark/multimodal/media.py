@@ -1174,7 +1174,10 @@ def media_simhash(df: DataFrame, window: int = 8) -> DataFrame:
 
 
 def media_neardup_pairs(
-    fingerprints: DataFrame, max_hamming: int = 3, bands: int | None = None
+    fingerprints: DataFrame,
+    max_hamming: int = 3,
+    bands: int | None = None,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup asset pairs from SimHash fingerprints: candidates form
     only when at least one band matches exactly, then the exact Hamming
@@ -1194,15 +1197,15 @@ def media_neardup_pairs(
     Scale: the join key is (band index, band value) — sub-quadratic
     exactly like MinHash LSH banding; no all-pairs stage exists."""
     if bands is None:
-        if max_hamming >= 32:
+        if max_hamming + 1 > bits // 2:
             raise ValueError(
                 f"max_hamming={max_hamming}: exact recall needs "
-                "bands=max_hamming+1 <= 32 (64-bit SimHash) — pass bands "
-                "explicitly to accept approximate recall"
+                f"bands=max_hamming+1 <= {bits // 2} ({bits}-bit hashes) — "
+                "pass bands explicitly to accept approximate recall"
             )
-        # min 2 keeps band width <= 32 bits (the mask must fit a long)
+        # min 2 keeps every band at least 2 bits wide
         bands = max(max_hamming + 1, 2)
-    width = 64 // bands
+    width = bits // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(
         "asset_id",
@@ -1315,4 +1318,94 @@ def media_validity(
     )
     return assets.groupBy(F.col(doc_col).alias("doc_id")).agg(
         F.min(F.coalesce(ok, F.lit(False))).alias("media_ok")
+    )
+
+
+def image_ahash(
+    df: DataFrame,
+    grid: int = 4,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """PIXEL-domain perceptual fingerprint (average hash / aHash) for
+    uncompressed 24-bit BMP assets — the decoder-free complement of
+    :func:`media_simhash`: the byte-window SimHash catches re-muxed
+    copies of the same BYTES, while aHash lives in pixel space, so it is
+    exactly invariant under uniform brightness shifts (every sample and
+    the mean move together — pytest-pinned) and tolerant of small pixel
+    edits.
+
+    Mechanics, pure Catalyst (no decoder, no Python worker): the
+    ``grid × grid`` nearest-neighbor samples are read straight out of
+    the BMP pixel array (bottom-up rows, 4-byte padding — the
+    `resized_image_profile` byte math), each sample scored with integer
+    ITU-R 601 luma-millis, and bit ``gy·grid+gx`` is set iff
+    ``n·luma > Σ luma`` (the multiply form avoids a division, keeping
+    the comparison exact integer arithmetic) — so the whole hash is
+    replayable in the DuckDB oracle.  Non-BMP or truncated content
+    yields a NULL hash (the general decode path is
+    :func:`decode_images`; this operator is the certified fast path for
+    the uncompressed layout).
+
+    Scale: one narrow codegen'd projection — no shuffle, no Arrow
+    stage; pair mining reuses :func:`media_neardup_pairs` with
+    ``bits=grid*grid`` (banded hamming join, sub-quadratic)."""
+    if not 2 <= grid <= 8:
+        raise ValueError(f"image_ahash: grid must be in [2, 8], got {grid}")
+    hdr = image_header(F.col(content_col))
+    # staged projections: derive the byte array (a regexp transform over
+    # the hex payload) and each sampled luma ONCE as named columns —
+    # inlining them would re-expand the whole derivation inside every
+    # element_at and blow the expression tree (codegen minutes, not ms)
+    staged = df.select(
+        F.col(id_col),
+        _byte_array(F.col(content_col)).alias("_ba"),
+        hdr["width"].alias("_w"),
+        hdr["height"].alias("_h"),
+        (hdr["format"] == F.lit("bmp")).alias("_ok"),
+    ).select(
+        id_col,
+        "_ba",
+        "_w",
+        "_h",
+        "_ok",
+        (F.floor((F.col("_w").cast("double") * 3 + 3) / 4) * 4)
+        .cast("int")
+        .alias("_row"),
+    )
+
+    def samp(gy: int, gx: int) -> F.Column:
+        sy = F.floor(
+            F.lit(float(gy)) * F.col("_h").cast("double") / F.lit(float(grid))
+        ).cast("int")
+        sx = F.floor(
+            F.lit(float(gx)) * F.col("_w").cast("double") / F.lit(float(grid))
+        ).cast("int")
+        base = F.lit(54) + (F.col("_h") - 1 - sy) * F.col("_row") + F.lit(3) * sx
+        bb = F.element_at(F.col("_ba"), base + 1)
+        gg = F.element_at(F.col("_ba"), base + 2)
+        rr = F.element_at(F.col("_ba"), base + 3)
+        return F.lit(299) * rr + F.lit(587) * gg + F.lit(114) * bb
+
+    n = grid * grid
+    lcols = [
+        samp(gy, gx).alias(f"_l{gy * grid + gx}")
+        for gy in range(grid)
+        for gx in range(grid)
+    ]
+    lumed = staged.select(id_col, "_w", "_h", "_ok", *lcols)
+    total = F.col("_l0")
+    for i in range(1, n):
+        total = total + F.col(f"_l{i}")
+    lumed = lumed.withColumn("_tot", total)
+    ahash = (F.lit(n) * F.col("_l0") > F.col("_tot")).cast("int")
+    for i in range(1, n):
+        ahash = ahash + (
+            F.lit(n) * F.col(f"_l{i}") > F.col("_tot")
+        ).cast("int") * F.lit(1 << i)
+    return lumed.select(
+        F.col(id_col),
+        F.when(F.col("_ok"), ahash).cast("int").alias("ahash"),
+        F.when(F.col("_ok"), F.col("_w")).cast("int").alias("width"),
+        F.when(F.col("_ok"), F.col("_h")).cast("int").alias("height"),
     )

@@ -2249,6 +2249,108 @@ def video_frame_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AHASH_NEARDUP_SQL = """
+    WITH base AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('BMP-%06d', t.i) AS asset_id,
+               md5('7#bmp#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(400) t(i)
+    ),
+    dims AS (
+        SELECT i, asset_id, h,
+               CAST(('0x' || substring(md5(h || 'w'), 1, 8)) AS BIGINT) % 8 + 2 AS w0,
+               CAST(('0x' || substring(md5(h || 'h'), 1, 8)) AS BIGINT) % 8 + 2 AS h0
+        FROM base
+    ),
+    chain AS (
+        SELECT i, asset_id, w0, h0,
+               ((3 * w0 + 3) // 4) * 4 AS row0,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+               || md5(h || '4') || md5(h || '5') || md5(h || '6') || md5(h || '7')
+               || md5(h || '8') || md5(h || '9') || md5(h || '10') || md5(h || '11')
+               || md5(h || '12') || md5(h || '13') || md5(h || '14') || md5(h || '15')
+                   AS cx
+        FROM dims
+    ),
+    imgs AS (
+        SELECT asset_id, w0, h0, row0, cx FROM chain
+        UNION ALL
+        SELECT printf('DUP-%06d', i), w0, h0, row0, cx FROM chain WHERE i < 10
+    ),
+    samp AS (
+        SELECT asset_id, cx,
+               CAST(t.i AS BIGINT) // 4 AS gy, CAST(t.i AS BIGINT) % 4 AS gx,
+               (h0 - 1 - (CAST(t.i AS BIGINT) // 4 * h0) // 4) * row0
+                   + 3 * ((CAST(t.i AS BIGINT) % 4 * w0) // 4) AS off
+        FROM imgs CROSS JOIN range(16) t(i)
+    ),
+    lum AS (
+        SELECT asset_id, gy, gx,
+               299 * CAST(('0x' || substring(cx, 2 * (off + 2) + 1, 2)) AS BIGINT)
+             + 587 * CAST(('0x' || substring(cx, 2 * (off + 1) + 1, 2)) AS BIGINT)
+             + 114 * CAST(('0x' || substring(cx, 2 * (off + 0) + 1, 2)) AS BIGINT)
+                   AS luma
+        FROM samp
+    ),
+    tot AS (SELECT asset_id, SUM(luma) AS total FROM lum GROUP BY asset_id),
+    hashes AS (
+        SELECT l.asset_id,
+               CAST(SUM(CASE WHEN 16 * l.luma > t.total THEN 1 ELSE 0 END
+                        * (1 << CAST(l.gy * 4 + l.gx AS INTEGER)))
+                    AS BIGINT) AS ahash
+        FROM lum l JOIN tot t USING (asset_id)
+        GROUP BY l.asset_id
+    )
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+    """
+
+
+@_spec("image_near_dup_ahash", _AHASH_NEARDUP_SQL)
+def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIXEL-domain image near-dup via perceptual average-hash (aHash):
+    synthesize 400 decodable BMPs + 10 planted content duplicates,
+    fingerprint each with the pure-Catalyst 4×4 aHash
+    (`multimodal.media.image_ahash` — nearest-neighbor grid samples
+    from the BMP pixel array, integer luma, bit = sample above mean),
+    and mine pairs at hamming ≤ 1 with the banded hamming join
+    (`media_neardup_pairs`, bits=16 — sub-quadratic, pigeonhole-exact
+    recall at 2 bands; tiny 2..9-px sources make a 16-bit hash space
+    collide at hamming 2, so the threshold keeps the pair set
+    near-dup-meaningful).  The oracle recomputes every pixel sample
+    arithmetically from the md5 chain and the ALL-PAIRS hamming set, so
+    both the perceptual hash AND the banding guarantee (banded result
+    == exhaustive result at this distance) are hash-certified.  The
+    byte-window `media_simhash` is the container-level complement; this
+    operator lives in PIXEL space (exactly invariant under uniform
+    brightness shift — pytest-pinned)."""
+    from ..multimodal.media import (
+        image_ahash,
+        media_neardup_pairs,
+        synthesize_decodable_images,
+    )
+
+    bmps = synthesize_decodable_images(spark, 400)
+    dups = bmps.filter(F.col("asset_id") < "BMP-000010").select(
+        F.concat(F.lit("DUP"), F.substring("asset_id", 4, 10)).alias("asset_id"),
+        "media_type",
+        "content",
+        "metadata",
+    )
+    fp = (
+        image_ahash(bmps.unionByName(dups), grid=4)
+        .select("asset_id", F.col("ahash").alias("simhash"))
+        # lineage cut: ProjectCollapsing would otherwise re-inline the
+        # 48-sample byte-array derivation into BOTH sides of the banded
+        # self-join (the generator chain twice over — codegen heap
+        # blow-up); the fingerprint table is 410 ints
+        .localCheckpoint(eager=False)
+    )
+    return media_neardup_pairs(fp, max_hamming=1, bits=16)
+
+
 @_spec(
     "resized_image_profile",
     """

@@ -475,3 +475,61 @@ def test_video_decode_roundtrip_and_sampling(spark):
     )
     jp = media.video_frame_profile(junk).collect()[0]
     assert jp.decoder == "undecoded" and jp.luma_millis is None
+
+
+def test_image_ahash_perceptual_properties(spark):
+    """The pixel-domain aHash contract: (1) EXACT invariance under a
+    uniform brightness shift (no saturation) — every sample and the
+    mean move together; (2) a single-pixel edit moves the hash at most
+    a few bits while an unrelated image sits far away; (3) a planted
+    content duplicate is found by the banded hamming join; (4) non-BMP
+    content yields a NULL hash."""
+    import numpy as np
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal.media import (
+        _np_encode_bmp,
+        image_ahash,
+        media_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(20, 200, size=(8, 8, 3), dtype=np.uint8)
+    brighter = (base + 30).astype(np.uint8)          # no channel saturates
+    one_px = base.copy()
+    one_px[3, 4] = [255, 255, 255]                    # single-pixel edit
+    other = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [
+        ("base", "image", _np_encode_bmp(base)),
+        ("bright", "image", _np_encode_bmp(brighter)),
+        ("onepx", "image", _np_encode_bmp(one_px)),
+        ("dup", "image", _np_encode_bmp(base)),
+        ("other", "image", _np_encode_bmp(other)),
+        ("junk", "image", b"\x00" * 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, media_type string, content binary"
+    )
+    hs = {r.asset_id: r.ahash for r in image_ahash(df, grid=4).collect()}
+    assert hs["junk"] is None
+    assert hs["bright"] == hs["base"]                 # exact invariance
+    assert hs["dup"] == hs["base"]
+    ham = lambda a, b: bin(hs[a] ^ hs[b]).count("1")
+    assert ham("onepx", "base") <= 3                  # local edit, local damage
+    assert ham("other", "base") >= 4                  # unrelated stays far
+
+    # pair mining over the materialized hashes (the registry query cuts
+    # lineage the same way — ProjectCollapsing would otherwise inline
+    # the 48-sample derivation into both join sides)
+    fp = spark.createDataFrame(
+        [(k, v) for k, v in hs.items() if v is not None],
+        "asset_id string, simhash int",
+    )
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in media_neardup_pairs(fp, max_hamming=1, bits=16).collect()
+    }
+    assert ("base", "dup") in pairs and ("base", "bright") in pairs
+    assert ("base", "other") not in pairs
+
+    with pytest.raises(ValueError, match="grid"):
+        image_ahash(df, grid=1)

@@ -113,6 +113,9 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # inline build (postings + dfs + doclens agg) + (q,doc) fold +
         # per-query top-k window; the served form drops the build side
         ("bm25_search_many", 8),
+        # banded hamming self-join over the checkpointed 410-int
+        # fingerprint table: one distinct shuffle, one band broadcast
+        ("image_near_dup_ahash", 1),
         ("ann_recall_datasheet", 0),   # four top-k sets, all broadcast folds
         # bound-certified sketch audits: exact + sketch share the group agg
         ("distinct_users_by_type_approx", 2),
