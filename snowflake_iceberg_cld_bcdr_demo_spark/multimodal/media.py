@@ -1382,9 +1382,11 @@ def image_ahash(
             F.lit(float(gx)) * F.col("_w").cast("double") / F.lit(float(grid))
         ).cast("int")
         base = F.lit(54) + (F.col("_h") - 1 - sy) * F.col("_row") + F.lit(3) * sx
-        bb = F.element_at(F.col("_ba"), base + 1)
-        gg = F.element_at(F.col("_ba"), base + 2)
-        rr = F.element_at(F.col("_ba"), base + 3)
+        # try_element_at: malformed headers produce wild offsets; the
+        # contract is NULL hash, not an ANSI index error
+        bb = F.try_element_at(F.col("_ba"), base + 1)
+        gg = F.try_element_at(F.col("_ba"), base + 2)
+        rr = F.try_element_at(F.col("_ba"), base + 3)
         return F.lit(299) * rr + F.lit(587) * gg + F.lit(114) * bb
 
     n = grid * grid
@@ -1408,4 +1410,67 @@ def image_ahash(
         F.when(F.col("_ok"), ahash).cast("int").alias("ahash"),
         F.when(F.col("_ok"), F.col("_w")).cast("int").alias("width"),
         F.when(F.col("_ok"), F.col("_h")).cast("int").alias("height"),
+    )
+
+
+def audio_ahash(
+    df: DataFrame,
+    n_bits: int = 16,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """PIXEL-domain dedup's AUDIO twin: a perceptual average-hash over
+    PCM16 mono WAV waveforms, pure Catalyst (no decoder).  ``n_bits``
+    nearest-neighbor sample positions are read straight from the data
+    chunk (LE int16 at byte 44+2i of the canonical RIFF layout), scored
+    by ABSOLUTE amplitude, and bit k is set iff ``n·|s_k| > Σ|s_j|`` —
+    exact integer arithmetic, replayable in the DuckDB oracle, and
+    exactly invariant under uniform GAIN scaling (every sample and the
+    mean scale together — pytest-pinned), the audio analog of
+    :func:`image_ahash`'s brightness invariance.
+
+    Non-WAV or truncated content yields a NULL hash.  Pair mining
+    reuses :func:`media_neardup_pairs` with ``bits=n_bits``.  Scale:
+    one narrow projection, no shuffle; cut lineage before a self-join
+    (the image-aHash ProjectCollapsing lesson)."""
+    if not 4 <= n_bits <= 32:
+        raise ValueError(f"audio_ahash: n_bits must be in [4, 32], got {n_bits}")
+    c = F.col(content_col)
+    staged = df.select(
+        F.col(id_col),
+        _byte_array(c).alias("_ba"),
+        (
+            _magic(c, 1, "52494646")
+            & _magic(c, 9, "57415645")
+            & (F.length(c) >= 46)
+        ).alias("_ok"),
+        (_ule(c, 41, 4) / 2).cast("int").alias("_n"),
+    )
+
+    def samp(k: int) -> F.Column:
+        pos = F.floor(
+            F.lit(float(k)) * F.col("_n").cast("double") / F.lit(float(n_bits))
+        ).cast("int")
+        # try_element_at: junk content yields wild _n; contract is NULL
+        lo = F.try_element_at(F.col("_ba"), F.lit(45) + 2 * pos)
+        hi = F.try_element_at(F.col("_ba"), F.lit(46) + 2 * pos)
+        v = lo + F.lit(256) * hi
+        signed = F.when(v >= 32768, v - 65536).otherwise(v)
+        return F.abs(signed)
+
+    lumed = staged.select(
+        id_col, "_ok", *[samp(k).alias(f"_s{k}") for k in range(n_bits)]
+    )
+    total = F.col("_s0")
+    for k in range(1, n_bits):
+        total = total + F.col(f"_s{k}")
+    lumed = lumed.withColumn("_tot", total)
+    ahash = (F.lit(n_bits) * F.col("_s0") > F.col("_tot")).cast("int")
+    for k in range(1, n_bits):
+        ahash = ahash + (
+            F.lit(n_bits) * F.col(f"_s{k}") > F.col("_tot")
+        ).cast("int") * F.lit(1 << k)
+    return lumed.select(
+        F.col(id_col),
+        F.when(F.col("_ok"), ahash).cast("int").alias("ahash"),
     )

@@ -2249,6 +2249,91 @@ def video_frame_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIO_AHASH_SQL = """
+    WITH base AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('WAV-%06d', t.i) AS asset_id,
+               md5('11#wav#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(400) t(i)
+    ),
+    dims AS (
+        SELECT i, asset_id,
+               CAST(('0x' || substring(md5(h || 'n'), 1, 8)) AS BIGINT) % 17 + 8
+                   AS n0,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+                   AS cx
+        FROM base
+    ),
+    sigs AS (
+        SELECT asset_id, n0, cx FROM dims
+        UNION ALL
+        SELECT printf('DUP-%06d', i), n0, cx FROM dims WHERE i < 10
+    ),
+    samp AS (
+        SELECT asset_id, CAST(t.i AS BIGINT) AS k,
+               (CAST(t.i AS BIGINT) * n0) // 16 AS pos, cx
+        FROM sigs CROSS JOIN range(16) t(i)
+    ),
+    amp AS (
+        SELECT asset_id, k,
+               CASE WHEN v >= 32768 THEN 65536 - v ELSE v END AS a
+        FROM (
+            SELECT asset_id, k,
+                   CAST(('0x' || substring(cx, 2 * (2 * pos) + 1, 2)) AS BIGINT)
+                 + 256 * CAST(('0x' || substring(cx, 2 * (2 * pos + 1) + 1, 2))
+                              AS BIGINT) AS v
+            FROM samp
+        )
+    ),
+    tot AS (SELECT asset_id, SUM(a) AS total FROM amp GROUP BY asset_id),
+    hashes AS (
+        SELECT m.asset_id,
+               CAST(SUM(CASE WHEN 16 * m.a > t.total THEN 1 ELSE 0 END
+                        * (1 << CAST(m.k AS INTEGER))) AS BIGINT) AS ahash
+        FROM amp m JOIN tot t USING (asset_id)
+        GROUP BY m.asset_id
+    )
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+    """
+
+
+@_spec("audio_near_dup_ahash", _AUDIO_AHASH_SQL)
+def audio_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVEFORM-domain audio near-dup — the audio twin of
+    `image_near_dup_ahash`: 400 decodable PCM16 WAVs + 10 planted
+    duplicates, fingerprinted with the pure-Catalyst absolute-amplitude
+    average hash (`multimodal.media.audio_ahash` — 16 nearest-neighbor
+    int16 samples straight from the data chunk, bit = |amplitude| above
+    mean, exactly invariant under uniform gain) and mined at hamming ≤ 1
+    with the banded hamming join.  The oracle recomputes every int16
+    sample arithmetically from the md5 chain plus the exhaustive
+    all-pairs hamming set — hash AND banding guarantee certified."""
+    from ..multimodal.media import (
+        audio_ahash,
+        media_neardup_pairs,
+        synthesize_decodable_wavs,
+    )
+
+    wavs = synthesize_decodable_wavs(spark, 400)
+    dups = wavs.filter(F.col("asset_id") < "WAV-000010").select(
+        F.concat(F.lit("DUP"), F.substring("asset_id", 4, 10)).alias("asset_id"),
+        "media_type",
+        "content",
+        "metadata",
+    )
+    fp = (
+        audio_ahash(wavs.unionByName(dups))
+        .select("asset_id", F.col("ahash").alias("simhash"))
+        # lineage cut before the self-join (image-aHash ProjectCollapsing
+        # lesson): the fingerprint table is 410 ints
+        .localCheckpoint(eager=False)
+    )
+    return media_neardup_pairs(fp, max_hamming=1, bits=16)
+
+
 _AHASH_NEARDUP_SQL = """
     WITH base AS (
         SELECT CAST(t.i AS BIGINT) AS i,

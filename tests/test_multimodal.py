@@ -533,3 +533,63 @@ def test_image_ahash_perceptual_properties(spark):
 
     with pytest.raises(ValueError, match="grid"):
         image_ahash(df, grid=1)
+
+
+def test_audio_ahash_perceptual_properties(spark):
+    """The waveform aHash contract: exact invariance under uniform gain
+    (no clipping), locality under a single-sample edit, planted
+    duplicates found by the banded join, non-WAV content → NULL."""
+    import io
+    import struct as pystruct
+
+    import numpy as np
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal.media import (
+        audio_ahash,
+        media_neardup_pairs,
+    )
+
+    def wav(samples):
+        data = b"".join(pystruct.pack("<h", int(s)) for s in samples)
+        hdr = (
+            b"RIFF" + pystruct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + pystruct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + pystruct.pack("<I", len(data))
+        )
+        return hdr + data
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(-8000, 8000, size=24).tolist()
+    louder = [s * 3 for s in base]                     # uniform gain, no clip
+    one_edit = list(base)
+    one_edit[5] = 30000
+    other = rng.integers(-30000, 30000, size=24).tolist()
+    rows = [
+        ("base", "audio", wav(base)),
+        ("gain", "audio", wav(louder)),
+        ("edit", "audio", wav(one_edit)),
+        ("dup", "audio", wav(base)),
+        ("other", "audio", wav(other)),
+        ("junk", "audio", b"\x01" * 64),
+    ]
+    df = spark.createDataFrame(
+        rows, "asset_id string, media_type string, content binary"
+    )
+    hs = {r.asset_id: r.ahash for r in audio_ahash(df).collect()}
+    assert hs["junk"] is None
+    assert hs["gain"] == hs["base"]                    # exact gain invariance
+    assert hs["dup"] == hs["base"]
+    ham = lambda a, b: bin(hs[a] ^ hs[b]).count("1")
+    assert ham("edit", "base") <= 4                    # local edit, local damage
+    fp = spark.createDataFrame(
+        [(k, v) for k, v in hs.items() if v is not None],
+        "asset_id string, simhash int",
+    )
+    pairs = {
+        (r.asset_a, r.asset_b)
+        for r in media_neardup_pairs(fp, max_hamming=1, bits=16).collect()
+    }
+    assert ("base", "dup") in pairs and ("base", "gain") in pairs
+
+    with pytest.raises(ValueError, match="n_bits"):
+        audio_ahash(df, n_bits=2)

@@ -116,6 +116,7 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # banded hamming self-join over the checkpointed 410-int
         # fingerprint table: one distinct shuffle, one band broadcast
         ("image_near_dup_ahash", 1),
+        ("audio_near_dup_ahash", 1),  # same shape, waveform hashes
         ("ann_recall_datasheet", 0),   # four top-k sets, all broadcast folds
         # bound-certified sketch audits: exact + sketch share the group agg
         ("distinct_users_by_type_approx", 2),
