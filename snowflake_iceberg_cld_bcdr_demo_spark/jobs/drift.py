@@ -102,21 +102,25 @@ def detect_schema_drift(
     )
 
     truncated = False
-    if max_findings is not None:
-        truncated = (
-            max(
-                missing_on_secondary.count(),
-                missing_on_primary.count(),
-                mismatched.count(),
-            )
-            > max_findings
-        )
-        missing_on_secondary = missing_on_secondary.limit(max_findings)
-        missing_on_primary = missing_on_primary.limit(max_findings)
-        mismatched = mismatched.limit(max_findings)
+
+    def _capped_collect(df: DataFrame) -> list:
+        # Deterministic truncation: an unordered limit() keeps an
+        # arbitrary subset, so WHICH findings get resynced/logged would
+        # vary run to run — order by the object key first.  Overflow is
+        # detected from one extra collected row instead of a full
+        # count() per category (zero extra Spark jobs on healthy
+        # snapshots).
+        nonlocal truncated
+        if max_findings is None:
+            return df.collect()
+        rows = df.orderBy(*keys).limit(max_findings + 1).collect()
+        if len(rows) > max_findings:
+            truncated = True
+            rows = rows[:max_findings]
+        return rows
 
     drift_rows: list[dict] = []
-    for r in missing_on_secondary.collect():
+    for r in _capped_collect(missing_on_secondary):
         drift_rows.append(
             dict(
                 object_type=r.object_type,
@@ -128,7 +132,7 @@ def detect_schema_drift(
                 status="DETECTED",
             )
         )
-    for r in missing_on_primary.collect():
+    for r in _capped_collect(missing_on_primary):
         drift_rows.append(
             dict(
                 object_type=r.object_type,
@@ -140,7 +144,7 @@ def detect_schema_drift(
                 status="DETECTED",
             )
         )
-    for r in mismatched.collect():
+    for r in _capped_collect(mismatched):
         drift_rows.append(
             dict(
                 object_type=r.object_type,

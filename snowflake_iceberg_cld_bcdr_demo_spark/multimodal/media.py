@@ -1178,6 +1178,7 @@ def media_neardup_pairs(
     max_hamming: int = 3,
     bands: int | None = None,
     bits: int = 64,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup asset pairs from SimHash fingerprints: candidates form
     only when at least one band matches exactly, then the exact Hamming
@@ -1194,8 +1195,19 @@ def media_neardup_pairs(
     whose d differing bits land in d distinct bands is missed) and is
     allowed but no longer the default.
 
-    Scale: the join key is (band index, band value) — sub-quadratic
-    exactly like MinHash LSH banding; no all-pairs stage exists."""
+    Scale: the candidate stage routes through the SAME hot-bucket-capped
+    self-join the text LSH path uses (:func:`..operators.dedup.
+    banded_self_join`) — a band value shared by B assets yields B²/2
+    pairs, so at corpus scale a boilerplate asset (one logo duplicated
+    10⁶ times) would detonate an uncapped join.  ``max_band_bucket``
+    drops band keys with more members BEFORE the self-join (the count
+    rides the join's own (band, value) partitioning — no extra
+    shuffle); ``None`` keeps the exact all-collisions contract the
+    oracles certify.  Production near-dup mining at 100 TB should pass
+    a cap and treat dropped mega-buckets as exact-duplicate clusters
+    (the :func:`..operators.dedup.neardup_skewsafe` discipline)."""
+    from ..operators.dedup import banded_self_join
+
     if bands is None:
         if max_hamming + 1 > bits // 2:
             raise ValueError(
@@ -1208,7 +1220,7 @@ def media_neardup_pairs(
     width = bits // bands
     mask = (1 << width) - 1
     banded = fingerprints.select(
-        "asset_id",
+        F.col("asset_id").alias("doc_id"),
         "simhash",
         F.explode(
             F.array(
@@ -1223,23 +1235,19 @@ def media_neardup_pairs(
                 ]
             )
         ).alias("bv"),
-    ).select("asset_id", "simhash", F.col("bv.band"), F.col("bv.val"))
-    a = banded.select(
-        F.col("band"), F.col("val"),
-        F.col("asset_id").alias("asset_a"), F.col("simhash").alias("sim_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("val"),
-        F.col("asset_id").alias("asset_b"), F.col("simhash").alias("sim_b"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.val").alias("band_key"),
     )
     return (
-        a.join(b, ["band", "val"])
-        .filter(F.col("asset_a") < F.col("asset_b"))
+        banded_self_join(banded, max_band_bucket)
         .select(
-            "asset_a",
-            "asset_b",
+            F.col("a.doc_id").alias("asset_a"),
+            F.col("b.doc_id").alias("asset_b"),
             F.bit_count(
-                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
             ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -1323,7 +1331,7 @@ def media_validity(
 
 def image_ahash(
     df: DataFrame,
-    grid: int = 4,
+    grid: int = 8,
     content_col: str = "content",
     id_col: str = "asset_id",
 ) -> DataFrame:
@@ -1349,7 +1357,12 @@ def image_ahash(
 
     Scale: one narrow codegen'd projection — no shuffle, no Arrow
     stage; pair mining reuses :func:`media_neardup_pairs` with
-    ``bits=grid*grid`` (banded hamming join, sub-quadratic)."""
+    ``bits=grid*grid`` (banded hamming join, sub-quadratic).  The
+    default is ``grid=8`` — the standard 64-bit aHash — because band
+    keys carved from a 16-bit hash (``grid=4``) take only 2¹⁶ values
+    at best and FAR fewer in practice, so at corpus scale every bucket
+    degenerates toward n/|values| members and the banded join is
+    all-pairs in disguise; 64 bits keeps buckets sparse."""
     if not 2 <= grid <= 8:
         raise ValueError(f"image_ahash: grid must be in [2, 8], got {grid}")
     hdr = image_header(F.col(content_col))
@@ -1400,14 +1413,18 @@ def image_ahash(
     for i in range(1, n):
         total = total + F.col(f"_l{i}")
     lumed = lumed.withColumn("_tot", total)
-    ahash = (F.lit(n) * F.col("_l0") > F.col("_tot")).cast("int")
+    # hash accumulates in LONG — grid >= 6 sets bits >= 32, and bit 63
+    # (grid=8) is the sign bit: shiftleft(1L, 63) wraps to Long.MIN,
+    # which is exactly the two's-complement encoding the xor/bit_count
+    # pair mining needs (an int cast here silently wrapped bits >= 31)
+    ahash = (F.lit(n) * F.col("_l0") > F.col("_tot")).cast("long")
     for i in range(1, n):
         ahash = ahash + (
             F.lit(n) * F.col(f"_l{i}") > F.col("_tot")
-        ).cast("int") * F.lit(1 << i)
+        ).cast("long") * F.shiftleft(F.lit(1).cast("long"), i)
     return lumed.select(
         F.col(id_col),
-        F.when(F.col("_ok"), ahash).cast("int").alias("ahash"),
+        F.when(F.col("_ok"), ahash).cast("long").alias("ahash"),
         F.when(F.col("_ok"), F.col("_w")).cast("int").alias("width"),
         F.when(F.col("_ok"), F.col("_h")).cast("int").alias("height"),
     )
@@ -1433,8 +1450,8 @@ def audio_ahash(
     reuses :func:`media_neardup_pairs` with ``bits=n_bits``.  Scale:
     one narrow projection, no shuffle; cut lineage before a self-join
     (the image-aHash ProjectCollapsing lesson)."""
-    if not 4 <= n_bits <= 32:
-        raise ValueError(f"audio_ahash: n_bits must be in [4, 32], got {n_bits}")
+    if not 4 <= n_bits <= 64:
+        raise ValueError(f"audio_ahash: n_bits must be in [4, 64], got {n_bits}")
     c = F.col(content_col)
     staged = df.select(
         F.col(id_col),
@@ -1465,12 +1482,14 @@ def audio_ahash(
     for k in range(1, n_bits):
         total = total + F.col(f"_s{k}")
     lumed = lumed.withColumn("_tot", total)
-    ahash = (F.lit(n_bits) * F.col("_s0") > F.col("_tot")).cast("int")
+    # LONG accumulation for the same reason as image_ahash: n_bits >= 32
+    # sets bits past int range, and bit 63 is the sign bit
+    ahash = (F.lit(n_bits) * F.col("_s0") > F.col("_tot")).cast("long")
     for k in range(1, n_bits):
         ahash = ahash + (
             F.lit(n_bits) * F.col(f"_s{k}") > F.col("_tot")
-        ).cast("int") * F.lit(1 << k)
+        ).cast("long") * F.shiftleft(F.lit(1).cast("long"), k)
     return lumed.select(
         F.col(id_col),
-        F.when(F.col("_ok"), ahash).cast("int").alias("ahash"),
+        F.when(F.col("_ok"), ahash).cast("long").alias("ahash"),
     )

@@ -8,7 +8,7 @@ SCAN-BOUND baselines: each query re-reads and re-tokenizes the whole
 corpus.  That is the right shape for one-off queries, but a standing
 query workload over a 100 TB corpus pays the scan once per query —
 exactly the workload the reference serves with materialized views
-(`/root/reference/sql/12_materialized_views.sql:41-64`: precompute the
+(`/root/reference/scripts/12_materialized_views.sql:41-64`: precompute the
 expensive aggregation once, let every later query read the small
 artifact).  This module applies that pattern to retrieval, the same way
 :func:`operators.corpus.admission_state` applied it to admission:

@@ -498,8 +498,24 @@ def bpe_train(
         raise ValueError(f"bpe_train: max_words must be >= 1, got {max_words}")
     wc = _word_counts(docs, text_col)
     if max_words is not None:
-        wc = wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_words)
+        # collect one sentinel row past the cap: merge rules trained on a
+        # truncated vocabulary can differ from the full-vocabulary rules,
+        # so an ACTUAL truncation is warned, never silent (the default cap
+        # changed from None to 2^20 — callers on >1M-word corpora should
+        # hear about it)
+        wc = wc.orderBy(F.col("n").desc(), F.col("w")).limit(max_words + 1)
     words = [(list(r.w), r.n) for r in wc.collect()]
+    if max_words is not None and len(words) > max_words:
+        import warnings
+
+        warnings.warn(
+            f"bpe_train: vocabulary exceeds max_words={max_words}; training "
+            "on the most frequent words only — merge rules may differ from "
+            "an uncapped run (pass max_words=None for the full vocabulary)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        words = words[:max_words]
     return _train_merges_counts(words, n_merges)
 
 

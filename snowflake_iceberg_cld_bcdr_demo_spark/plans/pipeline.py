@@ -2300,7 +2300,7 @@ _AUDIO_AHASH_SQL = """
     """
 
 
-@_spec("audio_near_dup_ahash", _AUDIO_AHASH_SQL)
+@_spec("audio_near_dup_ahash", _AUDIO_AHASH_SQL, changed_in=12)
 def audio_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAVEFORM-domain audio near-dup — the audio twin of
     `image_near_dup_ahash`: 400 decodable PCM16 WAVs + 10 planted
@@ -2363,14 +2363,13 @@ _AHASH_NEARDUP_SQL = """
         SELECT printf('DUP-%06d', i), w0, h0, row0, cx FROM chain WHERE i < 10
     ),
     samp AS (
-        SELECT asset_id, cx,
-               CAST(t.i AS BIGINT) // 4 AS gy, CAST(t.i AS BIGINT) % 4 AS gx,
-               (h0 - 1 - (CAST(t.i AS BIGINT) // 4 * h0) // 4) * row0
-                   + 3 * ((CAST(t.i AS BIGINT) % 4 * w0) // 4) AS off
-        FROM imgs CROSS JOIN range(16) t(i)
+        SELECT asset_id, cx, CAST(t.i AS BIGINT) AS k,
+               (h0 - 1 - (CAST(t.i AS BIGINT) // 8 * h0) // 8) * row0
+                   + 3 * ((CAST(t.i AS BIGINT) % 8 * w0) // 8) AS off
+        FROM imgs CROSS JOIN range(64) t(i)
     ),
     lum AS (
-        SELECT asset_id, gy, gx,
+        SELECT asset_id, k,
                299 * CAST(('0x' || substring(cx, 2 * (off + 2) + 1, 2)) AS BIGINT)
              + 587 * CAST(('0x' || substring(cx, 2 * (off + 1) + 1, 2)) AS BIGINT)
              + 114 * CAST(('0x' || substring(cx, 2 * (off + 0) + 1, 2)) AS BIGINT)
@@ -2378,39 +2377,45 @@ _AHASH_NEARDUP_SQL = """
         FROM samp
     ),
     tot AS (SELECT asset_id, SUM(luma) AS total FROM lum GROUP BY asset_id),
-    hashes AS (
-        SELECT l.asset_id,
-               CAST(SUM(CASE WHEN 16 * l.luma > t.total THEN 1 ELSE 0 END
-                        * (1 << CAST(l.gy * 4 + l.gx AS INTEGER)))
-                    AS BIGINT) AS ahash
+    bits AS (
+        -- per-bit table instead of a packed BIGINT: bit 63 of the
+        -- 64-bit aHash is the sign bit and DuckDB's 1<<63 overflows,
+        -- so hamming is summed bitwise (same value as bit_count(xor))
+        SELECT l.asset_id, l.k,
+               CASE WHEN 64 * l.luma > t.total THEN 1 ELSE 0 END AS bit
         FROM lum l JOIN tot t USING (asset_id)
-        GROUP BY l.asset_id
     )
     SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
-    FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
-    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+    FROM bits a JOIN bits b ON a.k = b.k AND a.asset_id < b.asset_id
+    GROUP BY a.asset_id, b.asset_id
+    HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 1
     """
 
 
-@_spec("image_near_dup_ahash", _AHASH_NEARDUP_SQL)
+@_spec("image_near_dup_ahash", _AHASH_NEARDUP_SQL, changed_in=12)
 def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIXEL-domain image near-dup via perceptual average-hash (aHash):
     synthesize 400 decodable BMPs + 10 planted content duplicates,
-    fingerprint each with the pure-Catalyst 4×4 aHash
-    (`multimodal.media.image_ahash` — nearest-neighbor grid samples
-    from the BMP pixel array, integer luma, bit = sample above mean),
-    and mine pairs at hamming ≤ 1 with the banded hamming join
-    (`media_neardup_pairs`, bits=16 — sub-quadratic, pigeonhole-exact
-    recall at 2 bands; tiny 2..9-px sources make a 16-bit hash space
-    collide at hamming 2, so the threshold keeps the pair set
-    near-dup-meaningful).  The oracle recomputes every pixel sample
-    arithmetically from the md5 chain and the ALL-PAIRS hamming set, so
-    both the perceptual hash AND the banding guarantee (banded result
-    == exhaustive result at this distance) are hash-certified.  The
-    byte-window `media_simhash` is the container-level complement; this
-    operator lives in PIXEL space (exactly invariant under uniform
-    brightness shift — pytest-pinned)."""
+    fingerprint each with the pure-Catalyst 8×8 aHash — the standard
+    64-bit variant (`multimodal.media.image_ahash` — nearest-neighbor
+    grid samples from the BMP pixel array, integer luma, bit = sample
+    above mean), and mine pairs at hamming ≤ 1 with the hot-bucket-
+    capped banded hamming join (`media_neardup_pairs` →
+    `operators.dedup.banded_self_join`, bits=64 — sub-quadratic,
+    pigeonhole-exact recall at 2 bands).  64 bits is the scale choice:
+    a 16-bit hash gives band keys only 2⁸..2¹⁶ values, so at corpus
+    scale every bucket holds ~n/values assets and the banded join
+    degenerates to all-pairs.  The oracle recomputes every pixel sample
+    arithmetically from the md5 chain and the ALL-PAIRS hamming set
+    (summed per-bit — DuckDB's BIGINT shift cannot reach the sign
+    bit), so both the perceptual hash AND the banding guarantee
+    (banded result == exhaustive result at this distance) are
+    hash-certified.  The byte-window `media_simhash` is the
+    container-level complement; this operator lives in PIXEL space
+    (exactly invariant under uniform brightness shift —
+    pytest-pinned)."""
     from ..multimodal.media import (
         image_ahash,
         media_neardup_pairs,
@@ -2425,15 +2430,15 @@ def image_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metadata",
     )
     fp = (
-        image_ahash(bmps.unionByName(dups), grid=4)
+        image_ahash(bmps.unionByName(dups))
         .select("asset_id", F.col("ahash").alias("simhash"))
         # lineage cut: ProjectCollapsing would otherwise re-inline the
-        # 48-sample byte-array derivation into BOTH sides of the banded
+        # 192-sample byte-array derivation into BOTH sides of the banded
         # self-join (the generator chain twice over — codegen heap
-        # blow-up); the fingerprint table is 410 ints
+        # blow-up); the fingerprint table is 410 longs
         .localCheckpoint(eager=False)
     )
-    return media_neardup_pairs(fp, max_hamming=1, bits=16)
+    return media_neardup_pairs(fp, max_hamming=1, bits=64)
 
 
 @_spec(

@@ -816,12 +816,23 @@ class LakehouseCatalog:
         # the guard is scoped per WRITER (Delta's txnAppId discipline):
         # micro-batch ids restart at 0 for every new checkpoint, so a
         # fresh stream writing to an existing table must not be no-op'd
-        # by a previous stream's batch numbers
+        # by a previous stream's batch numbers.  Snapshots written
+        # BEFORE writer scoping existed (batch_id present, writer_id
+        # absent) guard ANY writer: a stream whose checkpoint predates
+        # the upgrade replays its last batch with a writer_id its own
+        # earlier snapshots lack, and requiring equality there would
+        # double-append.  The residual cost is the legacy one — a
+        # genuinely fresh checkpoint writing to a table with unscoped
+        # snapshots may be no-op'd until those are superseded.
         committed = [
             s["batch_id"]
             for s in manifest["snapshots"]
             if s.get("batch_id") is not None
-            and s.get("writer_id") == writer_id
+            and (
+                writer_id is None  # legacy probe: the unscoped guard
+                or s.get("writer_id") is None  # pre-scoping snapshot
+                or s.get("writer_id") == writer_id
+            )
         ]
         return bool(committed) and max(committed) >= batch_id
 

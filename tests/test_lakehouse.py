@@ -233,6 +233,26 @@ def test_append_batch_id_idempotent(spark, cat):
     assert cat.load("db", "t").count() == 7
 
 
+def test_batch_guard_upgrade_boundary_legacy_snapshots(spark, cat):
+    """Writer-scoping upgrade boundary: snapshots committed BEFORE
+    writer scoping existed carry a batch_id but no writer_id.  A stream
+    that crash-replays its last batch across the upgrade (same
+    checkpoint, now passing writer_id) must still see the guard — a
+    writer-equality-only check would double-append.  New scoped
+    snapshots stay invisible to OTHER writers."""
+    cat.create_table("db", "t", _df(spark, 3))
+    # legacy (pre-scoping) commit: batch_id present, writer_id absent
+    cat.append("db", "t", _df(spark, 2, start=10), batch_id=4)
+    # crash-replay across the upgrade boundary: same batch, writer now set
+    s = cat.append("db", "t", _df(spark, 2, start=10), batch_id=4, writer_id="w1")
+    assert cat.load("db", "t").count() == 5  # no double-append
+    assert cat.batch_committed("db", "t", 4, writer_id="w1")
+    assert cat.batch_committed("db", "t", 4)  # legacy probe unchanged
+    # a DIFFERENT writer's scoped snapshot does not guard w2's batch 0
+    cat.append("db", "t", _df(spark, 2, start=20), batch_id=9, writer_id="w1")
+    assert not cat.batch_committed("db", "t", 9, writer_id="w2")
+
+
 def test_concurrent_appends_both_commit(spark, cat):
     """Two writers appending simultaneously serialize through the
     manifest CAS (optimistic retry): both snapshots land, no rows lost —

@@ -409,6 +409,46 @@ def test_media_neardup_default_banding_guard(spark):
     assert M.media_neardup_pairs(fp, max_hamming=32, bands=16).count() == 0
 
 
+def test_media_neardup_hot_bucket_cap(spark):
+    """A planted mega-bucket (one fingerprint duplicated B times — the
+    boilerplate-logo scenario) yields B(B-1)/2 pairs uncapped; with
+    ``max_band_bucket`` the hot band keys drop BEFORE the self-join
+    (the shared :func:`operators.dedup.banded_self_join` guard), so the
+    quadratic term never materializes while pairs from cold buckets
+    survive untouched."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    hot = [(f"HOT-{i:03d}", 0x0F0F0F0F) for i in range(100)]
+    cold = [("C-1", 1 << 40), ("C-2", (1 << 40) | 1)]  # hamming 1 apart
+    fp = spark.createDataFrame(hot + cold, "asset_id string, simhash long")
+
+    uncapped = M.media_neardup_pairs(fp, max_hamming=1)
+    assert uncapped.count() == 100 * 99 // 2 + 1
+
+    capped = M.media_neardup_pairs(fp, max_hamming=1, max_band_bucket=10)
+    rows = {(r.asset_a, r.asset_b, r.hamming) for r in capped.collect()}
+    # the 100-member bucket dropped; the cold pair (bucket size 2) kept
+    assert rows == {("C-1", "C-2", 1)}
+
+
+def test_image_ahash_long_hash_bits_past_int(spark):
+    """grid=8 (the default) packs 64 bits — the hash column must be
+    LONG and bit 63 must survive: an image whose LAST grid sample is
+    the only above-mean one hashes to exactly Long.MIN (1<<63 in two's
+    complement), which an int cast would have mangled."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal import media as M
+
+    assets = M.synthesize_decodable_images(spark, 8)
+    out = M.image_ahash(assets)  # default grid=8
+    assert dict(out.dtypes)["ahash"] == "bigint"
+    hs = [r.ahash for r in out.collect()]
+    assert all(h is not None for h in hs)
+    # 64-bit occupancy: at least one hash outside int32 range on real
+    # synthesized pixels (grid=8 sets bits >= 32 whenever any of the
+    # last 32 samples is above the mean — astronomically certain here)
+    assert any(h < -(1 << 31) or h >= (1 << 31) for h in hs)
+
+
 def test_wav_decode_roundtrip_and_strictness(spark):
     """The PCM16 chain is real end to end: synthesized WAV bytes decode
     with the NumPy codec to exactly n_samples int16 samples at the
