@@ -18,11 +18,33 @@ reported; sub-second queries (where host noise is proportionally
 largest) extend to median-of-5.  Per-run detail lands in the ``runs``
 field.
 
+Co-load robustness (r11 post-mortem: the driver host was loaded during
+the bench tail, inflating the heaviest late-session queries 2-6x and
+breaching a budget the code never earned):
+
+- the 1-min ``os.getloadavg()`` is recorded BEFORE every timed run
+  (``loadavg`` field, plus start/end at the top level) so a breach is
+  adjudicated against load DATA, not guesses,
+- budget breaches are judged on the MINIMUM timed run, not the median:
+  a structural regression raises every run including the best one,
+  while transient co-load cannot lower the min — the reported metric
+  stays the median,
+- a breach whose best run saw loadavg > 75% of the bench CPUs is
+  additionally marked ``"coload": true`` (evidence the host, not the
+  plan, was the problem),
+- the headline queries run HEAVIEST-FIRST (by budget), so the most
+  variance-exposed measurements happen earliest, when a shared host is
+  typically quietest; the output dict keeps the frozen HEADLINE order.
+
 Scale check: unless ``SPARK_GRAFT_SF1_SPOT=0``, the heaviest queries
 also run ONCE at a deterministic 10x scale-up of sf0.1 (generated into
 ``.bench_sf1/`` on first use — no sf1 testdata ships) and the output
 carries an ``sf1_spot`` section with the observed time over
-10x-the-sf0.1-median ratio (1.0 = perfectly linear scaling).
+10x-the-sf0.1-median ratio (1.0 = perfectly linear scaling).  The spot
+CANNOT be starved by a slow headline phase: past ``SF1_BUDGET_S`` it
+degrades to the headline-only reduced set (dropping the minutes-scale
+curated extras) instead of skipping, and only a hard cap
+(``SF1_HARD_CAP_S``) skips it outright.
 """
 
 from __future__ import annotations
@@ -42,11 +64,27 @@ RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 SF1_SPOT = os.environ.get("SPARK_GRAFT_SF1_SPOT", "1") != "0"
 SF1_DIR = str(REPO / ".bench_sf1")
 SF1_MULT = 10
-#: skip the sf1 spot-check when the headline runs already consumed this
-#: much wall clock — keeps the whole bench safely inside a 15-minute
-#: harness timeout even on a noisy host
-SF1_BUDGET_S = int(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "420"))
+#: degrade the sf1 spot to the REDUCED set (headline queries only, no
+#: curated extras) when the sf0.1 phase already consumed this much wall
+#: clock; raised 420 -> 600 in r12 because the r11 cold-discard +
+#: median-of-5 protocol roughly doubled per-query executions and the
+#: old gate starved the spot entirely on a loaded host
+SF1_BUDGET_S = int(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "600"))
+#: only past THIS wall does the spot skip outright — a round of record
+#: must carry scale ratios unless the host is pathologically slow
+SF1_HARD_CAP_S = int(os.environ.get("SPARK_GRAFT_SF1_HARD_CAP_S", "900"))
+#: breaches marked "coload" when the best run saw 1-min loadavg above
+#: this fraction of the bench CPUs
+COLOAD_FRAC = 0.75
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
 T_START = time.perf_counter()
+
+
+def _loadavg1() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
 
 #: Headline set: the flagship + the heaviest relational shapes + one of
 #: each pipeline family (dedup / similarity / text).
@@ -72,32 +110,35 @@ HEADLINE = [
     "dedup_block_removal",
 ]
 
-#: Per-query wall-clock budgets (seconds, sf0.1 medians): ~3x the
-#: round-8 recorded medians — generous enough for host noise, tight
-#: enough that a structural regression (r7's winnow_shared_spans ran
-#: 2.5-4x its median after a plan-shape change went unnoticed) lands in
-#: ``budget_breaches`` of the bench JSON the same round it ships.
+#: Per-query wall-clock budgets (seconds, sf0.1): ~2.5-3x the round-12
+#: steady-state medians (quiet host, cold-discard protocol — see
+#: BASELINE.md's round-12 table), adjudicated against the MINIMUM timed
+#: run — tight enough that a structural regression (r7's
+#: winnow_shared_spans ran 2.5-4x its median after a plan-shape change
+#: went unnoticed) lands in ``budget_breaches`` the same round it
+#: ships, while transient co-load (which inflates medians but cannot
+#: lower the min) doesn't manufacture false breaches like r11's.
 #: tests/test_bench_budget.py enforces the winnow budget in pytest.
 BUDGETS = {
-    "order_performance": 6.5,
-    "q1_pricing_summary": 4.0,
-    "q3_top_orders": 2.5,
-    "q5_region_revenue": 3.0,
-    "fanout_count_distinct": 5.5,
-    "minhash_near_dup_pairs": 4.5,
-    "ann_cosine_topk": 1.5,
-    "text_quality": 1.2,
-    "dedup_exact_groups": 0.8,
-    "window_topk_per_group": 1.2,
-    "asof_click_to_view": 1.5,
-    "corpus_pipeline_report": 8.5,
-    "stats_corr_by_flag": 4.0,
-    "session_window_rollup": 2.0,
-    "html_extract_stats": 1.5,
-    "resample_linear_daily": 1.5,
-    "winnow_shared_spans": 4.5,
-    "neardup_skewsafe_pairs": 6.0,
-    "dedup_block_removal": 4.5,
+    "order_performance": 5.5,
+    "q1_pricing_summary": 3.5,
+    "q3_top_orders": 2.0,
+    "q5_region_revenue": 2.2,
+    "fanout_count_distinct": 4.7,
+    "minhash_near_dup_pairs": 4.4,
+    "ann_cosine_topk": 1.0,
+    "text_quality": 0.8,
+    "dedup_exact_groups": 0.6,
+    "window_topk_per_group": 1.0,
+    "asof_click_to_view": 1.1,
+    "corpus_pipeline_report": 7.5,
+    "stats_corr_by_flag": 3.6,
+    "session_window_rollup": 1.6,
+    "html_extract_stats": 1.3,
+    "resample_linear_daily": 1.3,
+    "winnow_shared_spans": 3.5,
+    "neardup_skewsafe_pairs": 5.0,
+    "dedup_block_removal": 4.0,
 }
 
 #: Extras: measured and budget-guarded but NOT part of the headline
@@ -120,18 +161,20 @@ EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
 STREAM_EXTRA = "stream_curated_admission_two_waves"
 
 EXTRA_BUDGETS = {
-    # ~2x the r10 recorded median (was a loose 30s placeholder in r9)
-    "curated_corpus_report": 40.0,
-    # ~2.5x the r11 measured two-wave wall (14.7 s, see BASELINE.md)
-    STREAM_EXTRA: 35.0,
-    # ~2x the measured median (~12-13 s warm).  The query runs the
+    # ~1.35x the r12 steady-state median (22.2 s) — min-adjudicated,
+    # tightened from the 40 s r9 placeholder the cold-discard protocol
+    # made ~2x loose
+    "curated_corpus_report": 30.0,
+    # ~1.8x the r12 measured two-wave wall (13.6 s); single-shot (no
+    # min-of-runs protection), so it keeps the wider margin
+    STREAM_EXTRA: 25.0,
+    # ~1.6x the r12 steady-state median (12.2 s).  The query runs the
     # STATE path: the admission index stages once per scale (ship-time
-    # posture, memoized across builds) so run 1 pays the one-time build
-    # (~35 s) and the median measures the DAILY admission cost; the
-    # scrub chain is lineage-cut so ES/boiler evaluate once, not once
-    # per downstream gate (was ~22 s warm before the cut; the 10 s
-    # first guess predated any real bench run and breached immediately).
-    "curated_incremental_admit": 25.0,
+    # posture, memoized across builds) so the cold discard pays the
+    # one-time build (~35 s) and the median measures the DAILY
+    # admission cost; the scrub chain is lineage-cut so ES/boiler
+    # evaluate once, not once per downstream gate.
+    "curated_incremental_admit": 20.0,
 }
 
 #: sf1 spot-check set: the most expensive headline queries, plus the
@@ -167,15 +210,23 @@ def _time_once(spec, spark, sf_dir: str) -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def _time_query(spec, spark, sf_dir: str) -> tuple[float, list[float]]:
+def _time_query(
+    spec, spark, sf_dir: str
+) -> tuple[float, list[float], list[float]]:
     """Discard one cold run, then median of RUNS timed runs — extended
     to median-of-5 when the query is sub-second (noise is
-    proportionally largest there)."""
+    proportionally largest there).  Returns (median, runs, loadavgs)
+    with the 1-min loadavg sampled before each timed run."""
     _time_once(spec, spark, sf_dir)  # cold discard: JIT/codegen/page cache
-    rs = [_time_once(spec, spark, sf_dir) for _ in range(RUNS)]
-    if statistics.median(rs) < 1.0 and len(rs) < 5:
-        rs += [_time_once(spec, spark, sf_dir) for _ in range(5 - len(rs))]
-    return round(statistics.median(rs), 3), rs
+    las = [_loadavg1()]
+    rs = [_time_once(spec, spark, sf_dir)]
+    for _ in range(RUNS - 1):
+        las.append(_loadavg1())
+        rs.append(_time_once(spec, spark, sf_dir))
+    while statistics.median(rs) < 1.0 and len(rs) < 5:
+        las.append(_loadavg1())
+        rs.append(_time_once(spec, spark, sf_dir))
+    return round(statistics.median(rs), 3), rs, las
 
 
 def _time_stream_admission(spark, sf_dir: str) -> float:
@@ -245,41 +296,69 @@ def main() -> None:
     # plans, not session startup.
     QUERY_SPECS["scalar_row_counts"].build(spark, SF_DIR).count()
 
-    timings: dict[str, float] = {}
+    la_start = _loadavg1()
+    measured: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        timings[name], runs[name] = _time_query(QUERY_SPECS[name], spark, SF_DIR)
+    loadavgs: dict[str, list[float]] = {}
+    # heaviest-first (by budget): the variance-exposed queries measure
+    # while a shared host is quietest; output keeps the HEADLINE order
+    for name in sorted(HEADLINE, key=lambda n: -BUDGETS.get(n, 0.0)):
+        measured[name], runs[name], loadavgs[name] = _time_query(
+            QUERY_SPECS[name], spark, SF_DIR
+        )
         print(
-            f"# {name}: median {timings[name]:.3f}s of {runs[name]}",
+            f"# {name}: median {measured[name]:.3f}s of {runs[name]} "
+            f"(loadavg {loadavgs[name]})",
             file=sys.stderr,
         )
+    timings = {name: measured[name] for name in HEADLINE}
 
     extras: dict[str, float] = {}
     for name in EXTRAS:
         # the cold discard also absorbs the admit's one-time staged
         # state build, so the median measures the recurring daily cost
-        extras[name], rs = _time_query(QUERY_SPECS[name], spark, SF_DIR)
-        print(f"# extra {name}: median {extras[name]:.3f}s of {rs}", file=sys.stderr)
+        extras[name], runs[name], loadavgs[name] = _time_query(
+            QUERY_SPECS[name], spark, SF_DIR
+        )
+        print(
+            f"# extra {name}: median {extras[name]:.3f}s of {runs[name]}",
+            file=sys.stderr,
+        )
 
+    loadavgs[STREAM_EXTRA] = [_loadavg1()]
     extras[STREAM_EXTRA] = _time_stream_admission(spark, SF_DIR)
+    runs[STREAM_EXTRA] = [extras[STREAM_EXTRA]]
     print(f"# extra {STREAM_EXTRA}: {extras[STREAM_EXTRA]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    breaches = {
-        n: {"median": timings[n], "budget": BUDGETS[n]}
-        for n in timings
-        if n in BUDGETS and timings[n] > BUDGETS[n]
-    }
-    breaches.update(
-        {
-            n: {"median": extras[n], "budget": EXTRA_BUDGETS[n]}
-            for n in extras
-            if n in EXTRA_BUDGETS and extras[n] > EXTRA_BUDGETS[n]
-        }
-    )
+
+    def _breach(name: str, median: float, budget: float) -> dict | None:
+        # adjudicate on the BEST run: co-load inflates medians but
+        # cannot lower the min; a structural regression raises both
+        best = min(runs[name])
+        if best <= budget:
+            return None
+        b = {"median": median, "best": best, "budget": budget}
+        la = loadavgs[name][runs[name].index(best)]
+        if la >= COLOAD_FRAC * CPUS:
+            b["coload"] = True  # the best run itself ran on a loaded host
+        b["loadavg_at_best"] = la
+        return b
+
+    breaches: dict[str, dict] = {}
+    for n, v in timings.items():
+        if n in BUDGETS and (b := _breach(n, v, BUDGETS[n])):
+            breaches[n] = b
+    for n, v in extras.items():
+        if n in EXTRA_BUDGETS and (b := _breach(n, v, EXTRA_BUDGETS[n])):
+            breaches[n] = b
     for n, b in breaches.items():
-        print(f"# BUDGET BREACH {n}: {b['median']}s > {b['budget']}s", file=sys.stderr)
+        print(
+            f"# BUDGET BREACH {n}: best {b['best']}s > {b['budget']}s "
+            f"(loadavg {b['loadavg_at_best']})",
+            file=sys.stderr,
+        )
     out = {
         "metric": "headline_queries_wall",
         "value": total,
@@ -287,16 +366,33 @@ def main() -> None:
         "queries": timings,
         "extras": extras,
         "runs": runs,
+        "loadavg": loadavgs,
+        "loadavg_start": la_start,
+        "loadavg_end": _loadavg1(),
+        "cpus": CPUS,
         "budget_breaches": breaches,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     elapsed = time.perf_counter() - T_START
-    if SF1_SPOT and elapsed > SF1_BUDGET_S:
+    if SF1_SPOT and elapsed > SF1_HARD_CAP_S:
         out["sf1_spot"] = {
-            "skipped": f"headline runs took {elapsed:.0f}s (> {SF1_BUDGET_S}s budget)"
+            "skipped": f"sf0.1 phase took {elapsed:.0f}s (> {SF1_HARD_CAP_S}s hard cap)"
         }
     elif SF1_SPOT:
+        # past the soft budget the spot DEGRADES (headline queries only —
+        # the curated extras are the minutes-scale tail) instead of
+        # skipping: a round of record must carry scale ratios (r11
+        # shipped none because the old gate starved the spot outright)
+        spot_queries = SF1_SPOT_QUERIES
+        degraded = None
+        if elapsed > SF1_BUDGET_S:
+            spot_queries = [q for q in SF1_SPOT_QUERIES if q in timings]
+            degraded = (
+                f"sf0.1 phase took {elapsed:.0f}s (> {SF1_BUDGET_S}s): "
+                "reduced to headline-only spot set"
+            )
+            print(f"# sf1_spot degraded: {degraded}", file=sys.stderr)
         try:
             if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
                 print(f"# generating {SF1_MULT}x scale-up -> {SF1_DIR}", file=sys.stderr)
@@ -306,9 +402,11 @@ def main() -> None:
                 make_scaled(spark, SF_DIR, SF1_DIR, mult=SF1_MULT)
             spot: dict[str, float] = {}
             ratio: dict[str, float] = {}
-            for name in SF1_SPOT_QUERIES:
+            spot_load: dict[str, float] = {}
+            for name in spot_queries:
                 if name in SF1_WARM_FIRST:
                     _time_once(QUERY_SPECS[name], spark, SF1_DIR)
+                spot_load[name] = _loadavg1()
                 spot[name] = _time_once(QUERY_SPECS[name], spark, SF1_DIR)
                 # floor the base at the timer resolution: a legitimate
                 # 0.000 median (sub-ms query) must not divide by ~0 and
@@ -324,7 +422,8 @@ def main() -> None:
             # remains (a two-wave sf1 ingest is minutes); a skip is
             # recorded, and BASELINE.md carries a measured number
             stream_skip = None
-            if time.perf_counter() - T_START <= SF1_BUDGET_S:
+            if degraded is None and time.perf_counter() - T_START <= SF1_BUDGET_S:
+                spot_load[STREAM_EXTRA] = _loadavg1()
                 spot[STREAM_EXTRA] = _time_stream_admission(spark, SF1_DIR)
                 base = max(extras.get(STREAM_EXTRA, 0.0), 0.001)
                 ratio[STREAM_EXTRA] = round(spot[STREAM_EXTRA] / (SF1_MULT * base), 2)
@@ -339,8 +438,11 @@ def main() -> None:
                 "scale_multiple": SF1_MULT,
                 "queries": spot,
                 "ratio_vs_linear": ratio,
+                "loadavg": spot_load,
                 "anomalies": [n for n, r in ratio.items() if r > 3.0],
             }
+            if degraded:
+                out["sf1_spot"]["degraded"] = degraded
             if stream_skip:
                 out["sf1_spot"]["skipped_queries"] = [stream_skip]
         except Exception as ex:  # spot-check is best-effort; never break bench

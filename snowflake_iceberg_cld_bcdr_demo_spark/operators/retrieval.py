@@ -123,6 +123,37 @@ def append_retrieval_index(
         catalog.append(namespace, f"{prefix}_{name}", idx[name])
 
 
+def compact_retrieval_index(
+    catalog,
+    namespace: str,
+    prefix: str,
+    keep_last_snapshots: int = 2,
+) -> dict[str, int]:
+    """Lifecycle maintenance for the persisted index — the
+    :func:`..streaming.curation.compact_admission_state` pattern applied
+    to retrieval: every :func:`append_retrieval_index` batch lands its
+    own data dir and snapshot, so after N daily batches the postings
+    table is N small dirs and N manifest entries even though its CONTENT
+    grows only with the corpus.  Small-file compaction rewrites each
+    table into one dir (also materializing any outstanding MoR delete
+    dirs a :func:`..operators.takedown.takedown_docs` left behind), and
+    snapshot expiry drops the per-batch history — size O(corpus tokens),
+    never O(batches).
+
+    Run it BETWEEN index writers on the usual maintenance cadence (a
+    compaction is a replace snapshot; an appender planning against a
+    pre-compaction snapshot will CAS-retry).  Returns per-table row
+    counts after maintenance — the state-size budget a scheduler can
+    alert on."""
+    sizes: dict[str, int] = {}
+    for name in INDEX_TABLES:
+        t = f"{prefix}_{name}"
+        catalog.compact(namespace, t)
+        catalog.expire_snapshots(namespace, t, keep_last=keep_last_snapshots)
+        sizes[name] = catalog.load(namespace, t).count()
+    return sizes
+
+
 def _require(index: dict[str, DataFrame], fn: str) -> tuple[DataFrame, DataFrame]:
     missing = set(INDEX_TABLES) - set(index)
     if missing:

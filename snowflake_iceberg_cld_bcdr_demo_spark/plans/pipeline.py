@@ -5954,3 +5954,173 @@ def conjunctive_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.conjunctive_term_search_indexed(
         idx, ["spark", "window", "join"]
     )
+
+
+_BPE_RE_SQL = (
+    "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+)
+_CANON_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_TAKEDOWN_AUDIT_SQL = f"""
+    WITH curated AS (
+        SELECT * FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY {_CANON_SQL} ORDER BY doc_id
+        ) = 1
+    ),
+    remaining AS (SELECT * FROM curated WHERE doc_id % 7 <> 3)
+    SELECT 'fingerprints' AS artifact,
+           CAST((SELECT COUNT(DISTINCT {_CANON_SQL}) FROM remaining)
+               AS BIGINT) AS n_rows,
+           TRUE AS invariant_ok
+    UNION ALL
+    SELECT 'signatures',
+           CAST((SELECT 4 * COUNT(*) FROM remaining
+                 WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ',
+                       'g'))) >= 8) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'consumed',
+           CAST((SELECT COUNT(*) FROM (
+                SELECT source FROM remaining GROUP BY source
+                HAVING SUM(length(regexp_extract_all(text, {_BPE_RE_SQL}))) > 0
+           )) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'nb_model', CAST(1 AS BIGINT), TRUE
+    UNION ALL
+    SELECT 'nb_tau',
+           CAST((SELECT COUNT(DISTINCT source) FROM curated) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'postings',
+           CAST((SELECT COUNT(*) FROM (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(lower(text), '\\S+'))
+                               AS term
+                    FROM remaining
+                )
+           )) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'doclens',
+           CAST((SELECT COUNT(*) FROM remaining) AS BIGINT),
+           TRUE
+    UNION ALL
+    SELECT 'emb_index',
+           CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 2)
+               AS BIGINT),
+           TRUE
+    """
+
+
+def _multiset_equal_flag(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row ``(ok boolean)`` frame: TRUE iff ``a`` and ``b`` are equal
+    as MULTISETS — per-tuple counts full-outer-joined, any missing or
+    differing count flips the flag.  All inside the plan (no driver
+    collect), so the equality certificate rides the audit query itself."""
+    cols = a.columns
+    ga = a.groupBy(*cols).agg(F.count(F.lit(1)).alias("_na"))
+    gb = b.groupBy(*cols).agg(F.count(F.lit(1)).alias("_nb"))
+    return (
+        ga.join(gb, cols, "full_outer")
+        .agg(
+            F.coalesce(
+                F.min(F.col("_na").eqNullSafe(F.col("_nb"))), F.lit(True)
+            ).alias("ok")
+        )
+    )
+
+
+@_spec("takedown_cascade_audit", _TAKEDOWN_AUDIT_SQL)
+def takedown_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion/takedown cascade, hash-certified end to end: build the
+    persisted pipeline state over an exact-deduped corpus (one keeper
+    per canonical fingerprint — the precondition the admission gate
+    enforces in production), take down every 7th keeper (and every 5th
+    embedding), cascade the delete through all three artifact families
+    (`operators.takedown`), and emit one audit row per artifact:
+    its post-cascade row count plus an in-plan EQUALITY CERTIFICATE —
+    cascaded state multiset-equal to a rebuild from the remaining
+    corpus for the five rebuildables, bit-unchanged for the two frozen
+    quality artifacts (nb_model compared on its exploded bucket map).
+    The oracle recomputes every row count from first principles over
+    the remaining documents and pins every certificate TRUE — so the
+    cascade-equals-rebuild contract itself is what the driver
+    hash-checks.  Right-to-be-forgotten is a first-class pipeline
+    operation: without this cascade a deleted document keeps gating
+    admissions, keeps being retrievable, and keeps its embedding
+    probe-able (the reference demo has no delete path at all)."""
+    from ..functions.text import fingerprint
+    from ..operators import takedown
+
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    curated = (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    deleted = curated.filter(F.col("doc_id") % 7 == 3)
+    remaining = curated.filter(F.col("doc_id") % 7 != 3)
+
+    state = corpus.admission_state(curated, F.lit(True))
+    out = takedown.delete_docs_from_admission_state(state, deleted)
+    rebuilt = corpus.admission_state(remaining, F.lit(True))
+
+    idx = retrieval.retrieval_index(curated)
+    idx_out = takedown.delete_docs_from_retrieval_index(
+        idx, deleted.select("doc_id")
+    )
+    idx_rebuilt = retrieval.retrieval_index(remaining)
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, k=8)
+    emb_out = takedown.delete_docs_from_ivf_index(
+        similarity.ivf_index(emb, cents),
+        emb.filter(F.col("vec_id") % 5 == 2).select("vec_id"),
+    )
+    emb_rebuilt = similarity.ivf_index(
+        emb.filter(F.col("vec_id") % 5 != 2), cents
+    )
+
+    def explode_model(m: DataFrame) -> DataFrame:
+        return m.select(
+            F.explode("_mm").alias("k", "v"), "_oov", "_buckets", "log_prior"
+        )
+
+    def audit_row(name: str, cascaded: DataFrame, target: DataFrame) -> DataFrame:
+        return (
+            cascaded.agg(F.count(F.lit(1)).alias("n_rows"))
+            .crossJoin(_multiset_equal_flag(cascaded, target))
+            .select(
+                F.lit(name).alias("artifact"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("ok").alias("invariant_ok"),
+            )
+        )
+
+    rows = [
+        audit_row("fingerprints", out["fingerprints"], rebuilt["fingerprints"]),
+        audit_row("signatures", out["signatures"], rebuilt["signatures"]),
+        audit_row("consumed", out["consumed"], rebuilt["consumed"]),
+        # frozen artifacts: certified UNCHANGED from the pre-takedown
+        # state (n_rows of the model row itself, map compared exploded —
+        # map columns aren't groupable)
+        audit_row(
+            "nb_model",
+            explode_model(out["nb_model"]),
+            explode_model(state["nb_model"]),
+        ).withColumn("n_rows", F.lit(1).cast("long")),
+        audit_row("nb_tau", out["nb_tau"], state["nb_tau"]),
+        audit_row("postings", idx_out["postings"], idx_rebuilt["postings"]),
+        audit_row("doclens", idx_out["doclens"], idx_rebuilt["doclens"]),
+        audit_row("emb_index", emb_out, emb_rebuilt),
+    ]
+    result = rows[0]
+    for r in rows[1:]:
+        result = result.unionByName(r)
+    return result

@@ -192,3 +192,45 @@ def test_append_retrieval_index_equals_rebuild(spark, docs, tmp_path):
     terms = ["dup", "join"]
     assert sorted(retrieval.bm25_search_indexed(incr, terms, top_k=10).collect()) == \
         sorted(retrieval.bm25_search_indexed(full, terms, top_k=10).collect())
+
+
+def test_compact_retrieval_index_lifecycle(spark, docs, tmp_path):
+    """Index lifecycle: after N appended batches each table holds one
+    data dir per batch; compact_retrieval_index folds every table to ONE
+    dir, expires the per-batch snapshot history, preserves content
+    bit-for-bit (a BM25 answer is unchanged), and a takedown's MoR
+    delete dirs are materialized away — size O(corpus), never
+    O(batches)."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="idx3")
+    retrieval.save_retrieval_index(
+        cat, "db", "docs",
+        retrieval.retrieval_index(docs.filter("doc_id % 4 = 0")),
+    )
+    for k in (1, 2, 3):  # three daily batches
+        retrieval.append_retrieval_index(
+            cat, "db", "docs", docs.filter(f"doc_id % 4 = {k}")
+        )
+    assert len(cat.current_snapshot("db", "docs_postings").data_dirs) == 4
+    terms = ["dup", "join"]
+    before = sorted(
+        retrieval.bm25_search_indexed(
+            retrieval.load_retrieval_index(cat, "db", "docs"), terms, top_k=10
+        ).collect()
+    )
+
+    sizes = retrieval.compact_retrieval_index(cat, "db", "docs")
+
+    for t in retrieval.INDEX_TABLES:
+        assert len(cat.current_snapshot("db", f"docs_{t}").data_dirs) == 1, t
+    # per-batch history expired: the create snapshot is gone (marked,
+    # and its dirs reclaimed) — time travel to it raises clearly
+    with pytest.raises(Exception, match="expired|not found|no snapshot"):
+        cat.load("db", "docs_postings", snapshot_id=1).count()
+    full = retrieval.retrieval_index(docs)
+    assert sizes == {t: full[t].count() for t in retrieval.INDEX_TABLES}
+    after = sorted(
+        retrieval.bm25_search_indexed(
+            retrieval.load_retrieval_index(cat, "db", "docs"), terms, top_k=10
+        ).collect()
+    )
+    assert after == before

@@ -1,0 +1,181 @@
+"""Deletion/takedown cascade invariants: cascading a delete through
+every persisted artifact must be BIT-EQUAL to rebuilding that artifact
+from the remaining corpus (the discipline already pinned for the
+append path), the frozen quality model must come through untouched,
+and the one-call lakehouse takedown must be idempotent end to end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowflake_iceberg_cld_bcdr_demo_spark.operators import (
+    corpus,
+    retrieval,
+    similarity,
+    takedown,
+)
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import LakehouseCatalog
+from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+from .conftest import SF_SMALL
+
+
+def _assert_df_equal(a, b, what: str) -> None:
+    assert a.exceptAll(b).count() == 0, f"{what}: cascade has extra rows"
+    assert b.exceptAll(a).count() == 0, f"{what}: cascade lost rows"
+
+
+@pytest.fixture(scope="module")
+def corpus_docs(spark):
+    body = " ".join(f"w{j}" for j in range(40))
+    other = " ".join(f"q{j}" for j in range(40))
+    return spark.createDataFrame(
+        [
+            (1, f"alpha corpus document {body}", "src0"),
+            (3, f"bravo corpus document {other}", "src0"),
+            (5, "short target note here", "src0"),
+            (7, f"delta corpus document {body} extra", "src1"),
+            (9, "tiny", "src1"),  # too short for shingles: no signatures
+            (10, "held out benchmark text nothing shared", "src9"),
+            (12, "second held out text nothing shared at all", "src9"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_admission_state_cascade_equals_rebuild(spark, corpus_docs):
+    """delete_docs_from_admission_state == admission_state(remaining)
+    for fingerprints/signatures/consumed — including a FULLY deleted
+    source (src9 leaves `consumed` entirely) — while nb_model/nb_tau
+    stay the frozen originals."""
+    tgt = F.col("source") == "src0"
+    state = corpus.admission_state(corpus_docs, tgt, nb_top_frac=1.0)
+    deleted = corpus_docs.filter(F.col("doc_id").isin(3, 9, 10, 12))
+    remaining = corpus_docs.filter(~F.col("doc_id").isin(3, 9, 10, 12))
+
+    out = takedown.delete_docs_from_admission_state(state, deleted)
+    rebuilt = corpus.admission_state(remaining, tgt, nb_top_frac=1.0)
+
+    for name in ("fingerprints", "signatures", "consumed"):
+        _assert_df_equal(out[name], rebuilt[name], name)
+    # src9 fully deleted: its consumed row is gone, like the rebuild's
+    assert {r.source for r in out["consumed"].collect()} == {"src0", "src1"}
+    # frozen: the model and operating points are the ORIGINAL frames
+    assert out["nb_model"] is state["nb_model"]
+    assert out["nb_tau"] is state["nb_tau"]
+
+
+def test_retrieval_index_cascade_equals_rebuild(spark):
+    docs = table(spark, SF_SMALL, "documents")
+    deleted = docs.filter(F.col("doc_id") % 7 == 3)
+    remaining = docs.filter(F.col("doc_id") % 7 != 3)
+
+    out = takedown.delete_docs_from_retrieval_index(
+        retrieval.retrieval_index(docs), deleted.select("doc_id")
+    )
+    rebuilt = retrieval.retrieval_index(remaining)
+    for name in ("postings", "doclens"):
+        _assert_df_equal(out[name], rebuilt[name], name)
+
+    # retrieval answers on the cascaded index == answers on the rebuild
+    q = ["the", "data", "of"]
+    _assert_df_equal(
+        retrieval.bm25_search_indexed(out, q, top_k=10),
+        retrieval.bm25_search_indexed(rebuilt, q, top_k=10),
+        "bm25_search_indexed",
+    )
+
+
+def test_ivf_index_cascade_equals_rebuild(spark):
+    emb = table(spark, SF_SMALL, "embeddings")
+    cents = similarity.sample_centroids(emb, 4)
+    deleted = emb.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    remaining = emb.filter(F.col("vec_id") % 5 != 2)
+
+    out = takedown.delete_docs_from_ivf_index(
+        similarity.ivf_index(emb, cents), deleted
+    )
+    _assert_df_equal(out, similarity.ivf_index(remaining, cents), "emb_index")
+
+
+def test_takedown_docs_lakehouse_cascade_and_idempotency(
+    spark, corpus_docs, tmp_path
+):
+    """One-call lakehouse takedown: the corpus table, admission index
+    (negative consumed delta through the append-only log) and retrieval
+    index all cascade; the LOADED post-takedown state equals a rebuild
+    from the remaining docs; re-running the same takedown (crash-replay)
+    is a no-op; time travel to the pre-takedown snapshot still works."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="takedown")
+    tgt = F.col("source") == "src0"
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    cat.create_table("db", "corpus", corpus_docs)
+    C.save_admission_state(
+        cat, "db", "adm", corpus.admission_state(corpus_docs, tgt, nb_top_frac=1.0)
+    )
+    retrieval.save_retrieval_index(
+        cat, "db", "idx", retrieval.retrieval_index(corpus_docs)
+    )
+
+    deleted = corpus_docs.filter(F.col("doc_id").isin(3, 10))
+    remaining = corpus_docs.filter(~F.col("doc_id").isin(3, 10))
+    kw = dict(
+        corpus_table="corpus",
+        admission_prefix="adm",
+        retrieval_prefix="idx",
+        batch_id=0,
+        writer_id="takedown-1",
+    )
+    removed = takedown.takedown_docs(cat, "db", deleted, **kw)
+    assert removed["corpus"] == 2
+    assert removed["adm_signatures"] == 8  # 2 docs x 4 bands
+    assert removed["adm_fingerprints"] == 2
+    assert removed["adm_consumed"] == 2  # negative delta rows (2 sources)
+
+    # loaded post-takedown state == rebuild-on-remaining
+    loaded = C.load_admission_state(cat, "db", "adm")
+    rebuilt = corpus.admission_state(remaining, tgt, nb_top_frac=1.0)
+    for name in ("fingerprints", "signatures", "consumed"):
+        _assert_df_equal(loaded[name], rebuilt[name], name)
+    idx = retrieval.load_retrieval_index(cat, "db", "idx")
+    ridx = retrieval.retrieval_index(remaining)
+    for name in ("postings", "doclens"):
+        _assert_df_equal(idx[name], ridx[name], name)
+
+    # idempotent: the replayed cascade deletes nothing and the guarded
+    # consumed append no-ops (same batch_id + writer_id)
+    replay = takedown.takedown_docs(cat, "db", deleted, **kw)
+    assert all(v == 0 for v in replay.values()), replay
+    _assert_df_equal(
+        C.load_admission_state(cat, "db", "adm")["consumed"],
+        rebuilt["consumed"],
+        "consumed after replay",
+    )
+
+    # history preserved: the pre-takedown snapshot is still reachable
+    snaps = cat.snapshots("db", "corpus")
+    assert cat.load("db", "corpus", snapshot_id=snaps[0].snapshot_id).count() == 7
+
+
+def test_takedown_bounded_collect(spark, corpus_docs, monkeypatch):
+    monkeypatch.setattr(takedown, "MAX_TAKEDOWN_IDS", 1)
+    with pytest.raises(ValueError, match="more than 1 doc ids"):
+        takedown.takedown_docs(
+            None, "db", corpus_docs, corpus_table="corpus"
+        )
+
+
+def test_takedown_anti_joins_broadcast_deleted_side(spark):
+    """Scale shape: the cascade's anti-joins must broadcast the
+    (human-scale) takedown batch — a shuffled anti-join would reshuffle
+    the full artifact for a handful of deleted ids."""
+    docs = table(spark, SF_SMALL, "documents")
+    out = takedown.delete_docs_from_retrieval_index(
+        retrieval.retrieval_index(docs),
+        docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"),
+    )
+    plan = out["postings"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin LeftAnti" not in plan
