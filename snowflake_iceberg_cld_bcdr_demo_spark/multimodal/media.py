@@ -1387,12 +1387,19 @@ def image_ahash(
         .alias("_row"),
     )
 
-    def samp(gy: int, gx: int) -> F.Column:
+    n = grid * grid
+
+    def samp(i: F.Column) -> F.Column:
+        # bit index i = gy*grid + gx; nearest-neighbor sample position
+        # sy = (gy*h) div grid, sx = (gx*w) div grid — same exact
+        # integer arithmetic the DuckDB oracle replays
+        gy = F.floor(i / F.lit(grid)).cast("int")
+        gx = (i % F.lit(grid)).cast("int")
         sy = F.floor(
-            F.lit(float(gy)) * F.col("_h").cast("double") / F.lit(float(grid))
+            gy.cast("double") * F.col("_h") / F.lit(float(grid))
         ).cast("int")
         sx = F.floor(
-            F.lit(float(gx)) * F.col("_w").cast("double") / F.lit(float(grid))
+            gx.cast("double") * F.col("_w") / F.lit(float(grid))
         ).cast("int")
         base = F.lit(54) + (F.col("_h") - 1 - sy) * F.col("_row") + F.lit(3) * sx
         # try_element_at: malformed headers produce wild offsets; the
@@ -1402,29 +1409,47 @@ def image_ahash(
         rr = F.try_element_at(F.col("_ba"), base + 3)
         return F.lit(299) * rr + F.lit(587) * gg + F.lit(114) * bb
 
-    n = grid * grid
-    lcols = [
-        samp(gy, gx).alias(f"_l{gy * grid + gx}")
-        for gy in range(grid)
-        for gx in range(grid)
-    ]
-    lumed = staged.select(id_col, "_w", "_h", "_ok", *lcols)
-    total = F.col("_l0")
-    for i in range(1, n):
-        total = total + F.col(f"_l{i}")
-    lumed = lumed.withColumn("_tot", total)
+    # the n samples live in ONE array via transform — the per-sample
+    # code generates once as a loop, not n inlined copies of the
+    # derivation (the 64-sample named-column form blew janino's method
+    # limit and fell back to interpreted evaluation)
+    lumed = staged.select(
+        id_col,
+        "_w",
+        "_h",
+        "_ok",
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), samp).alias("_ls"),
+    ).withColumn(
+        # a NULL sample (truncated pixel array) nulls the sum and so the
+        # hash — the contract for undecodable content
+        "_tot",
+        F.aggregate("_ls", F.lit(0).cast("long"), lambda a, x: a + x),
+    )
     # hash accumulates in LONG — grid >= 6 sets bits >= 32, and bit 63
     # (grid=8) is the sign bit: shiftleft(1L, 63) wraps to Long.MIN,
     # which is exactly the two's-complement encoding the xor/bit_count
-    # pair mining needs (an int cast here silently wrapped bits >= 31)
-    ahash = (F.lit(n) * F.col("_l0") > F.col("_tot")).cast("long")
-    for i in range(1, n):
-        ahash = ahash + (
-            F.lit(n) * F.col(f"_l{i}") > F.col("_tot")
-        ).cast("long") * F.shiftleft(F.lit(1).cast("long"), i)
+    # pair mining needs (an int cast here silently wrapped bits >= 31).
+    # Bit weights ride as a literal long array (shiftleft needs a
+    # literal shift, so it can't sit inside the lambda).
+    weights = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n)])
+    ahash = F.aggregate(
+        F.zip_with(
+            F.col("_ls"),
+            weights,
+            lambda l, w: F.when(F.lit(n) * l > F.col("_tot"), w).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return lumed.select(
         F.col(id_col),
-        F.when(F.col("_ok"), ahash).cast("long").alias("ahash"),
+        # _tot NULL = some sample fell off a truncated pixel array: the
+        # zip_with's otherwise(0) must not let that surface as hash 0
+        F.when(F.col("_ok") & F.col("_tot").isNotNull(), ahash)
+        .cast("long")
+        .alias("ahash"),
         F.when(F.col("_ok"), F.col("_w")).cast("int").alias("width"),
         F.when(F.col("_ok"), F.col("_h")).cast("int").alias("height"),
     )
@@ -1464,9 +1489,9 @@ def audio_ahash(
         (_ule(c, 41, 4) / 2).cast("int").alias("_n"),
     )
 
-    def samp(k: int) -> F.Column:
+    def samp(k: F.Column) -> F.Column:
         pos = F.floor(
-            F.lit(float(k)) * F.col("_n").cast("double") / F.lit(float(n_bits))
+            k.cast("double") * F.col("_n") / F.lit(float(n_bits))
         ).cast("int")
         # try_element_at: junk content yields wild _n; contract is NULL
         lo = F.try_element_at(F.col("_ba"), F.lit(45) + 2 * pos)
@@ -1475,21 +1500,35 @@ def audio_ahash(
         signed = F.when(v >= 32768, v - 65536).otherwise(v)
         return F.abs(signed)
 
+    # samples as ONE transform array (codegen loop, not n_bits inlined
+    # trees — the image_ahash janino lesson); NULL sample -> NULL total
+    # -> NULL hash
     lumed = staged.select(
-        id_col, "_ok", *[samp(k).alias(f"_s{k}") for k in range(n_bits)]
+        id_col,
+        "_ok",
+        F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)), samp).alias("_ss"),
+    ).withColumn(
+        "_tot", F.aggregate("_ss", F.lit(0).cast("long"), lambda a, x: a + x)
     )
-    total = F.col("_s0")
-    for k in range(1, n_bits):
-        total = total + F.col(f"_s{k}")
-    lumed = lumed.withColumn("_tot", total)
     # LONG accumulation for the same reason as image_ahash: n_bits >= 32
     # sets bits past int range, and bit 63 is the sign bit
-    ahash = (F.lit(n_bits) * F.col("_s0") > F.col("_tot")).cast("long")
-    for k in range(1, n_bits):
-        ahash = ahash + (
-            F.lit(n_bits) * F.col(f"_s{k}") > F.col("_tot")
-        ).cast("long") * F.shiftleft(F.lit(1).cast("long"), k)
+    weights = F.array(
+        *[F.shiftleft(F.lit(1).cast("long"), k) for k in range(n_bits)]
+    )
+    ahash = F.aggregate(
+        F.zip_with(
+            F.col("_ss"),
+            weights,
+            lambda s, w: F.when(
+                F.lit(n_bits) * s > F.col("_tot"), w
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
     return lumed.select(
         F.col(id_col),
-        F.when(F.col("_ok"), ahash).cast("long").alias("ahash"),
+        F.when(F.col("_ok") & F.col("_tot").isNotNull(), ahash)
+        .cast("long")
+        .alias("ahash"),
     )

@@ -41,7 +41,12 @@ remaining corpus, per artifact:
   avgdl) derive from ``doclens`` at query time, so they follow
   automatically,
 - ``emb_index`` — per ``eval_id`` rows under a frozen centroid
-  codebook; an anti-join is the rebuild.
+  codebook; an anti-join is the rebuild,
+- ``ann_codes`` — the IVF-PQ serving table
+  (:func:`.similarity.build_ivfpq_index`): per-vector code rows under
+  the frozen ``ann_model`` (centroids + codebooks stay, exactly like
+  ``nb_model`` — a takedown doesn't retrain), so the row delete is the
+  rebuild and served queries stop returning the vector immediately.
 
 Scale: every cascade step is O(|deleted| + touched partitions), never
 O(corpus) — anti-joins broadcast the (human-scale) takedown batch, and
@@ -190,6 +195,7 @@ def takedown_docs(
     admission_prefix: str | None = None,
     retrieval_prefix: str | None = None,
     emb_index_ids: DataFrame | None = None,
+    ann_codes_table: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -245,13 +251,22 @@ def takedown_docs(
             # a batch_id-guarded replay no-ops (same snapshot back):
             # report 0 delta rows so the caller sees the idempotent skip
             removed[t] = 0 if snap.snapshot_id == before else neg.count()
-        if emb_index_ids is not None:
-            eids = _collect_values(
-                emb_index_ids.select(emb_index_ids.columns[0]).distinct(),
-                "embedding ids",
-            )
-            _delete(f"{admission_prefix}_emb_index", "eval_id", eids)
     if retrieval_prefix is not None:
         _delete(f"{retrieval_prefix}_postings", "doc_id", ids)
         _delete(f"{retrieval_prefix}_doclens", "doc_id", ids)
+    if emb_index_ids is not None and (
+        admission_prefix is not None or ann_codes_table is not None
+    ):
+        eids = _collect_values(
+            emb_index_ids.select(emb_index_ids.columns[0]).distinct(),
+            "embedding ids",
+        )
+        if admission_prefix is not None:
+            _delete(f"{admission_prefix}_emb_index", "eval_id", eids)
+        if ann_codes_table is not None:
+            # the IVF-PQ serving layout (`similarity.build_ivfpq_index`):
+            # codes are per-vector rows under a FROZEN model (centroids +
+            # codebooks stay, like nb_model — deleting vectors doesn't
+            # retrain the codebook), so the row delete IS the rebuild
+            _delete(ann_codes_table, "vec_id", eids)
     return removed

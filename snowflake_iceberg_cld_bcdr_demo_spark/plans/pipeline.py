@@ -6051,15 +6051,26 @@ def takedown_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks.  Right-to-be-forgotten is a first-class pipeline
     operation: without this cascade a deleted document keeps gating
     admissions, keeps being retrievable, and keeps its embedding
-    probe-able (the reference demo has no delete path at all)."""
+    probe-able (the reference demo has no delete path at all).
+
+    Plan shape: each artifact (cascaded AND rebuilt) is staged with a
+    lazy lineage cut before the eight audit rows consume it — every
+    artifact COMPUTES ONCE even though the count and both sides of the
+    equality certificate read it (without the cut the union re-derived
+    the admission state per consumer: 102 static exchanges; an audit is
+    O(corpus) by definition of the certificate, but not O(corpus)
+    repeated per row)."""
     from ..functions.text import fingerprint
     from ..operators import takedown
+
+    def stage(df: DataFrame) -> DataFrame:
+        return df.localCheckpoint(eager=False)
 
     docs = table(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
-    curated = (
+    curated = stage(
         docs.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)
         .drop("_rk")
@@ -6067,10 +6078,21 @@ def takedown_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deleted = curated.filter(F.col("doc_id") % 7 == 3)
     remaining = curated.filter(F.col("doc_id") % 7 != 3)
 
-    state = corpus.admission_state(curated, F.lit(True))
+    state = {
+        k: stage(v)
+        for k, v in corpus.admission_state(curated, F.lit(True)).items()
+    }
+    # the cascade is anti-joins over the staged state — cheap to
+    # re-evaluate per consumer, no second stage needed
     out = takedown.delete_docs_from_admission_state(state, deleted)
-    rebuilt = corpus.admission_state(remaining, F.lit(True))
+    rebuilt = {
+        k: stage(v)
+        for k, v in corpus.admission_state(remaining, F.lit(True)).items()
+    }
 
+    # the retrieval/embedding artifacts are NOT staged: checkpointing
+    # the positions-array postings to local storage costs more than
+    # their one groupBy recompute from the (staged) curated frame
     idx = retrieval.retrieval_index(curated)
     idx_out = takedown.delete_docs_from_retrieval_index(
         idx, deleted.select("doc_id")

@@ -179,3 +179,86 @@ def test_takedown_anti_joins_broadcast_deleted_side(spark):
     plan = out["postings"]._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin LeftAnti" not in plan
+
+
+def test_takedown_ann_codes_table(spark, tmp_path):
+    """Takedown through the IVF-PQ serving layout: deleted vectors leave
+    the partition-pruned codes table (per-vector rows under the FROZEN
+    model — the row delete IS the rebuild, like ivf_index), the model
+    stays, and a served query no longer returns them."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    )
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="td_ann")
+    similarity.build_ivfpq_index(cat, "ann", unit, n_cells=4, m=8, k=16)
+    n_before = cat.current_snapshot("ann", "ann_codes").row_count
+    model_before = sorted(map(tuple, cat.load("ann", "ann_model").collect()))
+
+    # the pre-takedown top-10 from vec 0 — delete its top hit
+    served = similarity.ivfpq_query_index(
+        cat, "ann", unit, query_vec_id=0, k=10, nprobe=4
+    ).collect()
+    victim = served[0].vec_id
+    deleted_docs = spark.createDataFrame(
+        [(victim, "", "s")], "doc_id long, text string, source string"
+    )
+    removed = takedown.takedown_docs(
+        cat, "ann", deleted_docs,
+        ann_codes_table="ann_codes",
+        emb_index_ids=spark.createDataFrame([(victim,)], "vec_id long"),
+    )
+    assert removed["ann_codes"] == 1
+    assert cat.current_snapshot("ann", "ann_codes").row_count == n_before - 1
+    assert cat.load("ann", "ann_codes").filter(
+        F.col("vec_id") == victim
+    ).count() == 0
+    # model frozen
+    assert sorted(map(tuple, cat.load("ann", "ann_model").collect())) == model_before
+    # the served answer no longer contains the deleted vector
+    after = similarity.ivfpq_query_index(
+        cat, "ann", unit, query_vec_id=0, k=10, nprobe=4
+    ).collect()
+    assert victim not in {r.vec_id for r in after}
+
+
+def test_takedown_enables_readmission(spark, corpus_docs, tmp_path):
+    """The right-to-be-forgotten semantics end to end: while a doc is in
+    the corpus its resubmission is rejected by the exact gate; after
+    takedown_docs its fingerprint has left the admission index, so the
+    SAME text is admissible again — forgetting really forgets."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="td_readmit")
+    cat.create_table("db", "corpus", corpus_docs)
+    C.save_admission_state(
+        cat, "db", "adm",
+        corpus.admission_state(corpus_docs, F.lit(True), nb_top_frac=1.0),
+    )
+    doc3 = corpus_docs.filter(F.col("doc_id") == 3)
+    resubmit = doc3.select(
+        F.lit(300).cast("long").alias("doc_id"), "text", "source"
+    )
+    kw = dict(token_budget=100_000, shares={"src0": 1.0}, nb_top_frac=1.0)
+
+    def decide():
+        return {
+            r.doc_id: r
+            for r in corpus.curated_incremental_admit(
+                resubmit, None, F.lit(True),
+                state=C.load_admission_state(cat, "db", "adm"), **kw
+            ).collect()
+        }
+
+    before = decide()
+    assert not before[300].e_keep  # exact dup of the live doc 3
+
+    takedown.takedown_docs(
+        cat, "db", doc3,
+        corpus_table="corpus", admission_prefix="adm",
+        batch_id=0, writer_id="td",
+    )
+    after = decide()
+    assert after[300].e_keep and after[300].admitted
