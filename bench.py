@@ -161,10 +161,11 @@ EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
 STREAM_EXTRA = "stream_curated_admission_two_waves"
 
 EXTRA_BUDGETS = {
-    # ~1.35x the r12 steady-state median (22.2 s) — min-adjudicated,
-    # tightened from the 40 s r9 placeholder the cold-discard protocol
-    # made ~2x loose
-    "curated_corpus_report": 30.0,
+    # in-session r12 spread: medians 22.2-29.8 s, best runs 22-26 s
+    # (the eleven-gate composed pipeline is the most variance-exposed
+    # extra) — 35 s is ~1.35x the worst observed best-run,
+    # min-adjudicated, tightened from the 40 s r9 placeholder
+    "curated_corpus_report": 35.0,
     # ~1.8x the r12 measured two-wave wall (13.6 s); single-shot (no
     # min-of-runs protection), so it keeps the wider margin
     STREAM_EXTRA: 25.0,
@@ -422,7 +423,14 @@ def main() -> None:
             # remains (a two-wave sf1 ingest is minutes); a skip is
             # recorded, and BASELINE.md carries a measured number
             stream_skip = None
-            if degraded is None and time.perf_counter() - T_START <= SF1_BUDGET_S:
+            # the stream spot (~30-60 s) gets its own allowance under
+            # the HARD cap: gating it on the soft budget — which the
+            # sf0.1 phase alone already consumes on a normal run — kept
+            # it permanently skipped in r11/r12 records
+            if (
+                degraded is None
+                and time.perf_counter() - T_START <= SF1_HARD_CAP_S - 180
+            ):
                 spot_load[STREAM_EXTRA] = _loadavg1()
                 spot[STREAM_EXTRA] = _time_stream_admission(spark, SF1_DIR)
                 base = max(extras.get(STREAM_EXTRA, 0.0), 0.001)

@@ -201,6 +201,7 @@ def takedown_docs(
     group_col: str = "source",
     batch_id: int | None = None,
     writer_id: str | None = None,
+    mode: str = "cow",
 ) -> dict[str, int]:
     """One-call lakehouse takedown: cascade ``deleted_docs`` through the
     corpus table and every registered persisted artifact.  Returns per-
@@ -215,10 +216,25 @@ def takedown_docs(
     until ``expire_snapshots``; run it after a takedown when the point
     is to make the bytes unreachable.
 
+    ``mode="mor"`` switches every row delete to merge-on-read equality
+    deletes (:meth:`~..sources.lakehouse.LakehouseCatalog
+    .delete_where_mor`): the commit writes only the matched key tuples
+    as a delete dir and readers anti-join it — O(matched keys) write
+    cost per takedown instead of a partition rewrite, the right shape
+    for a TRICKLE of opt-out requests against a 100 TB corpus.  Reads
+    stay correct immediately; run the table compaction
+    (:meth:`compact` / :func:`.retrieval.compact_retrieval_index`) on
+    the usual maintenance cadence to materialize the deletes, and note
+    the BYTES remain until that compaction + snapshot expiry (MoR
+    defers the physical scrub — "cow" is the choice when the point is
+    immediate unreachability).
+
     Scale: the id/fingerprint collects are bounded
     (:data:`MAX_TAKEDOWN_IDS`); each ``delete_where`` rewrites only data
     dirs whose column bounds admit a match (Bloom/minmax-pruned), so a
     takedown touches O(batch) state, never O(corpus)."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"takedown_docs: mode must be 'cow' or 'mor', got {mode!r}")
     d = _norm_deleted(deleted_docs, text_col, id_col, group_col)
     ids = _collect_values(d.select("doc_id").distinct(), "doc ids")
     removed: dict[str, int] = {}
@@ -227,7 +243,15 @@ def takedown_docs(
         if not values or not catalog.table_exists(namespace, table):
             return
         before = catalog.current_snapshot(namespace, table).row_count
-        after = catalog.delete_where(namespace, table, [(col, "in", values)])
+        if mode == "mor":
+            # equality-delete dir keyed on the delete column: O(matched
+            # keys) written, no data-dir rewrite; row_count reflects the
+            # logical table either way
+            after = catalog.delete_where_mor(
+                namespace, table, [(col, "in", values)], equality_cols=[col]
+            )
+        else:
+            after = catalog.delete_where(namespace, table, [(col, "in", values)])
         removed[table] = before - after.row_count
 
     if corpus_table is not None:

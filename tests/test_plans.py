@@ -123,6 +123,11 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("event_value_deciles_approx", 2),   # sketch agg + rank recount
         ("heavy_hitters_approx", 3),         # exact rollup + sketch + total
         ("compression_quality_signals", 0),  # Arrow stage + broadcast join
+        # 8 artifact rows x (count + multiset-equality certificate) over
+        # staged (lineage-cut) state frames; an audit is O(corpus) by
+        # definition, but the cut keeps each artifact computed once —
+        # unstaged this was 102
+        ("takedown_cascade_audit", 40),
     ],
 )
 def test_shuffle_budgets(spark, name, max_exchanges):

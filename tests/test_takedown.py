@@ -262,3 +262,47 @@ def test_takedown_enables_readmission(spark, corpus_docs, tmp_path):
     )
     after = decide()
     assert after[300].e_keep and after[300].admitted
+
+
+def test_takedown_docs_mor_mode(spark, corpus_docs, tmp_path):
+    """mode="mor": the cascade commits equality-delete dirs instead of
+    rewriting data dirs — O(matched keys) write cost, reads correct
+    immediately, original data dirs untouched until compaction
+    materializes the deletes."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="td_mor")
+    cat.create_table("db", "corpus", corpus_docs)
+    C.save_admission_state(
+        cat, "db", "adm",
+        corpus.admission_state(corpus_docs, F.lit(True), nb_top_frac=1.0),
+    )
+    dirs_before = cat.current_snapshot("db", "corpus").data_dirs
+
+    deleted = corpus_docs.filter(F.col("doc_id").isin(3, 10))
+    remaining = corpus_docs.filter(~F.col("doc_id").isin(3, 10))
+    removed = takedown.takedown_docs(
+        cat, "db", deleted,
+        corpus_table="corpus", admission_prefix="adm",
+        batch_id=0, writer_id="td-mor", mode="mor",
+    )
+    assert removed["corpus"] == 2 and removed["adm_fingerprints"] == 2
+
+    # reads are correct immediately, with the ORIGINAL data dirs intact
+    assert {r.doc_id for r in cat.load("db", "corpus").collect()} == {
+        r.doc_id for r in remaining.collect()
+    }
+    assert cat.current_snapshot("db", "corpus").data_dirs == dirs_before
+    rebuilt = corpus.admission_state(remaining, F.lit(True), nb_top_frac=1.0)
+    _assert_df_equal(
+        C.load_admission_state(cat, "db", "adm")["fingerprints"],
+        rebuilt["fingerprints"],
+        "fingerprints (mor)",
+    )
+
+    # compaction materializes the equality deletes
+    cat.compact("db", "corpus")
+    assert cat.load("db", "corpus").count() == 5
+
+    with pytest.raises(ValueError, match="mode must be"):
+        takedown.takedown_docs(cat, "db", deleted, mode="bogus")
