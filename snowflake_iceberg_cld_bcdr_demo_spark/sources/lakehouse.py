@@ -277,6 +277,57 @@ class LakehouseCatalog:
         # parquet column statistics (INT96 has none), which file-level
         # skipping and footer-derived metrics depend on.
         spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # opt-in engine-enforced RBAC: (GrantRegistry, active role) or
+        # None = unenforced (the default — backward compatible)
+        self._rbac: tuple | None = None
+
+    # -- RBAC enforcement --------------------------------------------------
+    def enable_rbac(self, registry, role: str) -> None:
+        """Turn ON engine-side access enforcement for this catalog
+        handle: every table read (:meth:`load` — the choke point for
+        time travel, filters and branches too) requires ``SELECT`` and
+        every commit (:meth:`_publish_manifest` — the single CAS point
+        all write paths publish through) requires ``WRITE`` (or
+        ``ALL``) on ``{namespace}.{table}`` for the ACTIVE role, checked
+        against a :class:`..jobs.grants.GrantRegistry` with the full
+        Snowflake-style role-hierarchy + wildcard (future-grant)
+        semantics the registry models.  This closes the gap between the
+        reference's engine-enforced RBAC (`00_prereqs_rbac.sql:22-44`)
+        and a registry that was previously audit-only: with enforcement
+        on, a direct ``catalog.load()`` by an ungranted role raises
+        ``PermissionError`` instead of succeeding.
+
+        Scope (honest): enforcement is per CATALOG HANDLE, not per JVM —
+        code holding a different (or un-enabled) handle to the same
+        warehouse path bypasses it, exactly like any library-level
+        guard; the reference's cloud engine enforces at the service
+        boundary, which Spark does not have (SURVEY.md §1.1)."""
+        self._rbac = (registry, role)
+
+    def set_role(self, role: str) -> None:
+        """Switch the active role (Snowflake ``USE ROLE``).  Requires
+        enforcement to be enabled."""
+        if self._rbac is None:
+            raise ValueError("set_role: enable_rbac first")
+        self._rbac = (self._rbac[0], role)
+
+    def disable_rbac(self) -> None:
+        self._rbac = None
+
+    def _check_privilege(self, namespace: str, table: str, privilege: str) -> None:
+        if self._rbac is None:
+            return
+        registry, role = self._rbac
+        obj = f"{namespace}.{table}"
+        if registry.has_privilege(role, "TABLE", obj, privilege) or (
+            privilege != "ALL"
+            and registry.has_privilege(role, "TABLE", obj, "ALL")
+        ):
+            return
+        raise PermissionError(
+            f"role '{role}' lacks {privilege} on TABLE {obj} "
+            f"(catalog '{self.name}' enforces the grant registry)"
+        )
 
     # -- paths -----------------------------------------------------------
     def _table_path(self, namespace: str, table: str) -> str:
@@ -315,7 +366,11 @@ class LakehouseCatalog:
 
     def _publish_manifest(self, namespace: str, table: str, manifest: dict, version: int) -> None:
         """Atomically publish manifest ``version`` — fails with
-        FileExistsError if another writer already committed it (the CAS)."""
+        FileExistsError if another writer already committed it (the CAS).
+        ALSO the RBAC write gate: every mutation path (create, append,
+        merge, delete CoW/MoR, compaction, branch ops) commits through
+        here, so one check covers them all."""
+        self._check_privilege(namespace, table, "WRITE")
         vpath = self._version_path(namespace, table, version)
         tmp = vpath + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -2848,6 +2903,9 @@ class LakehouseCatalog:
         same predicates are then applied as normal ``filter`` calls, so
         results never depend on stats and Spark still pushes them to the
         parquet row-group level (the second pruning tier)."""
+        # RBAC read gate: every read shape (current, time travel,
+        # branch/tag, filtered) resolves through this method
+        self._check_privilege(namespace, table, "SELECT")
         manifest = self._read_manifest(namespace, table)
         if ref is not None:
             if snapshot_id is not None or as_of_timestamp is not None:

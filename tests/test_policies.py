@@ -120,3 +120,62 @@ def test_purge_consistent_across_catalog_paths(spark, tmp_path):
         if v.endswith("users"):
             assert spark.table(v).filter("id = 42").count() == 0
             assert spark.table(v).count() == 199
+
+
+def test_engine_enforced_rbac_on_catalog(spark, tmp_path):
+    """Opt-in engine enforcement (closing the audit-only gap): with
+    enable_rbac a direct catalog.load() by an ungranted role raises,
+    SELECT flows down the role hierarchy and through wildcard (future)
+    grants, every write path is gated at the commit choke point, and
+    disable_rbac restores the unenforced default."""
+    import pytest
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.jobs.grants import GrantRegistry
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    wh = str(tmp_path / "wh")
+    cat = LakehouseCatalog(spark, wh, name="rbac")
+    df = spark.range(5).selectExpr("id", "id * 2 AS v")
+    cat.create_table("prod", "t", df)
+
+    reg = GrantRegistry(wh, "acct")
+    reg.create_role("iceberg_admin")
+    reg.create_role("iceberg_engineer", granted_to="iceberg_admin")
+    reg.create_role("iceberg_analyst", granted_to="iceberg_engineer")
+    # future-grant wildcard SELECT for analysts; engineer-level WRITE
+    reg.grant("TABLE", "prod.*", "iceberg_analyst", "SELECT")
+    reg.grant("TABLE", "prod.*", "iceberg_engineer", "WRITE")
+
+    cat.enable_rbac(reg, "iceberg_analyst")
+    assert cat.load("prod", "t").count() == 5  # wildcard SELECT
+    with pytest.raises(PermissionError, match="lacks WRITE"):
+        cat.append("prod", "t", df)
+    # time travel goes through the same gate
+    snap = cat.current_snapshot("prod", "t")
+    assert cat.load("prod", "t", snapshot_id=snap.snapshot_id).count() == 5
+
+    # the hierarchy flows child -> parent: engineer inherits analyst's
+    # SELECT and carries its own WRITE
+    cat.set_role("iceberg_engineer")
+    cat.append("prod", "t", df)
+    assert cat.load("prod", "t").count() == 10
+
+    # an unknown/ungranted role can do neither
+    cat.set_role("intern")
+    with pytest.raises(PermissionError, match="lacks SELECT"):
+        cat.load("prod", "t")
+    with pytest.raises(PermissionError, match="lacks WRITE"):
+        cat.delete_where("prod", "t", [("id", "=", 1)])
+
+    # outside the granted namespace nothing leaks through the wildcard
+    cat.set_role("iceberg_analyst")
+    cat.disable_rbac()
+    cat.create_table("other", "s", df)
+    cat.enable_rbac(reg, "iceberg_analyst")
+    with pytest.raises(PermissionError, match="lacks SELECT"):
+        cat.load("other", "s")
+
+    cat.disable_rbac()
+    assert cat.load("other", "s").count() == 5
