@@ -202,6 +202,7 @@ def takedown_docs(
     batch_id: int | None = None,
     writer_id: str | None = None,
     mode: str = "cow",
+    scrub: bool = False,
 ) -> dict[str, int]:
     """One-call lakehouse takedown: cascade ``deleted_docs`` through the
     corpus table and every registered persisted artifact.  Returns per-
@@ -228,6 +229,15 @@ def takedown_docs(
     the BYTES remain until that compaction + snapshot expiry (MoR
     defers the physical scrub — "cow" is the choice when the point is
     immediate unreachability).
+
+    ``scrub=True`` finishes the legal-erasure story in the same call:
+    every table the cascade touched is compacted (materializing MoR
+    delete dirs) and its snapshot history expired to the post-takedown
+    head, so the deleted rows' BYTES become unreachable — no time
+    travel to the pre-takedown state remains.  Incompatible with
+    streams that might crash-replay a pre-takedown batch against those
+    tables (the same caveat as all lakehouse maintenance: run between
+    stream runs).
 
     Scale: the id/fingerprint collects are bounded
     (:data:`MAX_TAKEDOWN_IDS`); each ``delete_where`` rewrites only data
@@ -293,4 +303,13 @@ def takedown_docs(
             # codebooks stay, like nb_model — deleting vectors doesn't
             # retrain the codebook), so the row delete IS the rebuild
             _delete(ann_codes_table, "vec_id", eids)
+    if scrub:
+        # physical erasure: rewrite each touched table without the
+        # deleted rows (materializes MoR delete dirs too) and drop the
+        # pre-takedown snapshot history so its data dirs are reclaimed
+        for t in removed:
+            if t.endswith("_consumed"):
+                continue  # a delta log — nothing deleted, nothing to scrub
+            catalog.compact(namespace, t)
+            catalog.expire_snapshots(namespace, t, keep_last=1)
     return removed

@@ -306,3 +306,32 @@ def test_takedown_docs_mor_mode(spark, corpus_docs, tmp_path):
 
     with pytest.raises(ValueError, match="mode must be"):
         takedown.takedown_docs(cat, "db", deleted, mode="bogus")
+
+
+def test_takedown_scrub_makes_bytes_unreachable(spark, corpus_docs, tmp_path):
+    """scrub=True: after the cascade, the touched tables compact and
+    expire to the post-takedown head — time travel to the pre-takedown
+    snapshot raises (the deleted rows' bytes are reclaimed), while the
+    logical contents stay exactly the post-takedown state."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="td_scrub")
+    cat.create_table("db", "corpus", corpus_docs)
+    retrieval.save_retrieval_index(
+        cat, "db", "idx", retrieval.retrieval_index(corpus_docs)
+    )
+    pre = cat.current_snapshot("db", "corpus").snapshot_id
+
+    deleted = corpus_docs.filter(F.col("doc_id").isin(3, 10))
+    takedown.takedown_docs(
+        cat, "db", deleted,
+        corpus_table="corpus", retrieval_prefix="idx", scrub=True,
+    )
+    assert cat.load("db", "corpus").count() == 5
+    with pytest.raises(Exception, match="expired|not found|no snapshot"):
+        cat.load("db", "corpus", snapshot_id=pre).count()
+    # the index scrubbed too, and still serves correctly
+    remaining = corpus_docs.filter(~F.col("doc_id").isin(3, 10))
+    _assert_df_equal(
+        retrieval.load_retrieval_index(cat, "db", "idx")["doclens"],
+        retrieval.retrieval_index(remaining)["doclens"],
+        "doclens after scrub",
+    )
