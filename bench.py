@@ -86,6 +86,69 @@ def _loadavg1() -> float:
     except OSError:  # platform without getloadavg
         return -1.0
 
+
+def _compact_record(out: dict) -> dict:
+    """The driver keeps only the last ~2,000 chars of stdout; r12's
+    4,170-char line left ``BENCH_r12.json`` with ``parsed: null``.  The
+    LAST stdout line therefore carries only the adjudicated facts —
+    medians, breaches, sf1 ratios — and points at ``BENCH_DETAIL.json``
+    for per-run / loadavg diagnostics.  ``tests/test_bench_contract.py``
+    pins a fully-populated worst case under 1,800 chars."""
+    rec = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+        "extras": {k: round(v, 2) for k, v in out["extras"].items()},
+        "budget_breaches": {
+            n: {k: b[k] for k in ("best", "budget", "coload") if k in b}
+            for n, b in out["budget_breaches"].items()
+        },
+        "loadavg_start": out["loadavg_start"],
+        "loadavg_end": out["loadavg_end"],
+        "cpus": out["cpus"],
+        "sf": out["sf"],
+        "detail": "BENCH_DETAIL.json",
+    }
+    spot = out.get("sf1_spot")
+    if spot is not None:
+        rec["sf1_spot"] = {
+            k: spot[k]
+            for k in (
+                "scale_multiple",
+                "ratio_vs_linear",
+                "anomalies",
+                "skipped",
+                "skipped_queries",
+                "error",
+            )
+            if k in spot
+        }
+        if "degraded" in spot:  # full prose stays in BENCH_DETAIL.json
+            rec["sf1_spot"]["degraded"] = True
+    # last-resort shrink: should the record ever outgrow the capture
+    # anyway (e.g. every budget breached at once), shed the LIGHTEST
+    # entries pool by pool — per-query medians first, then extras, then
+    # the smallest (least alarming) scale ratios — before losing
+    # value / breaches / anomalies off the top.  Everything shed is
+    # still in BENCH_DETAIL.json.
+    def _len() -> int:
+        return len(json.dumps(rec, separators=(",", ":")))
+
+    pools = [rec["queries"], rec["extras"]]
+    if "sf1_spot" in rec:
+        pools.append(rec["sf1_spot"].get("ratio_vs_linear", {}))
+    for pool in pools:
+        while _len() > 1900 and pool:
+            del pool[min(pool, key=pool.get)]
+            rec["omitted"] = rec.get("omitted", 0) + 1
+    if _len() > 1900:  # final stage: breach dicts -> [best, budget(, "coload")]
+        rec["budget_breaches"] = {
+            n: [b.get("best"), b.get("budget")] + (["coload"] if b.get("coload") else [])
+            for n, b in rec["budget_breaches"].items()
+        }
+    return rec
+
 #: Headline set: the flagship + the heaviest relational shapes + one of
 #: each pipeline family (dedup / similarity / text).
 HEADLINE = [
@@ -457,7 +520,14 @@ def main() -> None:
             out["sf1_spot"] = {"error": f"{type(ex).__name__}: {ex}"}
             print(f"# sf1_spot failed: {ex}", file=sys.stderr)
 
-    print(json.dumps(out))
+    # full diagnostics (per-run timings, per-run loadavg, spot loadavg)
+    # go to a side file + stderr; the LAST stdout line stays compact so
+    # the driver's 2,000-char tail capture always parses it
+    detail_path = REPO / "BENCH_DETAIL.json"
+    with open(detail_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"# full diagnostics: {detail_path}", file=sys.stderr)
+    print(json.dumps(_compact_record(out), separators=(",", ":")))
 
 
 if __name__ == "__main__":
