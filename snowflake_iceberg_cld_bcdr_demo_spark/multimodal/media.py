@@ -1218,6 +1218,19 @@ def media_neardup_pairs(
         # min 2 keeps every band at least 2 bits wide
         bands = max(max_hamming + 1, 2)
     width = bits // bands
+    if width < 16 and max_band_bucket is None:
+        import warnings
+
+        # r12 review: 16-bit audio hashes at 2 bands gave 2^8 band-key
+        # values — every bucket ~n/256 assets, quadratic at corpus scale
+        warnings.warn(
+            f"media_neardup_pairs: {bits}-bit hashes over {bands} bands give "
+            f"only 2^{width} band-key values — buckets grow O(n) and the "
+            "pair join degenerates quadratic at corpus scale; pass "
+            "max_band_bucket (or use >= 32-bit fingerprints)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     mask = (1 << width) - 1
     banded = fingerprints.select(
         F.col("asset_id").alias("doc_id"),
@@ -1457,7 +1470,7 @@ def image_ahash(
 
 def audio_ahash(
     df: DataFrame,
-    n_bits: int = 16,
+    n_bits: int = 64,
     content_col: str = "content",
     id_col: str = "asset_id",
 ) -> DataFrame:
@@ -1472,9 +1485,15 @@ def audio_ahash(
     :func:`image_ahash`'s brightness invariance.
 
     Non-WAV or truncated content yields a NULL hash.  Pair mining
-    reuses :func:`media_neardup_pairs` with ``bits=n_bits``.  Scale:
-    one narrow projection, no shuffle; cut lineage before a self-join
-    (the image-aHash ProjectCollapsing lesson)."""
+    reuses :func:`media_neardup_pairs` with ``bits=n_bits``.  The
+    64-bit default mirrors :func:`image_ahash`'s r12 scale fix: a
+    16-bit hash gives the banded join only 2⁸ band-key values at
+    hamming ≤ 1, so at corpus scale every bucket holds ~n/256 assets
+    and the join degenerates quadratic — 64 bits keeps buckets sparse
+    (pass a smaller ``n_bits`` only for toy fixtures, with a
+    ``max_band_bucket`` cap on the mining side).  Scale: one narrow
+    projection, no shuffle; cut lineage before a self-join (the
+    image-aHash ProjectCollapsing lesson)."""
     if not 4 <= n_bits <= 64:
         raise ValueError(f"audio_ahash: n_bits must be in [4, 64], got {n_bits}")
     c = F.col(content_col)
@@ -1522,6 +1541,112 @@ def audio_ahash(
             lambda s, w: F.when(
                 F.lit(n_bits) * s > F.col("_tot"), w
             ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return lumed.select(
+        F.col(id_col),
+        F.when(F.col("_ok") & F.col("_tot").isNotNull(), ahash)
+        .cast("long")
+        .alias("ahash"),
+    )
+
+
+def video_ahash(
+    df: DataFrame,
+    t_slots: int = 8,
+    s_slots: int = 8,
+    content_col: str = "content",
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """FRAME-domain video near-dup fingerprint — the video member of the
+    perceptual-dedup trio (:func:`image_ahash` / :func:`audio_ahash`):
+    a ``t_slots × s_slots`` average hash over the raw RVID container,
+    pure Catalyst (no decoder).  Bit ``ti·s_slots + si`` samples the
+    nearest-neighbor frame ``(ti·n_frames) div t_slots`` at pixel
+    ``(si·w·h) div s_slots`` (BGR24, top-down — the
+    `video_frame_profile` byte math), scores it with integer ITU-R 601
+    luma-millis, and sets the bit iff ``n·luma > Σ luma`` — exact
+    integer arithmetic, replayable in the DuckDB oracle, and exactly
+    invariant under a uniform brightness shift (no saturation), like
+    its image twin.  The temporal axis makes it robust to what
+    re-encodes actually perturb: a few edited frames damage only their
+    own time slots.
+
+    Defaults give the standard 64-bit hash — the corpus-scale choice
+    (small hashes starve the banded join's key space; see
+    :func:`media_neardup_pairs`).  Non-RVID or truncated content
+    yields a NULL hash.  Scale: one narrow codegen'd projection, no
+    shuffle; cut lineage before the self-join (the image-aHash
+    ProjectCollapsing lesson)."""
+    n = t_slots * s_slots
+    if not 2 <= t_slots <= 8 or not 2 <= s_slots <= 8:
+        raise ValueError(
+            f"video_ahash: t_slots/s_slots must be in [2, 8], got "
+            f"{t_slots}x{s_slots}"
+        )
+    c = F.col(content_col)
+    w, h, nf = _ule(c, 5, 2), _ule(c, 7, 2), _ule(c, 9, 2)
+    ok = (
+        _magic(c, 1, "52564944")
+        & (w > 0)
+        & (h > 0)
+        & (nf > 0)
+        # LONG arithmetic: junk headers parse to uint16s whose product
+        # overflows int under ANSI mode
+        & (
+            F.length(c).cast("long")
+            >= F.lit(12)
+            + w.cast("long") * h.cast("long") * F.lit(3) * nf.cast("long")
+        )
+    )
+    staged = df.select(
+        F.col(id_col),
+        _byte_array(c).alias("_ba"),
+        ok.alias("_ok"),
+        # dims NULL unless ok: the transform below still evaluates for
+        # junk rows, and NULL offsets propagate to the NULL-hash
+        # contract without overflowing the int sample math
+        F.when(ok, w).alias("_w"),
+        F.when(ok, h).alias("_h"),
+        F.when(ok, nf).alias("_nf"),
+    ).withColumn("_px", F.col("_w") * F.col("_h"))
+
+    def samp(k: F.Column) -> F.Column:
+        ti = F.floor(k / F.lit(s_slots)).cast("int")
+        si = (k % F.lit(s_slots)).cast("int")
+        fr = F.floor(
+            ti.cast("double") * F.col("_nf") / F.lit(float(t_slots))
+        ).cast("int")
+        px = F.floor(
+            si.cast("double") * F.col("_px") / F.lit(float(s_slots))
+        ).cast("int")
+        base = F.lit(12) + (fr * F.col("_px") + px) * 3
+        # try_element_at: junk headers give wild offsets; contract = NULL
+        bb = F.try_element_at(F.col("_ba"), base + 1)
+        bg = F.try_element_at(F.col("_ba"), base + 2)
+        br = F.try_element_at(F.col("_ba"), base + 3)
+        return F.lit(299) * br + F.lit(587) * bg + F.lit(114) * bb
+
+    lumed = staged.select(
+        id_col,
+        "_ok",
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), samp).alias("_ls"),
+    ).withColumn(
+        "_tot", F.aggregate("_ls", F.lit(0).cast("long"), lambda a, x: a + x)
+    )
+    # LONG accumulation + literal weight array: same codegen/sign-bit
+    # reasoning as image_ahash (bit 63 wraps to Long.MIN — correct
+    # two's-complement for the xor/bit_count pair mining)
+    weights = F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(n)])
+    ahash = F.aggregate(
+        F.zip_with(
+            F.col("_ls"),
+            weights,
+            lambda l, w: F.when(F.lit(n) * l > F.col("_tot"), w).otherwise(
+                F.lit(0).cast("long")
+            ),
         ),
         F.lit(0).cast("long"),
         lambda a, x: a + x,

@@ -1062,35 +1062,64 @@ def build_ivfpq_index(
     a few bytes per vector, the production serving layout.  Rebuild on
     drift (``jobs/lineage.snapshot_psi``) or on a schedule.
 
-    Returns {"model_rows", "encoded_rows", "n_cells"}."""
+    Returns {"model_rows", "encoded_rows", "n_cells", "version"}."""
     import json as _json
 
+    try:
+        _, _, prev = load_ann_model_versioned(cat, namespace)
+        version = (prev or 0) + 1
+    except Exception:
+        version = 1
     cents = kmeans_centroids(emb, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)[0]
     res = ivf_residuals(emb, cents, id_col, vec_col)
     books = pq_train(res, m=m, k=k, iters=iters, id_col=id_col, vec_col="residual")
     spark = emb.sparkSession
-    model_rows = [
-        ("centroid", i, _json.dumps(c)) for i, c in enumerate(cents)
-    ] + [
-        ("codebook", j, _json.dumps(book)) for j, book in enumerate(books)
-    ]
+    model_rows = (
+        [("centroid", i, _json.dumps(c)) for i, c in enumerate(cents)]
+        + [("codebook", j, _json.dumps(book)) for j, book in enumerate(books)]
+        # the version row pairs the model with its codes table: readers
+        # accept a (model, codes) pair only when the stamps agree, which
+        # is what makes a rebuild SWAP safe without a cross-table
+        # transaction (the two overwrites commit independently)
+        + [("version", version, _json.dumps({"n_cells": n_cells, "m": m, "k": k}))]
+    )
     model = spark.createDataFrame(
         model_rows, "kind string, idx int, payload string"
     )
-    cat.create_table(namespace, "ann_model", model, mode="overwrite")
-    encoded = pq_encode(res, books, id_col, vec_col="residual")
-    cat.create_table(
-        namespace, "ann_codes", encoded, partition_by=["cell"], mode="overwrite"
+    encoded = pq_encode(res, books, id_col, vec_col="residual").withColumn(
+        "model_version", F.lit(version)
     )
+    # codes land FIRST: when the new model becomes visible its codes
+    # already exist, so the only transient is (old model, new codes) —
+    # which the version check turns into a reload, never a wrong result.
+    # Rebuilds REPLACE (history-preserving snapshots: a reader pinned to
+    # the old pair keeps serving it; expire_snapshots reclaims later)
+    # rather than overwrite (which resets lineage and deletes old dirs).
+    if cat.table_exists(namespace, "ann_codes"):
+        cat.replace_table(namespace, "ann_codes", encoded)
+    else:
+        cat.create_table(namespace, "ann_codes", encoded, partition_by=["cell"])
+    if cat.table_exists(namespace, "ann_model"):
+        cat.replace_table(namespace, "ann_model", model)
+    else:
+        cat.create_table(namespace, "ann_model", model)
     return {
         "model_rows": len(model_rows),
         "encoded_rows": cat.current_snapshot(namespace, "ann_codes").row_count,
         "n_cells": n_cells,
+        "version": version,
     }
 
 
 def load_ann_model(cat, namespace: str) -> tuple[list, list]:
     """(centroids, codebooks) back from ``{namespace}.ann_model``."""
+    cents, books, _ = load_ann_model_versioned(cat, namespace)
+    return cents, books
+
+
+def load_ann_model_versioned(cat, namespace: str) -> tuple[list, list, int | None]:
+    """(centroids, codebooks, version) from ``{namespace}.ann_model`` —
+    version is None for a pre-versioning-era model table."""
     import json as _json
 
     rows = cat.load(namespace, "ann_model").collect()
@@ -1102,7 +1131,8 @@ def load_ann_model(cat, namespace: str) -> tuple[list, list]:
         _json.loads(r.payload)
         for r in sorted((r for r in rows if r.kind == "codebook"), key=lambda r: r.idx)
     ]
-    return cents, books
+    versions = [r.idx for r in rows if r.kind == "version"]
+    return cents, books, (max(versions) if versions else None)
 
 
 def ivfpq_query_index(
@@ -1122,9 +1152,6 @@ def ivfpq_query_index(
     tables, optionally reranked against full vectors for just the
     shortlist.  The corpus embedding table is touched ONLY for the
     query vector and the rerank ids."""
-    cents, books = load_ann_model(cat, namespace)
-    m, kk = len(books), len(books[0])
-    sub = len(books[0][0])
     q = emb.filter(F.col(id_col) == query_vec_id).select(vec_col).first()
     if q is None:
         raise ValueError(f"query vector {query_vec_id} not found")
@@ -1136,19 +1163,39 @@ def ivfpq_query_index(
         nb = sum(x * x for x in b) ** 0.5
         return num / (na * nb) if na and nb else 0.0
 
-    order = sorted(range(len(cents)), key=lambda c: (-_cos(qv, cents[c]), c))
-    probed = [int(c) for c in order[:nprobe]]
-    lut: list[float] = [0.0] * (len(cents) * m * kk)
-    for c in probed:
-        qr = [a - b for a, b in zip(qv, cents[c])]
-        for j in range(m):
-            qs = qr[j * sub : (j + 1) * sub]
-            for ci, cw in enumerate(books[j]):
-                lut[(c * m + j) * kk + ci] = sum(
-                    (a - b) * (a - b) for a, b in zip(qs, cw)
-                )
+    # version-paired read: a rebuild swaps ann_codes then ann_model as
+    # two independent CAS commits, so a reader can observe (old model,
+    # new codes); the stamps disagree there and the loop reloads — a
+    # mid-swap query either serves the OLD consistent pair (its codes
+    # snapshot read is immutable) or the NEW one, never a mix
+    for _attempt in range(3):
+        cents, books, ver = load_ann_model_versioned(cat, namespace)
+        m, kk = len(books), len(books[0])
+        sub = len(books[0][0])
+        order = sorted(range(len(cents)), key=lambda c: (-_cos(qv, cents[c]), c))
+        probed = [int(c) for c in order[:nprobe]]
+        lut: list[float] = [0.0] * (len(cents) * m * kk)
+        for c in probed:
+            qr = [a - b for a, b in zip(qv, cents[c])]
+            for j in range(m):
+                qs = qr[j * sub : (j + 1) * sub]
+                for ci, cw in enumerate(books[j]):
+                    lut[(c * m + j) * kk + ci] = sum(
+                        (a - b) * (a - b) for a, b in zip(qs, cw)
+                    )
+        codes = cat.load(namespace, "ann_codes", filters=[("cell", "in", probed)])
+        if ver is not None and "model_version" in codes.columns:
+            stamp = codes.select("model_version").first()
+            if stamp is not None and stamp[0] != ver:
+                continue  # swap in flight: reload the model and retry
+            codes = codes.filter(F.col("model_version") == ver)
+        break
+    else:
+        raise RuntimeError(
+            f"{namespace}.ann_model/ann_codes versions kept disagreeing "
+            "after 3 reads — is a rebuild_ann_index loop stuck mid-swap?"
+        )
     lut_lit = F.array(*[F.lit(v) for v in lut])
-    codes = cat.load(namespace, "ann_codes", filters=[("cell", "in", probed)])
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1198,12 +1245,115 @@ def refresh_ivfpq_index(
     O(delta), independent of index size.
 
     Returns {"appended_rows", "total_rows"}."""
-    cents, books = load_ann_model(cat, namespace)
+    cents, books, ver = load_ann_model_versioned(cat, namespace)
     encoded = pq_encode(
         ivf_residuals(new_vectors, cents, id_col, vec_col),
         books,
         id_col,
         vec_col="residual",
     )
+    if ver is not None:
+        # same stamp as the model that encoded them: the delta stays
+        # servable through the version-paired read
+        encoded = encoded.withColumn("model_version", F.lit(ver))
     snap = cat.append(namespace, "ann_codes", encoded)
     return {"appended_rows": snap.added_rows, "total_rows": snap.row_count}
+
+
+def rebuild_ann_index(
+    cat,
+    namespace: str,
+    surviving_emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Codebook RETRAIN + index SWAP — the maintenance story the frozen
+    IVF-PQ model needs (reference analog for the discipline: the MV
+    refresh task, `/root/reference/scripts/12_materialized_views.sql:6-9`
+    — precomputed artifacts carry a refresh job): after heavy takedown
+    or corpus drift the build-time centroids/codebooks stop fitting the
+    surviving distribution and recall decays silently, because
+    :func:`refresh_ivfpq_index` never retrains and
+    `ann_recall_datasheet` certifies recall only at build time.
+
+    Retrains centroids and PQ codebooks from ``surviving_emb`` (the
+    CURRENT corpus — post-takedown, post-drift), re-encodes it, and
+    swaps both tables under the usual manifest-CAS commits, version-
+    stamped: codes commit first, then the model, and
+    :func:`ivfpq_query_index` accepts a (model, codes) pair only when
+    their version stamps agree — so an in-flight query serves either
+    the old consistent pair or the new one, never a mix, with no
+    cross-table transaction.  History is preserved (time travel to the
+    pre-rebuild index still works until ``expire_snapshots``).
+
+    Pair with :func:`ann_recall_drift_check` on the maintenance
+    cadence: when measured recall@k sags under the datasheet floor,
+    rebuild.  Returns the :func:`build_ivfpq_index` dict (including the
+    new ``version``)."""
+    return build_ivfpq_index(
+        cat, namespace, surviving_emb,
+        n_cells=n_cells, m=m, k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def ann_recall_drift_check(
+    cat,
+    namespace: str,
+    emb: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    floor: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Replay the `ann_recall_datasheet` contract against the CURRENT
+    stored index: for each probe query, recall@k of
+    :func:`ivfpq_query_index` vs the exact brute-force top-k on the
+    CURRENT corpus ``emb``.  Build-time recall certifies the index once;
+    this is the drift alarm that tells you when :func:`rebuild_ann_index`
+    is due (takedowns thinned cells, a refresh appended a shifted
+    distribution, ...).
+
+    Driver cost is O(len(query_vec_ids)) index queries — probe with a
+    handful of ids on the maintenance cadence, not the corpus.  Returns
+    ``{"recall_at_k", "per_query", "k", "version", "rebuild_due"}``
+    (``rebuild_due`` is None unless ``floor`` is given)."""
+    if not query_vec_ids:
+        raise ValueError("ann_recall_drift_check: pass at least one query id")
+    per_query: dict[int, float] = {}
+    for qid in query_vec_ids:
+        exact = {
+            r[0]
+            for r in brute_force_topk(
+                emb, query_vec_id=qid, k=k, id_col=id_col, vec_col=vec_col
+            )
+            .select(id_col)
+            .collect()
+        }
+        got = {
+            r[0]
+            for r in ivfpq_query_index(
+                cat, namespace, emb, query_vec_id=qid,
+                k=k, nprobe=nprobe, rerank=rerank,
+                id_col=id_col, vec_col=vec_col,
+            )
+            .select(id_col)
+            .collect()
+        }
+        per_query[qid] = len(exact & got) / float(k)
+    mean = sum(per_query.values()) / len(per_query)
+    _, _, ver = load_ann_model_versioned(cat, namespace)
+    return {
+        "recall_at_k": round(mean, 4),
+        "per_query": per_query,
+        "k": k,
+        "version": ver,
+        "rebuild_due": (None if floor is None else mean < floor),
+    }

@@ -91,6 +91,7 @@ def delete_docs_from_admission_state(
     id_col: str = "doc_id",
     group_col: str = "source",
     deleted_emb_ids: DataFrame | None = None,
+    surviving_sources: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Cascade a takedown through an in-memory / loaded admission-state
     dict; returns a NEW dict (inputs untouched).  ``deleted_docs`` must
@@ -102,7 +103,16 @@ def delete_docs_from_admission_state(
     Equality contract (pytest-pinned): ``fingerprints``/``signatures``/
     ``consumed`` come out bit-equal to
     :func:`.corpus.admission_state`-on-remaining-docs; ``nb_model`` /
-    ``nb_tau`` are returned UNCHANGED (frozen — see module doc)."""
+    ``nb_tau`` are returned UNCHANGED (frozen — see module doc).
+
+    One documented edge: without ``surviving_sources``, a source is
+    dropped from ``consumed`` when its adjusted total reaches 0 — which
+    also drops a source that still has surviving docs whose BPE tokens
+    total zero, where the rebuild keeps a ``(source, 0)`` row.  Pass
+    ``surviving_sources`` (one source column — e.g. the distinct
+    sources of the post-delete corpus, a broadcast-sized frame) to make
+    the equality exact in that edge: consumed then keeps precisely the
+    surviving sources, zero totals included."""
     d = _norm_deleted(deleted_docs, text_col, id_col, group_col)
     del_fp = d.select(fingerprint(F.col("text")).alias("fingerprint")).distinct()
     del_ids = d.select("doc_id").distinct()
@@ -120,7 +130,7 @@ def delete_docs_from_admission_state(
         .join(F.broadcast(del_ids), "doc_id", "left_anti")
         .select(*state["signatures"].columns)
     )
-    out["consumed"] = (
+    adjusted = (
         state["consumed"]
         .join(F.broadcast(del_consumed), "source", "left")
         .select(
@@ -129,8 +139,17 @@ def delete_docs_from_admission_state(
                 "consumed"
             ),
         )
-        .filter(F.col("consumed") > 0)
     )
+    if surviving_sources is not None:
+        # exact rebuild semantics: keep precisely the sources that still
+        # have docs, zero-token totals included
+        surv = surviving_sources.select(
+            F.col(surviving_sources.columns[0]).alias("source")
+        ).distinct()
+        out["consumed"] = adjusted.join(F.broadcast(surv), "source", "left_semi")
+    else:
+        # heuristic: total 0 = source fully deleted (see docstring edge)
+        out["consumed"] = adjusted.filter(F.col("consumed") > 0)
     if deleted_emb_ids is not None and "emb_index" in state:
         eid = deleted_emb_ids.columns[0]
         out["emb_index"] = (
@@ -280,7 +299,17 @@ def takedown_docs(
             t = f"{admission_prefix}_consumed"
             before = catalog.current_snapshot(namespace, t).snapshot_id
             snap = catalog.append(
-                namespace, t, neg, batch_id=batch_id, writer_id=writer_id
+                namespace, t, neg,
+                batch_id=batch_id,
+                # takedowns get their OWN writer scope by default (r12
+                # review: writer_id=None made the delta's batch guard
+                # answer to ANY stream's batch numbers — a takedown with
+                # batch_id n silently skipped whenever some stream had
+                # committed batch >= n), and opt out of the pre-scoping
+                # legacy guard: takedown deltas postdate writer scoping,
+                # so an unscoped snapshot can never be a takedown replay.
+                writer_id=writer_id if writer_id is not None else "takedown",
+                legacy_batch_guard=False,
             )
             # a batch_id-guarded replay no-ops (same snapshot back):
             # report 0 delta rows so the caller sees the idempotent skip

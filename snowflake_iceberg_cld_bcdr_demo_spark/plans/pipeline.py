@@ -2271,8 +2271,8 @@ _AUDIO_AHASH_SQL = """
     ),
     samp AS (
         SELECT asset_id, CAST(t.i AS BIGINT) AS k,
-               (CAST(t.i AS BIGINT) * n0) // 16 AS pos, cx
-        FROM sigs CROSS JOIN range(16) t(i)
+               (CAST(t.i AS BIGINT) * n0) // 64 AS pos, cx
+        FROM sigs CROSS JOIN range(64) t(i)
     ),
     amp AS (
         SELECT asset_id, k,
@@ -2286,31 +2286,38 @@ _AUDIO_AHASH_SQL = """
         )
     ),
     tot AS (SELECT asset_id, SUM(a) AS total FROM amp GROUP BY asset_id),
-    hashes AS (
-        SELECT m.asset_id,
-               CAST(SUM(CASE WHEN 16 * m.a > t.total THEN 1 ELSE 0 END
-                        * (1 << CAST(m.k AS INTEGER))) AS BIGINT) AS ahash
+    bits AS (
+        -- per-bit table instead of a packed BIGINT: bit 63 of the
+        -- 64-bit aHash is the sign bit and DuckDB's 1<<63 overflows,
+        -- so hamming is summed bitwise (same value as bit_count(xor))
+        SELECT m.asset_id, m.k,
+               CASE WHEN 64 * m.a > t.total THEN 1 ELSE 0 END AS bit
         FROM amp m JOIN tot t USING (asset_id)
-        GROUP BY m.asset_id
     )
     SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
-           CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
-    FROM hashes a JOIN hashes b ON a.asset_id < b.asset_id
-    WHERE bit_count(xor(a.ahash, b.ahash)) <= 1
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+    FROM bits a JOIN bits b ON a.k = b.k AND a.asset_id < b.asset_id
+    GROUP BY a.asset_id, b.asset_id
+    HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 1
     """
 
 
-@_spec("audio_near_dup_ahash", _AUDIO_AHASH_SQL, changed_in=12)
+@_spec("audio_near_dup_ahash", _AUDIO_AHASH_SQL, changed_in=13)
 def audio_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAVEFORM-domain audio near-dup — the audio twin of
     `image_near_dup_ahash`: 400 decodable PCM16 WAVs + 10 planted
     duplicates, fingerprinted with the pure-Catalyst absolute-amplitude
-    average hash (`multimodal.media.audio_ahash` — 16 nearest-neighbor
+    average hash (`multimodal.media.audio_ahash` — now the 64-bit
+    DEFAULT, mirroring the image r12 scale fix: 64 nearest-neighbor
     int16 samples straight from the data chunk, bit = |amplitude| above
-    mean, exactly invariant under uniform gain) and mined at hamming ≤ 1
-    with the banded hamming join.  The oracle recomputes every int16
-    sample arithmetically from the md5 chain plus the exhaustive
-    all-pairs hamming set — hash AND banding guarantee certified."""
+    mean, exactly invariant under uniform gain; a 16-bit hash gave the
+    2-band join only 2^8 band-key values, quadratic at corpus scale)
+    and mined at hamming ≤ 1 with the hot-bucket-capped banded hamming
+    join.  The oracle recomputes every int16 sample arithmetically from
+    the md5 chain plus the exhaustive all-pairs hamming set, summed
+    PER-BIT (DuckDB's BIGINT shift cannot reach the sign bit) — hash
+    AND banding guarantee certified."""
     from ..multimodal.media import (
         audio_ahash,
         media_neardup_pairs,
@@ -2328,10 +2335,110 @@ def audio_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_ahash(wavs.unionByName(dups))
         .select("asset_id", F.col("ahash").alias("simhash"))
         # lineage cut before the self-join (image-aHash ProjectCollapsing
-        # lesson): the fingerprint table is 410 ints
+        # lesson): the fingerprint table is 410 longs
         .localCheckpoint(eager=False)
     )
-    return media_neardup_pairs(fp, max_hamming=1, bits=16)
+    return media_neardup_pairs(fp, max_hamming=1, bits=64)
+
+
+_VIDEO_AHASH_SQL = """
+    WITH base AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('VID-%06d', t.i) AS asset_id,
+               md5('13#vid#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(400) t(i)
+    ),
+    dims AS (
+        SELECT i, asset_id,
+               CAST(('0x' || substring(md5(h || 'w'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS w,
+               CAST(('0x' || substring(md5(h || 'h'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS ht,
+               CAST(('0x' || substring(md5(h || 'f'), 1, 8)) AS BIGINT) % 4 + 3
+                   AS nf,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+               || md5(h || '4') || md5(h || '5') || md5(h || '6') || md5(h || '7')
+               || md5(h || '8') || md5(h || '9') || md5(h || '10')
+               || md5(h || '11') || md5(h || '12') || md5(h || '13')
+               || md5(h || '14') || md5(h || '15') || md5(h || '16')
+               || md5(h || '17') || md5(h || '18') || md5(h || '19')
+               || md5(h || '20') || md5(h || '21') || md5(h || '22')
+               || md5(h || '23') || md5(h || '24') || md5(h || '25')
+               || md5(h || '26') || md5(h || '27') || md5(h || '28') AS cx
+        FROM base
+    ),
+    vids AS (
+        SELECT asset_id, w, ht, nf, cx FROM dims
+        UNION ALL
+        SELECT printf('DUP-%06d', i), w, ht, nf, cx FROM dims WHERE i < 10
+    ),
+    samp AS (
+        SELECT asset_id, cx, CAST(t.i AS BIGINT) AS k,
+               ((((CAST(t.i AS BIGINT) // 8) * nf) // 8) * (w * ht)
+                + ((CAST(t.i AS BIGINT) % 8) * (w * ht)) // 8) * 3 AS j
+        FROM vids CROSS JOIN range(64) t(i)
+    ),
+    lum AS (
+        SELECT asset_id, k,
+               299 * CAST(('0x' || substring(cx, 2 * (j + 2) + 1, 2)) AS BIGINT)
+             + 587 * CAST(('0x' || substring(cx, 2 * (j + 1) + 1, 2)) AS BIGINT)
+             + 114 * CAST(('0x' || substring(cx, 2 * (j + 0) + 1, 2)) AS BIGINT)
+                   AS luma
+        FROM samp
+    ),
+    tot AS (SELECT asset_id, SUM(luma) AS total FROM lum GROUP BY asset_id),
+    bits AS (
+        -- per-bit table instead of a packed BIGINT: bit 63 of the
+        -- 64-bit aHash is the sign bit and DuckDB's 1<<63 overflows,
+        -- so hamming is summed bitwise (same value as bit_count(xor))
+        SELECT l.asset_id, l.k,
+               CASE WHEN 64 * l.luma > t.total THEN 1 ELSE 0 END AS bit
+        FROM lum l JOIN tot t USING (asset_id)
+    )
+    SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INTEGER)
+               AS hamming
+    FROM bits a JOIN bits b ON a.k = b.k AND a.asset_id < b.asset_id
+    GROUP BY a.asset_id, b.asset_id
+    HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 1
+    """
+
+
+@_spec("video_near_dup_ahash", _VIDEO_AHASH_SQL, changed_in=13)
+def video_near_dup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-domain video near-dup — completing the perceptual-dedup
+    trio (image r11, audio r12, video r13): 400 decodable raw RVID
+    containers + 10 planted duplicates, fingerprinted with the
+    pure-Catalyst frame-sampled average hash
+    (`multimodal.media.video_ahash` — 8 time slots × 8 spatial slots,
+    nearest-neighbor frame/pixel, integer ITU-R 601 luma, bit = sample
+    above mean, exactly invariant under uniform brightness shift) and
+    mined at hamming ≤ 1 with the hot-bucket-capped banded hamming
+    join.  The oracle recomputes every sampled BGR pixel arithmetically
+    from the md5 chain plus the exhaustive all-pairs hamming set,
+    summed PER-BIT (DuckDB's BIGINT shift cannot reach the sign bit) —
+    hash AND banding guarantee certified."""
+    from ..multimodal.media import (
+        media_neardup_pairs,
+        synthesize_decodable_videos,
+        video_ahash,
+    )
+
+    vids = synthesize_decodable_videos(spark, 400)
+    dups = vids.filter(F.col("asset_id") < "VID-000010").select(
+        F.concat(F.lit("DUP"), F.substring("asset_id", 4, 10)).alias("asset_id"),
+        "media_type",
+        "content",
+        "metadata",
+    )
+    fp = (
+        video_ahash(vids.unionByName(dups))
+        .select("asset_id", F.col("ahash").alias("simhash"))
+        # lineage cut before the self-join (image-aHash ProjectCollapsing
+        # lesson): the fingerprint table is 410 longs
+        .localCheckpoint(eager=False)
+    )
+    return media_neardup_pairs(fp, max_hamming=1, bits=64)
 
 
 _AHASH_NEARDUP_SQL = """
@@ -3692,6 +3799,86 @@ def ann_recall_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(100).alias("pq_rerank"),
         "recall_ivf",
         "recall_lsh",
+        "recall_pq",
+    )
+
+
+def _ann_rebuild_recall_sql() -> str:
+    """DuckDB dual of :func:`ann_rebuild_recall`: every certified ANN
+    oracle replays verbatim with its corpus swapped for the SURVIVORS
+    view (outer-CTE scoping makes ``surv`` visible inside the nested
+    WITH subqueries), so the post-rebuild recalls are themselves
+    hash-certified."""
+
+    def on_surv(sql: str) -> str:
+        return sql.replace("FROM embeddings", "FROM surv")
+
+    pq_sql = on_surv(_pq_oracle_sql(m=8, kk=16, sub=8))
+    return f"""
+    WITH surv AS (SELECT * FROM embeddings WHERE vec_id % 7 <> 3),
+    exact AS (SELECT vec_id FROM ({on_surv(_ANN_COS_SQL)}) t),
+    ivf AS (SELECT vec_id FROM ({on_surv(_ANN_IVF_SQL)}) t),
+    pq AS (SELECT vec_id FROM ({pq_sql}) t)
+    SELECT 10 AS k,
+           (SELECT count(*) FROM embeddings WHERE vec_id % 7 = 3) AS n_deleted,
+           (SELECT count(*) FROM surv) AS n_surviving,
+           round(CAST((SELECT count(*) FROM exact JOIN ivf USING (vec_id))
+                 AS DOUBLE) / 10, 4) AS recall_ivf,
+           round(CAST((SELECT count(*) FROM exact JOIN pq USING (vec_id))
+                 AS DOUBLE) / 10, 4) AS recall_pq
+    """
+
+
+@_spec("ann_rebuild_recall", _ann_rebuild_recall_sql())
+def ann_rebuild_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POST-REBUILD recall certification — the datasheet row for the
+    retrain half of the ANN lifecycle (`operators.similarity
+    .rebuild_ann_index`): a seventh of the corpus is "taken down"
+    (``vec_id % 7 = 3``), the IVF centroids and PQ codebooks RETRAIN
+    from the survivors (exactly what a rebuild does after heavy
+    deletion — the frozen build-time model keeps centroids that no
+    longer exist in the corpus), and recall@10 of each rebuilt index is
+    measured against the brute-force baseline on the SAME surviving
+    corpus.  Deterministic end to end (lowest-id seed centroids, seeded
+    md5 codebook init, ordered double folds), so the recalls are
+    HASH-CERTIFIED — the lifecycle's claim that "rebuild restores the
+    datasheet contract on the surviving corpus" is checked by the
+    oracle, not asserted.  The serving-side swap mechanics (version-
+    paired model/codes reads) are pinned in tests/test_similarity_
+    recall.py."""
+    from ..functions.vectors import l2_normalize
+
+    emb = table(spark, sf_dir, "embeddings")
+    surv = emb.filter(F.col("vec_id") % 7 != 3)
+    cents = similarity.sample_centroids(surv, k=8)
+    unit = surv.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    )
+    books = similarity.pq_train(unit, m=8, k=16, iters=1)
+    exact = similarity.brute_force_topk(surv, query_vec_id=0, k=10).select("vec_id")
+    approx = {
+        "recall_ivf": similarity.ivf_topk(
+            surv, query_vec_id=0, centroids=cents, k=10, nprobe=4
+        ),
+        "recall_pq": similarity.pq_topk(
+            unit, query_vec_id=0, codebooks=books, k=10, rerank=100
+        ),
+    }
+    row = None
+    for name, df in approx.items():
+        c = exact.join(df.select("vec_id"), "vec_id", "left_semi").agg(
+            F.round(F.count(F.lit(1)).cast("double") / F.lit(10.0), 4).alias(name)
+        )
+        row = c if row is None else row.crossJoin(c)
+    counts = emb.agg(
+        F.count(F.when(F.col("vec_id") % 7 == 3, 1)).alias("n_deleted"),
+        F.count(F.when(F.col("vec_id") % 7 != 3, 1)).alias("n_surviving"),
+    )
+    return row.crossJoin(counts).select(
+        F.lit(10).alias("k"),
+        "n_deleted",
+        "n_surviving",
+        "recall_ivf",
         "recall_pq",
     )
 

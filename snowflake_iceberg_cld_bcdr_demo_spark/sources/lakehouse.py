@@ -507,6 +507,7 @@ class LakehouseCatalog:
         batch_id: int | None = None,
         branch: str | None = None,
         writer_id: str | None = None,
+        legacy_batch_guard: bool = True,
     ) -> Snapshot:
         """Append a new snapshot — `05_append_campaigns.py:119-123`.
 
@@ -525,12 +526,13 @@ class LakehouseCatalog:
         ``load(..., ref=branch)``."""
         manifest = self._read_manifest(namespace, table)
         if batch_id is not None and self._batch_already_committed(
-            manifest, batch_id, writer_id
+            manifest, batch_id, writer_id, legacy_batch_guard
         ):
             return self.current_snapshot(namespace, table)
         return self._commit(
             namespace, table, manifest, df, "append",
             batch_id=batch_id, branch=branch, writer_id=writer_id,
+            legacy_batch_guard=legacy_batch_guard,
         )
 
     # -- maintenance (Iceberg MERGE / rewrite_data_files / expire_snapshots
@@ -556,6 +558,20 @@ class LakehouseCatalog:
         merged = remaining.unionByName(source, allowMissingColumns=True)
         manifest = self._read_manifest(namespace, table)
         return self._commit(namespace, table, manifest, merged, "replace")
+
+    def replace_table(self, namespace: str, table: str, df: DataFrame) -> Snapshot:
+        """Full-content replace as a HISTORY-PRESERVING ``replace``
+        snapshot — unlike ``create_table(mode="overwrite")``, which
+        resets lineage and reclaims the old data dirs immediately.  The
+        table's partition spec carries over; time travel to the previous
+        contents keeps working until :meth:`expire_snapshots`.
+
+        The whole-artifact swap primitive: an ANN index rebuild
+        (`operators.similarity.rebuild_ann_index`) or any derived-table
+        recompute swaps in its new contents while readers pinned to the
+        old snapshot stay consistent."""
+        manifest = self._read_manifest(namespace, table)
+        return self._commit(namespace, table, manifest, df, "replace")
 
     def replace_partitions(
         self, namespace: str, table: str, df: DataFrame, partition_col: str, values: list
@@ -866,7 +882,10 @@ class LakehouseCatalog:
 
     @staticmethod
     def _batch_already_committed(
-        manifest: dict, batch_id: int, writer_id: str | None = None
+        manifest: dict,
+        batch_id: int,
+        writer_id: str | None = None,
+        legacy_guard: bool = True,
     ) -> bool:
         # the guard is scoped per WRITER (Delta's txnAppId discipline):
         # micro-batch ids restart at 0 for every new checkpoint, so a
@@ -879,13 +898,18 @@ class LakehouseCatalog:
         # double-append.  The residual cost is the legacy one — a
         # genuinely fresh checkpoint writing to a table with unscoped
         # snapshots may be no-op'd until those are superseded.
+        # ``legacy_guard=False`` opts a writer OUT of that crossover:
+        # correct for writer families that postdate scoping (takedown
+        # deltas — r12 review: a takedown's consumed delta must not be
+        # swallowed by a legacy stream's batch numbers) and can never
+        # have unscoped snapshots of their own.
         committed = [
             s["batch_id"]
             for s in manifest["snapshots"]
             if s.get("batch_id") is not None
             and (
                 writer_id is None  # legacy probe: the unscoped guard
-                or s.get("writer_id") is None  # pre-scoping snapshot
+                or (legacy_guard and s.get("writer_id") is None)
                 or s.get("writer_id") == writer_id
             )
         ]
@@ -911,6 +935,56 @@ class LakehouseCatalog:
             return False
         return self._batch_already_committed(
             self._read_manifest(namespace, table), batch_id, writer_id
+        )
+
+    def adopt_legacy_batches(
+        self, namespace: str, table: str, writer_id: str
+    ) -> int:
+        """Retire the legacy ANY-writer batch guard for one table: stamp
+        every pre-writer-scoping snapshot (``batch_id`` present,
+        ``writer_id`` absent) with the given writer identity —
+        manifest-only, no data moves, CAS-committed.
+
+        The legacy crossover exists so a stream whose checkpoint
+        predates writer scoping can replay its last batch without
+        double-appending; its cost is that a genuinely fresh writer may
+        be no-op'd by the legacy snapshots' batch numbers.  Once the
+        operator KNOWS which lineage wrote the unscoped snapshots
+        (there is exactly one per table in practice — batch ids are a
+        single checkpoint's), adopting them under that lineage's
+        ``writer_id`` keeps its replay protection via the normal
+        equality guard while freeing every other writer.  Deliberately
+        an explicit maintenance call, not an automatic stamp on first
+        scoped commit: with two historic unscoped lineages an automatic
+        adoption would guess the owner.
+
+        Returns the number of snapshots stamped (0 = nothing legacy)."""
+        for _ in range(COMMIT_RETRIES):
+            manifest, base_version = self._read_manifest_versioned(namespace, table)
+            todo = [
+                s
+                for s in manifest["snapshots"]
+                if s.get("batch_id") is not None and s.get("writer_id") is None
+            ]
+            if not todo:
+                return 0
+            candidate = dict(manifest)
+            candidate["snapshots"] = [
+                {**s, "writer_id": writer_id}
+                if s.get("batch_id") is not None and s.get("writer_id") is None
+                else s
+                for s in manifest["snapshots"]
+            ]
+            try:
+                self._publish_manifest(
+                    namespace, table, candidate, version=base_version + 1
+                )
+            except FileExistsError:
+                continue
+            return len(todo)
+        raise CommitConflictError(
+            f"adopt_legacy_batches({namespace}.{table}): lost the manifest "
+            f"CAS {COMMIT_RETRIES} times to concurrent writers"
         )
 
     def _claim_data_dir(self, namespace: str, table: str, sid: int) -> str:
@@ -1095,6 +1169,7 @@ class LakehouseCatalog:
         branch: str | None = None,
         file_stats_cols: list[str] | None = None,
         writer_id: str | None = None,
+        legacy_batch_guard: bool = True,
     ) -> Snapshot:
         """Write ``df`` as a new data dir and publish a snapshot.
 
@@ -1207,7 +1282,7 @@ class LakehouseCatalog:
                 dir_rows = {**manifest.get("dir_rows", {}), **(extra_dir_rows or {})}
                 carried_rows = sum(dir_rows.get(d, 0) for d in carry_dirs or [])
             if batch_id is not None and self._batch_already_committed(
-                manifest, batch_id, writer_id
+                manifest, batch_id, writer_id, legacy_batch_guard
             ):
                 # a concurrent/restarted writer already committed this batch
                 return self.current_snapshot(namespace, table)
@@ -2487,12 +2562,49 @@ class LakehouseCatalog:
 
                 shutil.rmtree(out, ignore_errors=True)
                 return self.current_snapshot(namespace, table)
-            # exact surviving-row count: one pruned count of rows NOT
-            # matching (cheap relative to the avoided rewrite; still
-            # bounded by the pruned read set)
-            remaining = self.load(namespace, table).join(
-                self.spark.read.parquet(out), eq, "left_anti"
-            ).count()
+            # exact surviving-row count WITHOUT re-reading the corpus
+            # (r12 review: the old full-table anti-join made every
+            # trickle delete an O(corpus) read in the mode that exists
+            # to be O(matched keys)).  The head snapshot already records
+            # the visible total, so only the rows the NEW key set erases
+            # need counting — and that count scans only dirs whose
+            # manifest bounds/Blooms admit a key.  Read-side deletes
+            # match with eqNullSafe, so a bounds filter is sound only
+            # for eq cols whose key set is NULL-free (a NULL key matches
+            # NULL rows, which bounds can't locate).
+            kdf = self.spark.read.parquet(out)
+            total = head.get("row_count")
+            if total is None:  # pre-row_count-era manifest: exact fallback
+                remaining = self.load(namespace, table).join(
+                    kdf, eq, "left_anti"
+                ).count()
+            else:
+                aggs = []
+                for c in eq:
+                    aggs += [
+                        F.min(c).alias(f"__mn_{c}"),
+                        F.max(c).alias(f"__mx_{c}"),
+                        F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
+                    ]
+                st = kdf.agg(*aggs).first()
+                key_bounds: list[tuple] = []
+                for c in eq:
+                    if not st[f"__nu_{c}"] and st[f"__mn_{c}"] is not None:
+                        key_bounds += [
+                            (c, ">=", st[f"__mn_{c}"]),
+                            (c, "<=", st[f"__mx_{c}"]),
+                        ]
+                cand = self.load(namespace, table, filters=key_bounds or None)
+                kj = kdf.select(*[F.col(c).alias(f"__k_{c}") for c in eq])
+                if n_keys <= 1_000_000:  # delete sets are broadcast-sized
+                    kj = F.broadcast(kj)
+                from functools import reduce
+
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [cand[c].eqNullSafe(F.col(f"__k_{c}")) for c in eq],
+                )
+                remaining = total - cand.join(kj, cond, "left_semi").count()
             new_snap = {
                 "snapshot_id": sid,
                 "committed_at": time.time(),

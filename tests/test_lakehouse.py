@@ -253,6 +253,30 @@ def test_batch_guard_upgrade_boundary_legacy_snapshots(spark, cat):
     assert not cat.batch_committed("db", "t", 9, writer_id="w2")
 
 
+def test_adopt_legacy_batches_retires_the_any_writer_guard(spark, cat):
+    """Maintenance path for the legacy crossover's residual cost: a
+    fresh checkpoint writing to a table with unscoped snapshots is
+    no-op'd by their batch numbers until the operator ADOPTS those
+    snapshots under their true lineage's writer_id — after which the
+    old lineage keeps its replay protection (equality guard) and every
+    other writer is freed."""
+    cat.create_table("db", "t", _df(spark, 3))
+    cat.append("db", "t", _df(spark, 2, start=10), batch_id=5)  # legacy
+    # fresh stream (new checkpoint, batch ids restart at 0): swallowed
+    cat.append("db", "t", _df(spark, 2, start=20), batch_id=0, writer_id="w2")
+    assert cat.load("db", "t").count() == 5  # no-op'd by the legacy guard
+
+    assert cat.adopt_legacy_batches("db", "t", "w1") == 1
+    assert cat.adopt_legacy_batches("db", "t", "w1") == 0  # idempotent
+    # w2's batch 0 now lands; the adopted lineage still replays safely
+    cat.append("db", "t", _df(spark, 2, start=20), batch_id=0, writer_id="w2")
+    assert cat.load("db", "t").count() == 7
+    cat.append("db", "t", _df(spark, 2, start=10), batch_id=5, writer_id="w1")
+    assert cat.load("db", "t").count() == 7  # w1 replay still guarded
+    assert cat.batch_committed("db", "t", 5, writer_id="w1")
+    assert cat.batch_committed("db", "t", 5)  # legacy probe unchanged
+
+
 def test_concurrent_appends_both_commit(spark, cat):
     """Two writers appending simultaneously serialize through the
     manifest CAS (optimistic retry): both snapshots land, no rows lost —

@@ -117,7 +117,11 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         # fingerprint table: one distinct shuffle, one band broadcast
         ("image_near_dup_ahash", 1),
         ("audio_near_dup_ahash", 1),  # same shape, waveform hashes
+        ("video_near_dup_ahash", 1),  # same shape, frame-sampled hashes
         ("ann_recall_datasheet", 0),   # four top-k sets, all broadcast folds
+        # round-13: retrain-on-survivors recall row — PQ codebook train
+        # (per-subspace argmin + fixed-point means) dominates
+        ("ann_rebuild_recall", 8),
         # bound-certified sketch audits: exact + sketch share the group agg
         ("distinct_users_by_type_approx", 2),
         ("event_value_deciles_approx", 2),   # sketch agg + rank recount

@@ -435,6 +435,58 @@ def test_mor_no_match_is_noop(spark, cat):
     assert snap.snapshot_id == before
 
 
+def test_mor_surviving_count_prunes_to_key_bound_dirs(spark, cat, monkeypatch):
+    """The exact surviving-row count a MoR delete records must NOT be an
+    O(corpus) read (r12 review): it derives from the head's row_count
+    minus a matched-row count whose scan carries the delete keys'
+    min/max bounds — so on a table with disjoint per-dir ranges, only
+    the dir that can contain a key is read."""
+    cat.create_table("db", "t", _batch(spark, 0, 100))
+    cat.append("db", "t", _batch(spark, 100, 200, tag="b"))
+    cat.append("db", "t", _batch(spark, 200, 300, tag="c"))
+    seen: list = []
+    orig = cat.load
+
+    def spy(ns, table, *a, **kw):
+        seen.append(kw.get("filters"))
+        return orig(ns, table, *a, **kw)
+
+    monkeypatch.setattr(cat, "load", spy)
+    # an `in` delete predicate, so the ONLY >=/<= filters any load sees
+    # are the internal key-bounds of the surviving-count scan
+    snap = cat.delete_where_mor(
+        "db", "t", [("id", "in", list(range(120, 130)))], equality_cols=["id"]
+    )
+    assert snap.row_count == 290
+    assert cat.load("db", "t").count() == 290
+    bound = [
+        f
+        for f in seen
+        if f and {op for _, op, _ in f} == {">=", "<="}
+    ]
+    assert bound, f"surviving-count scan carried no key bounds: {seen}"
+    preview = cat.prune_preview("db", "t", bound[-1])
+    assert len(preview["kept"]) == 1, preview
+    assert len(preview["skipped"]) == 2, preview
+
+
+def test_mor_surviving_count_exact_with_null_keys(spark, cat):
+    """eqNullSafe read semantics: a NULL in the delete key set matches
+    NULL rows, which bounds can't locate — the count must skip bounds
+    on that column and still come out exact."""
+    df = spark.range(0, 20).select(
+        F.col("id"),
+        F.when(F.col("id") % 5 == 0, F.lit(None)).otherwise(F.lit("t")).alias("tag"),
+        (F.col("id") * 2.0).alias("val"),
+    )
+    cat.create_table("db", "n", df)
+    # full-row equality delete of ids 0..4: keys include (0, NULL, 0.0)
+    snap = cat.delete_where_mor("db", "n", [("id", "<", 5)])
+    assert snap.row_count == 15
+    assert cat.load("db", "n").count() == 15
+    assert cat.load("db", "n").filter("id < 5").count() == 0
+
+
 # -- schema-evolution DDL --------------------------------------------------
 
 

@@ -253,7 +253,10 @@ def test_ivfpq_index_lifecycle(spark, emb, exact_top10, tmp_path):
     ).cache()
     rep = similarity.build_ivfpq_index(cat, "ann", unit, n_cells=4, m=8, k=16)
     assert rep["encoded_rows"] == unit.count()
-    assert cat.load("ann", "ann_codes").columns == ["vec_id", "label", "cell", "codes"]
+    assert rep["version"] == 1
+    assert cat.load("ann", "ann_codes").columns == [
+        "vec_id", "label", "cell", "codes", "model_version",
+    ]
 
     # partition pruning: probing 2 cells reads a strict subset of dirs'
     # hive partitions (the codes table is partitioned by cell)
@@ -314,6 +317,77 @@ def test_ivfpq_index_incremental_refresh(spark, emb, tmp_path):
     a = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in full.collect()}
     b = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in stored.collect()}
     assert a == b
+
+
+def test_ann_rebuild_swap_and_drift_check(spark, emb, tmp_path):
+    """The retrain half of the index lifecycle: rebuild_ann_index
+    retrains from the surviving corpus and swaps model+codes as two
+    version-stamped CAS commits; queries accept only a version-matched
+    (model, codes) pair, so a half-swapped window reloads or raises —
+    never serves old-model LUTs against new codes; the drift check
+    replays the recall contract against the stored index."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    ).cache()
+    assert similarity.build_ivfpq_index(
+        cat, "ann", unit, n_cells=4, m=8, k=16
+    )["version"] == 1
+
+    chk = similarity.ann_recall_drift_check(
+        cat, "ann", unit, [0, 11], k=10, nprobe=4, rerank=100, floor=0.5
+    )
+    assert chk["version"] == 1 and 0.0 <= chk["recall_at_k"] <= 1.0
+    assert chk["rebuild_due"] is False
+
+    # heavy takedown, then retrain + swap from the survivors
+    surv = unit.filter("vec_id % 3 != 1").cache()
+    rep = similarity.rebuild_ann_index(cat, "ann", surv, n_cells=4, m=8, k=16)
+    assert rep["version"] == 2
+    assert rep["encoded_rows"] == surv.count()
+    stored = cat.load("ann", "ann_codes")
+    assert stored.filter("model_version != 2").count() == 0
+    served = similarity.ivfpq_query_index(
+        cat, "ann", surv, query_vec_id=0, k=10, nprobe=4, rerank=100
+    ).collect()
+    assert len(served) == 10 and all(r.vec_id % 3 != 1 for r in served)
+    # the drift check reads the new version and the survivors' recall
+    chk2 = similarity.ann_recall_drift_check(
+        cat, "ann", surv, [0], k=10, nprobe=4, rerank=100, floor=0.5
+    )
+    assert chk2["version"] == 2 and chk2["rebuild_due"] is False
+
+    # the pre-rebuild pair is still intact history (time travel), so a
+    # query that pinned its snapshots before the swap kept serving it
+    first = cat.snapshots("ann", "ann_codes")[0].snapshot_id
+    old_codes = cat.load("ann", "ann_codes", snapshot_id=first)
+    assert old_codes.filter("model_version != 1").count() == 0
+    assert old_codes.count() == unit.count()
+
+    # half-swapped window: codes already v3, model still v2 — the query
+    # must refuse (after retries) rather than mix the pair
+    cat.replace_table(
+        "ann", "ann_codes", stored.withColumn("model_version", F.lit(3))
+    )
+    with pytest.raises(RuntimeError, match="version"):
+        similarity.ivfpq_query_index(
+            cat, "ann", surv, query_vec_id=0, k=10, nprobe=4, rerank=100
+        )
+    # completing the swap (a fresh rebuild commits codes v3' then model)
+    # restores service
+    rep3 = similarity.rebuild_ann_index(cat, "ann", surv, n_cells=4, m=8, k=16)
+    assert rep3["version"] == 3
+    again = similarity.ivfpq_query_index(
+        cat, "ann", surv, query_vec_id=0, k=10, nprobe=4, rerank=100
+    )
+    assert again.count() == 10
 
 
 def test_semdedup_prunes_planted_duplicates(spark):

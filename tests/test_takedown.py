@@ -159,6 +159,81 @@ def test_takedown_docs_lakehouse_cascade_and_idempotency(
     assert cat.load("db", "corpus", snapshot_id=snaps[0].snapshot_id).count() == 7
 
 
+def test_takedown_delta_not_swallowed_by_stream_batches(
+    spark, corpus_docs, tmp_path
+):
+    """r12 review: with writer_id=None the consumed delta's batch guard
+    answered to ANY writer's batch numbers — a takedown with batch_id=0
+    was silently skipped whenever some stream (scoped OR legacy
+    unscoped) had committed a batch >= 0.  The takedown now scopes to
+    its own default writer and opts out of the pre-scoping legacy
+    guard, while staying idempotent against its OWN replays."""
+    from snowflake_iceberg_cld_bcdr_demo_spark.streaming import curation as C
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="td_guard")
+    cat.create_table("db", "corpus", corpus_docs)
+    C.save_admission_state(
+        cat, "db", "adm",
+        corpus.admission_state(corpus_docs, F.lit(True), nb_top_frac=1.0),
+    )
+    extra = spark.createDataFrame(
+        [("srcX", 7)], "source string, consumed long"
+    )
+    # a legacy UNSCOPED stream snapshot (batch 5, no writer) and a
+    # scoped foreign stream snapshot (batch 9) both predate the takedown
+    cat.append("db", "adm_consumed", extra, batch_id=5)
+    cat.append("db", "adm_consumed", extra, batch_id=9, writer_id="streamA")
+    doc3 = corpus_docs.filter(F.col("doc_id") == 3)
+    removed = takedown.takedown_docs(
+        cat, "db", doc3,
+        corpus_table="corpus", admission_prefix="adm", batch_id=0,
+    )
+    # the delta LANDED despite batch 0 < 5 and < 9 (1 source touched)
+    assert removed["adm_consumed"] == 1
+    head = cat.current_snapshot("db", "adm_consumed").snapshot_id
+    # the takedown's own replay with the same batch_id still no-ops
+    replay = takedown.takedown_docs(
+        cat, "db", doc3,
+        corpus_table="corpus", admission_prefix="adm", batch_id=0,
+    )
+    assert replay["adm_consumed"] == 0
+    assert cat.current_snapshot("db", "adm_consumed").snapshot_id == head
+
+
+def test_admission_cascade_zero_token_source_with_surviving_sources(
+    spark,
+):
+    """The documented consumed>0 edge: a source whose surviving docs
+    total zero BPE tokens.  Passing surviving_sources makes the cascade
+    bit-equal to the rebuild (the (source, 0) row is kept); without it
+    the heuristic drops the row (the documented exception)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "real document with plenty of words here", "srcA"),
+            (2, "", "srcA"),  # zero-token survivor
+            (3, "another live doc", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    tgt = F.col("source") == "srcB"
+    state = corpus.admission_state(docs, tgt, nb_top_frac=1.0)
+    deleted = docs.filter(F.col("doc_id") == 1)
+    remaining = docs.filter(F.col("doc_id") != 1)
+    rebuilt = corpus.admission_state(remaining, tgt, nb_top_frac=1.0)
+
+    exact = takedown.delete_docs_from_admission_state(
+        state, deleted,
+        surviving_sources=remaining.select("source").distinct(),
+    )
+    _assert_df_equal(exact["consumed"], rebuilt["consumed"], "consumed")
+    assert {
+        (r.source, r.consumed) for r in exact["consumed"].collect()
+    } >= {("srcA", 0)}
+
+    heuristic = takedown.delete_docs_from_admission_state(state, deleted)
+    assert {r.source for r in heuristic["consumed"].collect()} == {"srcB"}
+
+
 def test_takedown_bounded_collect(spark, corpus_docs, monkeypatch):
     monkeypatch.setattr(takedown, "MAX_TAKEDOWN_IDS", 1)
     with pytest.raises(ValueError, match="more than 1 doc ids"):
