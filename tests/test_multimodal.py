@@ -405,8 +405,14 @@ def test_media_neardup_default_banding_guard(spark):
     fp = M.media_simhash(df)
     with pytest.raises(ValueError, match="exact recall"):
         M.media_neardup_pairs(fp, max_hamming=32)
-    # explicit bands: allowed (approximate) — runs fine
-    assert M.media_neardup_pairs(fp, max_hamming=32, bands=16).count() == 0
+    # explicit bands: allowed (approximate) — runs fine; the narrow
+    # 4-bit band keys draw the keyspace warning unless capped
+    assert (
+        M.media_neardup_pairs(
+            fp, max_hamming=32, bands=16, max_band_bucket=1000
+        ).count()
+        == 0
+    )
 
 
 def test_media_neardup_hot_bucket_cap(spark):
@@ -702,6 +708,39 @@ def test_video_ahash_perceptual_properties(spark):
 
     with pytest.raises(ValueError, match="t_slots"):
         video_ahash(df, t_slots=1)
+
+
+def test_video_ahash_matches_numpy_decoder(spark):
+    """Cross-kernel parity: the pure-Catalyst byte math of video_ahash
+    must reproduce the hash computed from the REAL NumPy-decoded frames
+    (the same decoder video_frame_profile trusts) — pinning the
+    frame/pixel offset arithmetic against an independent implementation
+    on the synthesized corpus."""
+    import numpy as np
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal.media import (
+        _np_decode_rvid,
+        synthesize_decodable_videos,
+        video_ahash,
+    )
+
+    vids = synthesize_decodable_videos(spark, 40)
+    got = {r.asset_id: r.ahash for r in video_ahash(vids).collect()}
+    for row in vids.collect():
+        fps, frames = _np_decode_rvid(bytes(row.content))
+        nf, h, w = frames.shape[:3]
+        lumas = []
+        for k in range(64):
+            fr = (k // 8) * nf // 8
+            px = (k % 8) * (w * h) // 8
+            b, g, r = frames[fr].reshape(-1, 3)[px].astype(int)
+            lumas.append(299 * r + 587 * g + 114 * b)
+        tot = sum(lumas)
+        expect = sum(
+            (1 << k) for k, l in enumerate(lumas) if 64 * l > tot
+        )
+        expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+        assert got[row.asset_id] == expect, row.asset_id
 
 
 def test_media_neardup_warns_on_tiny_band_keyspace(spark):
