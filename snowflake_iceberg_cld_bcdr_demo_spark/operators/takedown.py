@@ -215,6 +215,8 @@ def takedown_docs(
     retrieval_prefix: str | None = None,
     emb_index_ids: DataFrame | None = None,
     ann_codes_table: str | None = None,
+    media_fp_table: str | None = None,
+    deleted_asset_ids: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
@@ -224,9 +226,12 @@ def takedown_docs(
     scrub: bool = False,
 ) -> dict[str, int]:
     """One-call lakehouse takedown: cascade ``deleted_docs`` through the
-    corpus table and every registered persisted artifact.  Returns per-
-    table rows removed (the consumed log reports the negative delta rows
-    APPENDED — it is a log, not a membership table).
+    corpus table and every registered persisted artifact — admission
+    index, retrieval index, frozen embedding index, ANN codes, and (via
+    ``media_fp_table`` + ``deleted_asset_ids``) the persisted media
+    fingerprint index.  Returns per-table rows removed (the consumed
+    log reports the negative delta rows APPENDED — it is a log, not a
+    membership table).
 
     Every step is idempotent: ``delete_where`` on absent rows is a
     metadata no-op and the consumed delta append takes the standard
@@ -332,6 +337,16 @@ def takedown_docs(
             # codebooks stay, like nb_model — deleting vectors doesn't
             # retrain the codebook), so the row delete IS the rebuild
             _delete(ann_codes_table, "vec_id", eids)
+    if media_fp_table is not None and deleted_asset_ids is not None:
+        # perceptual fingerprints are derived artifacts of the deleted
+        # bytes — same reasoning as postings/codes; per-asset rows, so
+        # the row delete IS the rebuild
+        aid = deleted_asset_ids.columns[0]
+        aids = _collect_values(
+            deleted_asset_ids.select(F.col(aid).alias("asset_id")).distinct(),
+            "asset ids",
+        )
+        _delete(media_fp_table, "asset_id", aids)
     if scrub:
         # physical erasure: rewrite each touched table without the
         # deleted rows (materializes MoR delete dirs too) and drop the
