@@ -50,13 +50,22 @@ def media_fp_table(
     parts = []
     for kind in kinds:
         sub = assets.filter(F.col("media_type") == kind)
-        fp = fns[kind](sub, id_col=id_col)
+        fp = fns[kind](sub, id_col=id_col).select(
+            F.col(id_col).alias("asset_id"),
+            F.lit(kind).alias("kind"),
+            F.col("ahash").alias("fp"),
+        )
+        # lineage cut at the 3-column fingerprint frame BEFORE the
+        # null-drop: the optimizer pushes `fp IS NOT NULL` below the
+        # projection, substituting the whole 64-sample aHash expression
+        # into the predicate — with an expression-typed input (the
+        # synthesized test corpora) that doubles a tree that is already
+        # at the codegen limit and stalls planning for minutes.  The
+        # lazy checkpoint is a plan barrier (one materialization of
+        # id+kind+hash rows on first action); every downstream consumer
+        # (filter, union, the table write) reuses it.
         parts.append(
-            fp.select(
-                F.col(id_col).alias("asset_id"),
-                F.lit(kind).alias("kind"),
-                F.col("ahash").alias("fp"),
-            ).filter(F.col("fp").isNotNull())
+            fp.localCheckpoint(eager=False).filter(F.col("fp").isNotNull())
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
 

@@ -3803,6 +3803,176 @@ def ann_recall_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_FP_INVENTORY_SQL = """
+    WITH ib AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('BMP-%06d', t.i) AS asset_id,
+               md5('7#bmp#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(200) t(i)
+    ),
+    idims AS (
+        SELECT asset_id, h,
+               CAST(('0x' || substring(md5(h || 'w'), 1, 8)) AS BIGINT) % 8 + 2 AS w0,
+               CAST(('0x' || substring(md5(h || 'h'), 1, 8)) AS BIGINT) % 8 + 2 AS h0
+        FROM ib
+    ),
+    ichain AS (
+        SELECT asset_id, w0, h0, ((3 * w0 + 3) // 4) * 4 AS row0,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+               || md5(h || '4') || md5(h || '5') || md5(h || '6') || md5(h || '7')
+               || md5(h || '8') || md5(h || '9') || md5(h || '10') || md5(h || '11')
+               || md5(h || '12') || md5(h || '13') || md5(h || '14') || md5(h || '15')
+                   AS cx
+        FROM idims
+    ),
+    ilum AS (
+        SELECT asset_id, k,
+               299 * CAST(('0x' || substring(cx, 2 * (off + 2) + 1, 2)) AS BIGINT)
+             + 587 * CAST(('0x' || substring(cx, 2 * (off + 1) + 1, 2)) AS BIGINT)
+             + 114 * CAST(('0x' || substring(cx, 2 * (off + 0) + 1, 2)) AS BIGINT)
+                   AS luma
+        FROM (
+            SELECT asset_id, cx, CAST(t.i AS BIGINT) AS k,
+                   (h0 - 1 - (CAST(t.i AS BIGINT) // 8 * h0) // 8) * row0
+                       + 3 * ((CAST(t.i AS BIGINT) % 8 * w0) // 8) AS off
+            FROM ichain CROSS JOIN range(64) t(i)
+        )
+    ),
+    itot AS (SELECT asset_id, SUM(luma) AS total FROM ilum GROUP BY asset_id),
+    ibits AS (
+        SELECT l.asset_id, CASE WHEN 64 * l.luma > t.total THEN 1 ELSE 0 END AS bit
+        FROM ilum l JOIN itot t USING (asset_id)
+    ),
+    ab AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('WAV-%06d', t.i) AS asset_id,
+               md5('11#wav#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(200) t(i)
+    ),
+    adims AS (
+        SELECT asset_id,
+               CAST(('0x' || substring(md5(h || 'n'), 1, 8)) AS BIGINT) % 17 + 8
+                   AS n0,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+                   AS cx
+        FROM ab
+    ),
+    aamp AS (
+        SELECT asset_id, k,
+               CASE WHEN v >= 32768 THEN 65536 - v ELSE v END AS a
+        FROM (
+            SELECT asset_id, k,
+                   CAST(('0x' || substring(cx, 2 * (2 * pos) + 1, 2)) AS BIGINT)
+                 + 256 * CAST(('0x' || substring(cx, 2 * (2 * pos + 1) + 1, 2))
+                              AS BIGINT) AS v
+            FROM (
+                SELECT asset_id, CAST(t.i AS BIGINT) AS k,
+                       (CAST(t.i AS BIGINT) * n0) // 64 AS pos, cx
+                FROM adims CROSS JOIN range(64) t(i)
+            )
+        )
+    ),
+    atot AS (SELECT asset_id, SUM(a) AS total FROM aamp GROUP BY asset_id),
+    abits AS (
+        SELECT m.asset_id, CASE WHEN 64 * m.a > t.total THEN 1 ELSE 0 END AS bit
+        FROM aamp m JOIN atot t USING (asset_id)
+    ),
+    vb AS (
+        SELECT CAST(t.i AS BIGINT) AS i,
+               printf('VID-%06d', t.i) AS asset_id,
+               md5('13#vid#' || CAST(t.i AS VARCHAR)) AS h
+        FROM range(200) t(i)
+    ),
+    vdims AS (
+        SELECT asset_id,
+               CAST(('0x' || substring(md5(h || 'w'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS w,
+               CAST(('0x' || substring(md5(h || 'h'), 1, 8)) AS BIGINT) % 4 + 2
+                   AS ht,
+               CAST(('0x' || substring(md5(h || 'f'), 1, 8)) AS BIGINT) % 4 + 3
+                   AS nf,
+               md5(h || '0') || md5(h || '1') || md5(h || '2') || md5(h || '3')
+               || md5(h || '4') || md5(h || '5') || md5(h || '6') || md5(h || '7')
+               || md5(h || '8') || md5(h || '9') || md5(h || '10')
+               || md5(h || '11') || md5(h || '12') || md5(h || '13')
+               || md5(h || '14') || md5(h || '15') || md5(h || '16')
+               || md5(h || '17') || md5(h || '18') || md5(h || '19')
+               || md5(h || '20') || md5(h || '21') || md5(h || '22')
+               || md5(h || '23') || md5(h || '24') || md5(h || '25')
+               || md5(h || '26') || md5(h || '27') || md5(h || '28') AS cx
+        FROM vb
+    ),
+    vlum AS (
+        SELECT asset_id, k,
+               299 * CAST(('0x' || substring(cx, 2 * (j + 2) + 1, 2)) AS BIGINT)
+             + 587 * CAST(('0x' || substring(cx, 2 * (j + 1) + 1, 2)) AS BIGINT)
+             + 114 * CAST(('0x' || substring(cx, 2 * (j + 0) + 1, 2)) AS BIGINT)
+                   AS luma
+        FROM (
+            SELECT asset_id, cx, CAST(t.i AS BIGINT) AS k,
+                   ((((CAST(t.i AS BIGINT) // 8) * nf) // 8) * (w * ht)
+                    + ((CAST(t.i AS BIGINT) % 8) * (w * ht)) // 8) * 3 AS j
+            FROM vdims CROSS JOIN range(64) t(i)
+        )
+    ),
+    vtot AS (SELECT asset_id, SUM(luma) AS total FROM vlum GROUP BY asset_id),
+    vbits AS (
+        SELECT l.asset_id, CASE WHEN 64 * l.luma > t.total THEN 1 ELSE 0 END AS bit
+        FROM vlum l JOIN vtot t USING (asset_id)
+    ),
+    allbits AS (
+        SELECT 'image' AS kind, asset_id, bit FROM ibits
+        UNION ALL SELECT 'audio', asset_id, bit FROM abits
+        UNION ALL SELECT 'video', asset_id, bit FROM vbits
+    )
+    SELECT kind,
+           COUNT(DISTINCT asset_id) AS n_indexed,
+           CAST(SUM(bit) AS BIGINT) AS total_set_bits
+    FROM allbits GROUP BY kind ORDER BY kind
+    """
+
+
+@_spec("media_fp_inventory", _MEDIA_FP_INVENTORY_SQL, changed_in=13)
+def media_fp_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted media-fingerprint index's BUILD STAGE under the
+    oracle gate (`operators.mediaindex.media_fp_table` — the same frame
+    `build_media_fp_index` materializes): 200 assets of each kind
+    fingerprinted with their certified 64-bit aHash, rolled up to a
+    per-kind inventory row — assets indexed (undecodable content drops
+    out) and the TOTAL SET BITS across all hashes.  Set-bit totals pin
+    every hash bit-for-bit without materializing 64-bit values in
+    DuckDB (bit 63 is unreachable by its BIGINT shift): the oracle
+    recomputes each kind's per-bit table arithmetically from the md5
+    chains and sums the bits.  Junk-content NULL-drop and
+    serve-equals-recompute are additionally pinned in
+    tests/test_mediaindex.py."""
+    from ..multimodal.media import (
+        synthesize_decodable_images,
+        synthesize_decodable_videos,
+        synthesize_decodable_wavs,
+    )
+    from ..operators.mediaindex import media_fp_table
+
+    assets = (
+        synthesize_decodable_images(spark, 200)
+        .unionByName(synthesize_decodable_wavs(spark, 200))
+        .unionByName(synthesize_decodable_videos(spark, 200))
+        # lazy lineage cut (media_fp_table adds its own per-kind cut at
+        # the fingerprint frames, which is what keeps the null-drop
+        # filter off the giant sample trees)
+        .localCheckpoint(eager=False)
+    )
+    return (
+        media_fp_table(assets)
+        .groupBy("kind")
+        .agg(
+            F.count_distinct(F.col("asset_id")).alias("n_indexed"),
+            F.sum(F.bit_count(F.col("fp"))).alias("total_set_bits"),
+        )
+        .orderBy("kind")
+    )
+
+
 def _ann_rebuild_recall_sql() -> str:
     """DuckDB dual of :func:`ann_rebuild_recall`: every certified ANN
     oracle replays verbatim with its corpus swapped for the SURVIVORS

@@ -118,6 +118,8 @@ def test_narrow_ops_have_zero_exchanges(spark, name):
         ("image_near_dup_ahash", 1),
         ("audio_near_dup_ahash", 1),  # same shape, waveform hashes
         ("video_near_dup_ahash", 1),  # same shape, frame-sampled hashes
+        # per-kind checkpointed fp frames -> union -> count_distinct agg
+        ("media_fp_inventory", 4),
         ("ann_recall_datasheet", 0),   # four top-k sets, all broadcast folds
         # round-13: retrain-on-survivors recall row — PQ codebook train
         # (per-subspace argmin + fixed-point means) dominates
