@@ -390,6 +390,54 @@ def test_ann_rebuild_swap_and_drift_check(spark, emb, tmp_path):
     assert again.count() == 10
 
 
+def test_ann_drift_alarm_fires_and_rebuild_recovers(spark, emb, tmp_path):
+    """The reason the drift check exists: after the corpus distribution
+    shifts, codes encoded under the OLD model keep serving — silently
+    wrong — until something measures recall against the CURRENT corpus.
+    Drift half the vectors (deterministic sign flip), leave the stored
+    index stale: the alarm fires (recall under floor, rebuild_due);
+    rebuild from the drifted corpus restores the contract."""
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.functions.vectors import l2_normalize
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"))
+    unit = emb.select(
+        "vec_id", l2_normalize(F.col("embedding")).alias("embedding"), "label"
+    ).localCheckpoint()
+    similarity.build_ivfpq_index(cat, "ann", unit, n_cells=4, m=8, k=16)
+
+    # deterministic drift: odd ids flip sign (cosine structure between
+    # odd and even vectors inverts, so stale ADC shortlists point at
+    # what are now the FARTHEST vectors)
+    drifted = unit.select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        "label",
+    ).localCheckpoint()
+
+    stale = similarity.ann_recall_drift_check(
+        cat, "ann", drifted, [0, 4], k=10, nprobe=4, rerank=100, floor=0.6
+    )
+    assert stale["rebuild_due"] is True, stale
+
+    rep = similarity.rebuild_ann_index(cat, "ann", drifted, n_cells=4, m=8, k=16)
+    fresh = similarity.ann_recall_drift_check(
+        cat, "ann", drifted, [0, 4], k=10, nprobe=4, rerank=100, floor=0.6
+    )
+    assert fresh["version"] == rep["version"]
+    assert fresh["rebuild_due"] is False, fresh
+    assert fresh["recall_at_k"] > stale["recall_at_k"]
+
+
 def test_semdedup_prunes_planted_duplicates(spark):
     """SemDeDup invariants on planted near-duplicates: a cloned vector
     (cosine ~1 with its source, same cell by construction) is dropped in
