@@ -139,6 +139,152 @@ def media_neardup_from_index(
     )
 
 
+def _banded(fp: DataFrame, bands: int, width: int) -> DataFrame:
+    mask = (1 << width) - 1
+    return fp.select(
+        "asset_id",
+        "kind",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("asset_id", "kind", "fp", "bv.band", "bv.band_key")
+
+
+def admit_media_assets(
+    cat,
+    namespace: str,
+    new_assets: DataFrame,
+    max_hamming: int = 1,
+    table: str = DEFAULT_TABLE,
+    kinds: tuple[str, ...] = MEDIA_FP_KINDS,
+    max_band_bucket: int | None = None,
+    batch_id: int | None = None,
+    writer_id: str | None = None,
+) -> DataFrame:
+    """The media ADMISSION GATE — the multimodal twin of the text
+    pipeline's incremental dedup admit (`corpus.curated_incremental_
+    admit`'s near-dup gate): a new asset is admitted only if NO
+    perceptual near-duplicate (hamming ≤ ``max_hamming`` on its kind's
+    64-bit aHash) exists in the stored index OR earlier in its own
+    batch (min-id representative wins, the dedup discipline); admitted
+    assets' fingerprints are appended to the index in the same call, so
+    batch N+1 sees batch N.
+
+    Cost is O(batch + touched index buckets): the new side's band keys
+    probe the stored table via the pigeonhole banding
+    (``max_hamming + 1`` bands — exact recall, same contract as
+    :func:`..multimodal.media.media_neardup_pairs`), with kind in the
+    join key so hashes never cross modality.  ``max_band_bucket`` drops
+    index band keys with more members before the probe join (the
+    boilerplate-logo guard).  Crash-replay safe: the append takes the
+    standard ``batch_id``/``writer_id`` idempotency guard (no double
+    rows), and the probe EXCLUDES stored rows with the probing asset's
+    own id — so a replayed batch, whose admissions already sit in the
+    index, re-derives the identical admit/reject decisions instead of
+    self-rejecting at hamming 0 (the advisory ``reason`` of a rejected
+    copy may resolve to ``near_dup_index`` on replay, its admitted
+    batch mate now being stored).
+
+    Returns the decision frame ``(asset_id, kind, fp, admitted,
+    reason)`` with reason in ``near_dup_index`` / ``near_dup_batch`` /
+    NULL (admitted); assets whose content doesn't decode never reach
+    the gate (NULL hash — fingerprint them with ``decoder='undecoded'``
+    reporting via `media_validity` upstream)."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    fps = media_fp_table(new_assets, kinds)
+    newb = _banded(fps, bands, width)
+    stored = cat.load(namespace, table, filters=[("kind", "in", list(kinds))])
+    storedb = _banded(
+        stored.select("asset_id", "kind", "fp"), bands, width
+    )
+    if max_band_bucket is not None:
+        counts = storedb.groupBy("kind", "band", "band_key").count()
+        storedb = storedb.join(
+            counts.filter(F.col("count") > max_band_bucket).select(
+                "kind", "band", "band_key"
+            ),
+            ["kind", "band", "band_key"],
+            "left_anti",
+        )
+    probe = (
+        newb.alias("n")
+        .join(
+            storedb.alias("s"),
+            ["kind", "band", "band_key"],
+            "inner",
+        )
+        # self-exclusion = replay idempotency: a crash-replayed batch's
+        # own prior admissions are in the index under the same ids
+        .filter(F.col("n.asset_id") != F.col("s.asset_id"))
+        .filter(
+            F.bit_count(F.col("n.fp").bitwiseXOR(F.col("s.fp"))) <= max_hamming
+        )
+        .select(F.col("n.asset_id").alias("asset_id"))
+        .distinct()
+    )
+    # within-batch gate: reject an asset that near-dups a SMALLER-id
+    # batch mate which itself survives the index gate (min-id
+    # representative admitted, its copies rejected)
+    batch_pairs = (
+        newb.alias("x")
+        .join(newb.alias("y"), ["kind", "band", "band_key"], "inner")
+        .filter(F.col("x.asset_id") < F.col("y.asset_id"))
+        .filter(
+            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))) <= max_hamming
+        )
+        .select(
+            F.col("x.asset_id").alias("rep"),
+            F.col("y.asset_id").alias("dup"),
+        )
+        .distinct()
+    )
+    batch_reject = (
+        batch_pairs.join(
+            probe.select(F.col("asset_id").alias("rep")), "rep", "left_anti"
+        )
+        .select(F.col("dup").alias("asset_id"))
+        .distinct()
+    )
+    decisions = (
+        fps.join(
+            probe.withColumn("_idx", F.lit(True)), "asset_id", "left"
+        )
+        .join(
+            batch_reject.withColumn("_bat", F.lit(True)), "asset_id", "left"
+        )
+        .select(
+            "asset_id",
+            "kind",
+            "fp",
+            (F.col("_idx").isNull() & F.col("_bat").isNull()).alias("admitted"),
+            F.when(F.col("_idx").isNotNull(), F.lit("near_dup_index"))
+            .when(F.col("_bat").isNotNull(), F.lit("near_dup_batch"))
+            .alias("reason"),
+        )
+        # one materialization: the append below and the caller's read
+        # must see the SAME decisions, and the banded joins shouldn't
+        # re-run per consumer
+        .localCheckpoint(eager=False)
+    )
+    admitted = decisions.filter("admitted").select("asset_id", "kind", "fp")
+    cat.append(
+        namespace, table, admitted, batch_id=batch_id, writer_id=writer_id
+    )
+    return decisions
+
+
 def delete_assets_from_media_fp_index(
     cat,
     namespace: str,

@@ -127,6 +127,79 @@ def test_mining_from_index_matches_recompute(spark, assets, tmp_path):
         mediaindex.media_neardup_from_index(cat, "db", "hologram")
 
 
+def test_admission_gate_rejects_near_dups_and_is_replay_safe(
+    spark, assets, tmp_path
+):
+    """The media admission gate: an incoming copy of an indexed asset is
+    rejected (near_dup_index), a within-batch copy keeps only the
+    min-id representative (near_dup_batch), novel assets are admitted
+    and appended so the NEXT batch sees them, and a crash-replayed
+    batch re-derives the identical decisions with no double append."""
+    cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="mfp4")
+    corpus = assets.filter(F.col("asset_id") < "BMP-000030").filter(
+        F.col("media_type") == "image"
+    )
+    mediaindex.build_media_fp_index(cat, "db", corpus)
+    n0 = cat.current_snapshot("db", "media_fp").row_count
+
+    # batch: an exact copy of indexed BMP-000002, two copies of the
+    # un-indexed BMP-000031 (within-batch dup), and a novel BMP-000032
+    src = assets.filter(F.col("media_type") == "image")
+    batch = (
+        src.filter(F.col("asset_id") == "BMP-000002")
+        .select(F.lit("NEW-COPY2").alias("asset_id"), "media_type", "content", "metadata")
+        .unionByName(
+            src.filter(F.col("asset_id") == "BMP-000031").select(
+                F.lit("NEW-A31").alias("asset_id"), "media_type", "content", "metadata"
+            )
+        )
+        .unionByName(
+            src.filter(F.col("asset_id") == "BMP-000031").select(
+                F.lit("NEW-B31").alias("asset_id"), "media_type", "content", "metadata"
+            )
+        )
+        .unionByName(
+            src.filter(F.col("asset_id") == "BMP-000032").select(
+                F.lit("NEW-NOVEL").alias("asset_id"), "media_type", "content", "metadata"
+            )
+        )
+    )
+    out = {
+        r.asset_id: r
+        for r in mediaindex.admit_media_assets(
+            cat, "db", batch, max_hamming=1, batch_id=0, writer_id="gate"
+        ).collect()
+    }
+    assert not out["NEW-COPY2"].admitted
+    assert out["NEW-COPY2"].reason == "near_dup_index"
+    assert out["NEW-A31"].admitted and out["NEW-A31"].reason is None
+    assert not out["NEW-B31"].admitted
+    assert out["NEW-B31"].reason == "near_dup_batch"
+    assert out["NEW-NOVEL"].admitted
+    assert cat.current_snapshot("db", "media_fp").row_count == n0 + 2
+
+    # batch N+1 sees batch N's admissions
+    resubmit = src.filter(F.col("asset_id") == "BMP-000031").select(
+        F.lit("NEW-C31").alias("asset_id"), "media_type", "content", "metadata"
+    )
+    out2 = mediaindex.admit_media_assets(
+        cat, "db", resubmit, max_hamming=1, batch_id=1, writer_id="gate"
+    ).collect()
+    assert not out2[0].admitted and out2[0].reason == "near_dup_index"
+
+    # crash-replay of batch 0: identical admit/reject bits, no double
+    # append (the advisory reason of a batch-dup may resolve to
+    # near_dup_index now that its admitted mate is stored)
+    replay = {
+        r.asset_id: r.admitted
+        for r in mediaindex.admit_media_assets(
+            cat, "db", batch, max_hamming=1, batch_id=0, writer_id="gate"
+        ).collect()
+    }
+    assert replay == {k: v.admitted for k, v in out.items()}
+    assert cat.current_snapshot("db", "media_fp").row_count == n0 + 2
+
+
 def test_takedown_leg_standalone_and_cascade(spark, assets, tmp_path):
     cat = LakehouseCatalog(spark, str(tmp_path / "wh"), name="mfp3")
     mediaindex.build_media_fp_index(cat, "db", assets)
