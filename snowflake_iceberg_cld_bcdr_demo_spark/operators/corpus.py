@@ -17,6 +17,8 @@ needs on top.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1558,7 +1560,21 @@ def curated_corpus(
             # released by the context cleaner with the DataFrame.
             return df.localCheckpoint(eager=False)
         path = f"{stage_dir}/{name}"
-        df.write.mode("overwrite").parquet(path)
+        sc = spark.sparkContext
+        sc.setJobDescription(f"curated_corpus: stage {name}")
+        if os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1":
+            import sys
+            import time
+
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").parquet(path)
+            print(
+                f"# stage {name}: {time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+        else:
+            df.write.mode("overwrite").parquet(path)
+        sc.setJobDescription(None)
         return spark.read.parquet(path)
 
     base = docs.select(
