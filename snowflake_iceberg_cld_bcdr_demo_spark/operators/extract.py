@@ -190,16 +190,18 @@ def remove_boilerplate_ngrams(
     family uses).  Docs with fewer than ``n`` tokens pass through
     normalized but untouched; empty docs keep a zero row.
 
-    Scale: four wide stages, none quadratic — (1) the (source, gram)
+    Scale: three wide stages, none quadratic — (1) the (source, gram)
     frequency count over ROW-LOCALLY deduped grams (count(*) IS the
     distinct-doc count, no countDistinct expand), (2) the flagged-gram
-    join back to positioned grams on the same (source, gram) key,
-    (3) a (doc, position) distinct for covered token positions (each
-    flagged gram start explodes to its n covered positions), and
-    (4) the doc_id reassembly rollup whose payload is the surviving
-    tokens — never more than the corpus.  Mirrors the
-    ``remove_duplicate_blocks`` sort_array(collect_list) rebuild, so
-    the DuckDB oracle replays it with a string_agg.
+    join back to positioned grams on the same (source, gram) key
+    (each hit explodes to its n covered token positions), and (3) a
+    per-doc rollup of covered POSITIONS ONLY (a set of ints — never
+    the tokens) joined back to the token arrays at doc granularity;
+    the reassembly itself is a row-local array ``filter`` keeping
+    uncovered positions in order.  The corpus text crosses exactly one
+    exchange (the doc-level join); tokens are never exploded into rows
+    (the r12 shape shuffled every token twice — once into the
+    coverage join and once into a collect_list rebuild).
 
     ``grams`` FREEZES the gram state: a ``(source, gram)`` table (from
     :func:`boilerplate_grams` at corpus-build time) is used instead of
@@ -215,6 +217,12 @@ def remove_boilerplate_ngrams(
     base = _parallelize_scan(docs).select(
         F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"), toks_col
     )
+    if not base.isStreaming:
+        # the token arrays feed THREE plan branches (gram counting, gram
+        # positioning, reassembly); a lazy lineage cut materializes the
+        # tokenization once per action instead of re-running the regexp
+        # scan — and everything upstream of it — per branch
+        base = base.localCheckpoint(eager=False)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(F.col("t"), i + j) for j in range(n)]
     )
@@ -240,6 +248,9 @@ def remove_boilerplate_ngrams(
         .select("doc_id", "grp", F.posexplode(grams_arr).alias("p0", "gram"))
         .select("doc_id", "grp", (F.col("p0") + 1).alias("pos"), "gram")
     )
+    # covered POSITIONS rolled up per doc — the shuffle carries only
+    # (doc_id, int-set), never tokens; collect_set dedups overlapping
+    # gram hits exactly like the former (doc, position) distinct
     covered = (
         gp.join(boiler, ["grp", "gram"])
         .select(
@@ -248,49 +259,20 @@ def remove_boilerplate_ngrams(
                 F.sequence(F.col("pos"), F.col("pos") + (n - 1))
             ).alias("cpos"),
         )
-        .distinct()
-    )
-    tokrows = base.select(
-        "doc_id", F.posexplode("t").alias("p0", "tok")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
-    rebuilt = (
-        tokrows.join(
-            covered,
-            (tokrows.doc_id == covered.doc_id) & (tokrows.p == covered.cpos),
-            "left",
-        )
-        .select(tokrows.doc_id, "p", "tok", "cpos")
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count("cpos").alias("n_dropped_tokens"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("cpos").isNull(),
-                                F.struct(F.col("p"), F.col("tok")),
-                            )
-                        )
-                    ),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-        )
+        .agg(F.collect_set("cpos").alias("cps"))
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.coalesce("n_dropped_tokens", F.lit(0).cast("long")).alias(
-                "n_dropped_tokens"
-            ),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
-        )
+    # doc-level join back to the token arrays (the ONE exchange the
+    # corpus text crosses), then a row-local positional filter rebuild:
+    # token at 1-based position p survives iff p is not covered
+    cps = F.coalesce(F.col("cps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("t"), lambda tok, i: ~F.array_contains(cps, i + F.lit(1))
+    )
+    return base.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.size(cps).cast("long").alias("n_dropped_tokens"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_hash"),
     )

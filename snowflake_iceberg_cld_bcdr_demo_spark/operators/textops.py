@@ -225,8 +225,7 @@ def collapse_repetitions(
     dropped when its trailing context shows the run/loop already at the
     cap.  Both rules read only the ORIGINAL token sequence, so the
     decision is per-position and the whole operator is ROW-LOCAL: one
-    ``filter`` lambda over the token array, zero shuffles before the
-    (optional) coverage join.
+    ``filter`` lambda over the token array, zero shuffles.
 
     Output per doc: ``(id, n_tokens, n_collapsed, clean_text,
     clean_hash)`` — ``clean_text`` in normalized token form (lowercase,
@@ -269,24 +268,19 @@ def collapse_repetitions(
         )
         return ~(drop_run | drop_loop)
 
+    # row-local rebuild straight off the scan: one output row per input
+    # row, no coverage join (the r12 shape re-joined the rebuilt text to
+    # a distinct-id frame — a full-corpus exchange that bought nothing:
+    # empty and all-whitespace docs already yield a zero row here)
     kept = F.filter(F.col("t"), keep)
-    rebuilt = base.select(
+    return base.select(
         "doc_id",
-        F.size("t").cast("long").alias("n_tokens"),
-        (F.size("t") - F.size(kept)).cast("long").alias("n_collapsed"),
-        F.concat_ws(" ", kept).alias("clean_text"),
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(rebuilt, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.coalesce("n_collapsed", F.lit(0).cast("long")).alias("n_collapsed"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
-        )
+        F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("t") - F.size(kept), F.lit(0))
+        .cast("long")
+        .alias("n_collapsed"),
+        F.coalesce(F.concat_ws(" ", kept), F.lit("")).alias("clean_text"),
+        F.md5(F.coalesce(F.concat_ws(" ", kept), F.lit(""))).alias("clean_hash"),
     )
 
 
@@ -824,17 +818,25 @@ def blocklist_hits(
     by ``regexp_count`` — a single codegen'd scan pass, zero shuffles,
     regardless of list size (regex engines handle thousand-term unions;
     beyond that, tokenize + broadcast-join a term table instead)."""
-    import re as _re
-
-    if not terms:
-        raise ValueError("blocklist is empty")
-    pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
-    hits = F.regexp_count(F.col(text_col), F.lit(pat))
+    hits = blocklist_hits_expr(terms, text_col)
     return docs.select(
         id_col,
         hits.alias("n_hits"),
         (hits <= max_hits).alias("keep"),
     )
+
+
+def blocklist_hits_expr(terms: list[str], text_col: str = "text"):
+    """The :func:`blocklist_hits` counting expression as a bare Column —
+    ONE alternation regex over the text — so a pipeline can evaluate the
+    screen inline on an existing frame (zero joins) instead of joining
+    the per-doc hit table back by id."""
+    import re as _re
+
+    if not terms:
+        raise ValueError("blocklist is empty")
+    pat = r"(?i)\b(" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    return F.regexp_count(F.col(text_col), F.lit(pat))
 
 
 def bm25_search(
