@@ -1152,6 +1152,7 @@ def _nb_model_parts(
     alpha: float,
     text_col: str,
     id_col: str,
+    passthrough: tuple[str, ...] = (),
 ):
     """The two one-row NB model frames: ``(_mm, _oov)`` (the bucketed
     log-odds map plus the out-of-vocabulary smoothed weight) and
@@ -1168,6 +1169,7 @@ def _nb_model_parts(
     tagged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+        *[F.col(c) for c in passthrough],
         toks.alias("_toks"),
     )
     base = (
@@ -1259,6 +1261,7 @@ def nb_quality_scores(
     id_col: str = "doc_id",
     score_docs: DataFrame | None = None,
     model: DataFrame | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Model-based quality FILTERING (the GPT-3 appendix-A classifier
     stage, closed-form): train a Naive Bayes classifier distinguishing
@@ -1304,7 +1307,14 @@ def nb_quality_scores(
     skips the fit entirely: the training corpus is NEVER scanned — the
     frozen-artifact posture of incremental admission.  Must have been
     built with the same ``buckets``; ``docs``/``target_filter`` may be
-    None when both ``model`` and ``score_docs`` are given."""
+    None when both ``model`` and ``score_docs`` are given.
+
+    ``passthrough`` carries the named columns of the scored frame
+    (``score_docs`` when given, else ``docs``) through to the output
+    unchanged, so a caller can CHAIN the scoring as additional columns
+    instead of joining the scores back by id — the scoring itself is a
+    broadcast-model projection, so the chained form adds zero
+    shuffles."""
     if model is None and docs is None:
         raise ValueError("nb_quality_scores: need docs to fit when model is None")
     if model is not None and score_docs is None and docs is None:
@@ -1328,14 +1338,18 @@ def nb_quality_scores(
         )
 
     if model is None:
+        # passthrough names columns of the SCORED frame: they ride the
+        # fit frame only when the fit frame is what gets scored
         tagged, model_map, prior = _nb_model_parts(
-            docs, target_filter, buckets, alpha, text_col, id_col
+            docs, target_filter, buckets, alpha, text_col, id_col,
+            passthrough if score_docs is None else (),
         )
     else:
         tagged = (
             docs.select(
                 F.col(id_col).alias("doc_id"),
                 F.coalesce(target_filter, F.lit(False)).alias("_is_target"),
+                *[F.col(c) for c in passthrough],
                 toks.alias("_toks"),
             )
             if score_docs is None
@@ -1355,6 +1369,7 @@ def nb_quality_scores(
         if score_docs is None
         else score_docs.select(
             F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in passthrough],
             F.regexp_extract_all(
                 F.lower(F.col(text_col)), F.lit(r"\S+"), 0
             ).alias("_toks"),
@@ -1371,6 +1386,7 @@ def nb_quality_scores(
         .select(
             "doc_id",
             *label,
+            *passthrough,
             # regexp_extract_all of a NULL text yields NULL, not []:
             # coalesce keeps the documented "docs with no tokens get 0"
             # contract (and the oracle's coalesce(n_tokens, 0)) intact
@@ -1548,6 +1564,22 @@ def curated_corpus(
 
     spark = docs.sparkSession
 
+    if os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1":
+        import sys as _sys
+        import time as _time
+
+        _t_entry = _time.perf_counter()
+
+        def _mark(label: str) -> None:
+            print(
+                f"# mark {label}: t+{_time.perf_counter() - _t_entry:.3f}s",
+                file=_sys.stderr,
+            )
+    else:
+
+        def _mark(label: str) -> None:
+            pass
+
     def stage(df: DataFrame, name: str) -> DataFrame:
         if stage_dir is None:
             # in-memory form: truncate lineage with a LAZY local
@@ -1600,6 +1632,7 @@ def curated_corpus(
     # materialization point: it feeds ExactSubstr's two plan branches,
     # which require a DETERMINISTIC input (the stage table guarantees it).
     bp = extract.remove_boilerplate_ngrams(d1, n=5, min_docs=3)
+    _mark("pre-d2")
     d2 = stage(
         d1.select("doc_id", "source", "n_raw_tokens", "n_collapsed").join(
             bp.select(
@@ -1620,18 +1653,18 @@ def curated_corpus(
     # only THEN are residual cross-document passages cut out — the
     # reverse order would excise duplicated text from every copy,
     # destroying all of them and blinding the near-dup gate.
-    trn = d2.filter(~is_eval)
-    ek = trn.select(
-        "doc_id", fingerprint(F.col("text")).alias("_fp")
-    ).select(
-        "doc_id",
-        (F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp"))).alias(
-            "e_keep"
-        ),
+    # e_keep as a window column straight on the train split: the former
+    # shape joined the keeper ids back to the text by doc_id — the same
+    # rows, one exchange fewer (the text crosses the fingerprint window
+    # once instead of a window plus a join)
+    trn = d2.filter(~is_eval).withColumn(
+        "_fp", fingerprint(F.col("text"))
+    ).withColumn(
+        "e_keep",
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
     )
-    ekept = trn.join(ek.filter("e_keep").select("doc_id"), "doc_id").select(
-        "doc_id", "text"
-    )
+    ek = trn.select("doc_id", "e_keep")
+    ekept = trn.filter("e_keep").select("doc_id", "text")
     tb = _banded_signatures(ekept, "text", "doc_id", k=8, num_hashes=16, bands=4)
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
@@ -1655,6 +1688,7 @@ def curated_corpus(
     # the per-train-doc dedup verdicts — staged so the expensive minhash
     # band join is evaluated ONCE (the survivor selection below and the
     # final flag assembly both consume it)
+    _mark("pre-dedup_flags")
     dflags = stage(
         ek.join(nd_drop, "doc_id", "left").select(
             "doc_id",
@@ -1715,6 +1749,7 @@ def curated_corpus(
     # corpus — the stage table a production build audits — and feeds
     # four independent gates, so it is the second text materialization.
     pii = pii_scrub(d3)
+    _mark("pre-scrubbed")
     d4 = stage(
         d3.select(
             "doc_id",
@@ -1750,12 +1785,12 @@ def curated_corpus(
     # top-fraction rank gate (scale: the rank window partitions by
     # source — the source_quota shape, never a global single-reducer
     # sort; WindowGroupLimit bounds the per-source cost)
-    scores = nb_quality_scores(d4, nb_target, buckets=256).select(
-        "doc_id", "nb_logodds"
-    )
-    trn_scores = d4.filter(~is_eval).select("doc_id", "source").join(
-        scores, "doc_id"
-    )
+    _mark("pre-nb")
+    # source rides through the scoring projection (passthrough) instead
+    # of a post-hoc join back to d4 by doc_id — same rows, one join less
+    trn_scores = nb_quality_scores(
+        d4, nb_target, buckets=256, passthrough=("source",)
+    ).select("doc_id", "source", "nb_logodds").filter(~is_eval)
     wsrc = Window.partitionBy("source").orderBy(
         F.col("nb_logodds").desc_nulls_last(), F.col("doc_id")
     )
@@ -1785,7 +1820,9 @@ def curated_corpus(
     # the documented deterministic stand-in; with fewer eval vectors
     # than probes the exact operator is the cheaper path anyway.
     ev = F.col("vec_id") % eval_mod == 0
+    _mark("pre-centroids")
     cents = sample_centroids(embeddings, k=8)
+    _mark("post-centroids")
     if len(cents) >= 2:
         sem = embedding_decontaminate_ivf(
             embeddings.filter(~ev),
@@ -1860,7 +1897,9 @@ def curated_corpus(
             "media_ok",
         )
     )
+    _mark("pre-flags")
     flags = stage(flags, "flags")
+    _mark("post-flags")
     survivor = (
         ~F.col("is_eval")
         & F.col("e_keep")
@@ -2239,14 +2278,12 @@ def curated_incremental_admit(
         # the whole collapse→boiler→ES→PII chain (measured ~3x the
         # admit's cost at sf0.1); with it the scrub runs once
     ).localCheckpoint(eager=False)
-    if blocklist is not None:
-        bl = textops.blocklist_hits(
-            base_new, list(blocklist), max_hits=blocklist_max_hits
-        ).select("doc_id", (~F.col("keep")).alias("blocklisted"))
-    else:
-        bl = base_new.select("doc_id", F.lit(False).alias("blocklisted"))
-
-    # 1. exact gate: corpus anti-membership + within-batch keep-lowest
+    # 1. exact gate (+ the other row-local screens), computed INLINE on
+    # the batch frame: the fingerprint, the within-batch keep-lowest
+    # window, and the blocklist regex are all columns over base_new —
+    # chaining them replaces the former four per-gate doc_id self-joins
+    # (same values row for row; the batch text crosses ONE exchange, the
+    # fingerprint window, instead of one per gate join)
     from pyspark.sql import Window
 
     # distinct on BOTH paths: admission_state builds fingerprints
@@ -2259,16 +2296,33 @@ def curated_incremental_admit(
         if "fingerprints" in st
         else base_ex.select(fingerprint(F.col("text")).alias("_fp")).distinct()
     )
-    nfp = base_new.select("doc_id", fingerprint(F.col("text")).alias("_fp"))
-    ek = (
+    nfp = base_new.withColumn("_fp", fingerprint(F.col("text")))
+    # corpus anti-membership as a PROBE: the corpus fingerprint table is
+    # semi-joined against the (small, broadcast) batch fingerprints, and
+    # only the surviving hit set — at most batch-sized — joins back.
+    # The corpus side is read map-side, never shuffled and never
+    # broadcast: the asymmetry a 100 TB fingerprint table requires (the
+    # former left join shuffled or broadcast the CORPUS side per batch).
+    fp_hits = ex_fp.join(
+        F.broadcast(nfp.select("_fp").distinct()), "_fp", "leftsemi"
+    ).withColumn("_hit", F.lit(True))
+    gated = (
         nfp.withColumn(
             "_bmin",
             F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("_fp")),
         )
-        .join(ex_fp.withColumn("_hit", F.lit(True)), "_fp", "left")
-        .select(
-            "doc_id", (F.col("_bmin") & F.col("_hit").isNull()).alias("e_keep")
+        .join(F.broadcast(fp_hits), "_fp", "left")
+        .withColumn("e_keep", F.col("_bmin") & F.col("_hit").isNull())
+        .withColumn(
+            "blocklisted",
+            (
+                textops.blocklist_hits_expr(list(blocklist))
+                > blocklist_max_hits
+            )
+            if blocklist is not None
+            else F.lit(False),
         )
+        .drop("_fp", "_bmin", "_hit")
     )
 
     # 2. near-dup vs the existing corpus (batch side broadcasts)
@@ -2327,27 +2381,37 @@ def curated_incremental_admit(
     # nb_buckets governs the recompute fit; a frozen state model carries
     # its own `_buckets` column and scores with THAT (see
     # nb_quality_scores), so a codebook mismatch cannot silently
-    # mis-score the batch
-    new_scores = nb_quality_scores(
-        base_ex,
-        nb_target,
-        buckets=nb_buckets,
-        score_docs=base_new,
-        model=st.get("nb_model"),
-    ).select("doc_id", "nb_logodds")
-    scores = (
-        base_new.select("doc_id", "source")
-        .join(new_scores, "doc_id")
-        .join(F.broadcast(tau), "source", "left")
-        .select(
-            "doc_id",
-            "nb_logodds",
-            (
-                F.col("nb_logodds").isNotNull()
-                & F.col("_tau").isNotNull()
-                & (F.col("nb_logodds") >= F.col("_tau"))
-            ).alias("nb_keep"),
+    # mis-score the batch.  Scoring CHAINS on the gated batch frame
+    # (``passthrough``) — the model is a broadcast one-row map, so the
+    # inline form adds zero shuffles and drops the former score join
+    # back by doc_id.
+    scored = (
+        nb_quality_scores(
+            base_ex,
+            nb_target,
+            buckets=nb_buckets,
+            score_docs=gated,
+            model=st.get("nb_model"),
+            passthrough=(
+                "source",
+                "text",
+                "n_collapsed",
+                "n_boiler_dropped",
+                "es_dropped_chars",
+                "pii_redactions",
+                "e_keep",
+                "blocklisted",
+            ),
         )
+        .drop("n_tokens", "keep")
+        .join(F.broadcast(tau), "source", "left")
+        .withColumn(
+            "nb_keep",
+            F.col("nb_logodds").isNotNull()
+            & F.col("_tau").isNotNull()
+            & (F.col("nb_logodds") >= F.col("_tau")),
+        )
+        .drop("_tau")
     )
 
     # 4. remaining mixture budget: per-source tokens already consumed
@@ -2375,12 +2439,10 @@ def curated_incremental_admit(
             index=st["emb_index"],
         ).select("doc_id", (~F.col("leaked")).alias("_emb_keep"))
 
-    joined = (
-        base_new.join(ek, "doc_id")
-        .join(nd_drop, "doc_id", "left")
-        .join(scores, "doc_id")
-        .join(bl, "doc_id")
-    )
+    # the only per-gate joins left are the genuinely relational ones:
+    # the near-dup hit set (bounded by the batch, broadcast) and the
+    # optional embedding verdict
+    joined = scored.join(F.broadcast(nd_drop), "doc_id", "left")
     if new_embeddings is not None:
         joined = joined.join(eg, "doc_id", "left")
     emb_cols = (
