@@ -1003,17 +1003,22 @@ def remove_duplicate_blocks(
     hash-diff by eye).  Docs too short to tile (empty normalized text)
     keep a zero row with an empty clean text.
 
-    Scale: tiles build row-locally and explode (narrow); the ONLY wide
-    stages are the tile-hash → distinct-doc count (32-byte uniform
-    keys, map-side combined) and the doc_id reassembly shuffle, whose
-    payload is exactly the surviving text — never more than the corpus.
-    The dup-count and reassembly branches each re-derive the tiling
-    from the (pruned) corpus scan instead of sharing a persisted tile
-    table: the tiling is row-local and md5-per-50-chars cheap, while a
-    cached tile table is CORPUS-SIZED TEXT — at 100 TB a second
-    column-pruned parquet scan beats materializing 60 TB of cache (and
-    long-lived sessions no longer need a ``clearCache()`` contract;
-    see :func:`...session.cache_scope` for operators that do cache).
+    Scale: tiles build row-locally and explode as 32-byte HASHES only
+    (narrow); the wide stages are the tile-hash → distinct-doc count
+    (row-locally deduped, map-side combined), a per-doc rollup of
+    flagged POSITIONS (ints — never tile text), and ONE doc-level join
+    of those position sets back to the corpus rows, where the
+    surviving text reassembles row-locally from the doc's own tiling.
+    Tile text itself never crosses an exchange (the pre-r13 shape
+    shuffled every tile string through a join and a collect_list
+    rebuild — two corpus-sized shuffles).  The branches re-derive the
+    tiling from the (pruned) corpus scan instead of sharing a persisted
+    tile table: the tiling is row-local and md5-per-50-chars cheap,
+    while a cached tile table is CORPUS-SIZED TEXT — at 100 TB a
+    second column-pruned parquet scan beats materializing 60 TB of
+    cache (and long-lived sessions no longer need a ``clearCache()``
+    contract; see :func:`...session.cache_scope` for operators that do
+    cache).
     The tiling trade-off vs true suffix-array ExactSubstr: a
     duplicated passage is only removed where tile boundaries align,
     which the profile's strided windows (:func:`duplicate_spans`)
@@ -1026,59 +1031,57 @@ def remove_duplicate_blocks(
     present divergent corpora to the two branches; checkpoint or persist
     such inputs upstream first."""
     norm = normalized_text(F.col(text_col))
-    tiles = (
-        _parallelize_scan(docs)
-        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
-        .filter(F.length("nt") >= 1)
+    base = _parallelize_scan(docs).select(
+        F.col(id_col).alias("doc_id"), norm.alias("nt")
+    )
+    nonempty = base.filter(F.length("nt") >= 1)
+    tile_hashes = F.expr(
+        f"transform(sequence(1, length(nt), {block}), "
+        f"i -> md5(substring(nt, i, {block})))"
+    )
+    # a tile is duplicated when its content occurs in MORE THAN ONE doc:
+    # row-local dedup -> count(*) IS the distinct-doc count
+    dup = (
+        nonempty.select(F.explode(F.array_distinct(tile_hashes)).alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("h")
+    )
+    drops = (
+        nonempty.select("doc_id", F.posexplode(tile_hashes).alias("pos", "h"))
+        .join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("ps"))
+    )
+    # one row per input row straight off base: empty-normalized docs
+    # take the empty-tiling arm inline (zero row, empty clean text)
+    return (
+        base.join(drops, "doc_id", "left")
         .select(
             "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(nt), {block}), "
-                    f"i -> substring(nt, i, {block}))"
-                )
-            ).alias("pos", "tile"),
+            F.expr(
+                f"CASE WHEN nt IS NULL OR length(nt) < 1 THEN array() "
+                f"ELSE transform(sequence(1, length(nt), {block}), "
+                f"i -> substring(nt, i, {block})) END"
+            ).alias("tiles"),
+            F.coalesce("ps", F.expr("array()")).alias("ps"),
         )
-    )
-    dup = (
-        tiles.groupBy(F.md5("tile").alias("h"))
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-    )
-    rebuilt = (
-        tiles.withColumn("h", F.md5("tile"))
-        .join(dup, "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.count(F.col("n_docs")).alias("n_dup_blocks"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(
-                            F.when(
-                                F.col("n_docs").isNull(),
-                                F.struct(F.col("pos"), F.col("tile")),
-                            )
-                        )
-                    ),
-                    lambda s: s["tile"],
-                ),
+        .select(
+            "doc_id",
+            F.size("tiles").cast("long").alias("n_blocks"),
+            F.size("ps").cast("long").alias("n_dup_blocks"),
+            F.expr(
+                "concat_ws('', filter(tiles, (x, i) -> NOT array_contains(ps, i)))"
             ).alias("clean_text"),
         )
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
-            F.coalesce("n_dup_blocks", F.lit(0).cast("long")).alias("n_dup_blocks"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_len"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+            "n_blocks",
+            "n_dup_blocks",
+            "clean_text",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5("clean_text").alias("clean_hash"),
         )
     )
 
@@ -1157,10 +1160,11 @@ def remove_duplicate_blocks_overlap(
     reassembled ROW-LOCALLY from the doc's own tiling (no
     tile-level reassembly shuffle, unlike the single-phase shape).
 
-    Determinism caveat: as with :func:`remove_duplicate_blocks`, the
-    detector and reassembly branches re-derive the normalized text
-    from the input plan independently — ``docs`` must be a
-    deterministic plan (checkpoint/persist upstream otherwise).
+    The normalized text is computed ONCE behind a lazy lineage cut and
+    both the detector and reassembly branches read the materialized
+    form, so the operator is deterministic regardless of the input
+    plan (the pre-r13 shape re-derived the normalization per branch
+    and required a deterministic upstream).
 
     ``known_hashes`` FREEZES the detector state: instead of mining
     cross-document duplicated windows within ``docs``, a window is
@@ -1177,12 +1181,17 @@ def remove_duplicate_blocks_overlap(
         )
     hb = block // 2
     norm = normalized_text(F.col(text_col))
-    base = (
-        _parallelize_scan(docs)
-        .select(F.col(id_col).alias("doc_id"), norm.alias("nt"))
-        .filter(F.length("nt") >= 1)
+    base = _parallelize_scan(docs).select(
+        F.col(id_col).alias("doc_id"), norm.alias("nt")
     )
-    wins = base.select(
+    if not base.isStreaming:
+        # ONE normalization pass feeds both the window detector and the
+        # tile reassembly (and, in mining mode, the duplicate counter):
+        # the lazy cut materializes it once per action and makes the
+        # branches read identical bits by construction
+        base = base.localCheckpoint(eager=False)
+    nonempty = base.filter(F.length("nt") >= 1)
+    wins = nonempty.select(
         "doc_id",
         F.length("nt").alias("ln"),
         F.posexplode(
@@ -1195,9 +1204,21 @@ def remove_duplicate_blocks_overlap(
     if known_hashes is not None:
         dup = known_hashes.select("h")
     else:
+        # ROW-LOCALLY deduped windows per doc -> count(*) IS the
+        # distinct-doc count: one map-side-combined shuffle of partial
+        # counts instead of count_distinct's (h, doc_id) pair shuffle
         dup = (
-            wins.groupBy("h")
-            .agg(F.count_distinct("doc_id").alias("n_docs"))
+            nonempty.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"array_distinct(transform(sequence(1, length(nt), {hb}), "
+                        f"i -> md5(substring(nt, i, {block}))))"
+                    )
+                ).alias("h"),
+            )
+            .groupBy("h")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
             .filter(F.col("n_docs") > 1)
             .select("h")
         )
@@ -1217,13 +1238,18 @@ def remove_duplicate_blocks_overlap(
         ).alias("t"),
     )
     drops = dropped.groupBy("doc_id").agg(F.collect_set("t").alias("ts"))
-    rebuilt = (
+    # the reassembly keeps ONE ROW PER INPUT ROW straight off base —
+    # empty/NULL-normalized docs (which the window branches skip) take
+    # the empty-tiling arm inline, so no distinct-id frame and no
+    # corpus-text re-join is needed to restore their zero rows
+    return (
         base.join(drops, "doc_id", "left")
         .select(
             "doc_id",
             F.expr(
-                f"transform(sequence(1, length(nt), {block}), "
-                f"i -> substring(nt, i, {block}))"
+                f"CASE WHEN nt IS NULL OR length(nt) < 1 THEN array() "
+                f"ELSE transform(sequence(1, length(nt), {block}), "
+                f"i -> substring(nt, i, {block})) END"
             ).alias("tiles"),
             F.coalesce("ts", F.expr("array()")).alias("ts"),
         )
@@ -1236,17 +1262,12 @@ def remove_duplicate_blocks_overlap(
             ).alias("clean_text"),
             F.size("ts").cast("long").alias("n_dup_blocks"),
         )
-    )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .distinct()
-        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
-            F.coalesce("n_dup_blocks", F.lit(0).cast("long")).alias("n_dup_blocks"),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.length(F.coalesce("clean_text", F.lit(""))).cast("long").alias("clean_len"),
-            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_hash"),
+            "n_blocks",
+            "n_dup_blocks",
+            "clean_text",
+            F.length("clean_text").cast("long").alias("clean_len"),
+            F.md5("clean_text").alias("clean_hash"),
         )
     )
