@@ -75,7 +75,17 @@ def make_scaled(
         if name == "documents":
             df = df.withColumn("text", _shuffle_words(F.col("text"), c))
             df = df.withColumn("n_chars", F.length("text").cast("long"))
-        df.drop("_copy").write.mode("overwrite").parquet(
+        # Write SPLITTABLE output: the sf0.1 source tables are single
+        # files with ONE parquet row group, so an unrepartitioned write
+        # inherits that layout and every sf1 scan becomes a one-task
+        # stage — the spot then measures a single core against 10x the
+        # data instead of the engine's scaling.  A real table at this
+        # size (let alone 100 TB) is many files/row groups; round-robin
+        # into one file per core reproduces that (deterministic content,
+        # layout only).
+        df.drop("_copy").repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
 
