@@ -111,7 +111,9 @@ def _admit_batch(
 ) -> None:
     """One micro-batch of :func:`stream_curated_admission` (module-level
     so crash-replay is testable without a StreamingQuery).  Gate → stage
-    the decision artifact → fan out the five appends; see the module
+    the decision artifact → fan out the four remaining appends
+    concurrently (they are independent and individually batch_id-guarded
+    — see the Scale note in :func:`stream_curated_admission`); see the module
     docstring for the replay contract.  ``writer_id`` scopes every
     batch_id guard to one stream lineage (micro-batch ids restart at 0
     for a new checkpoint — see ``events.checkpoint_writer_id``)."""
@@ -179,37 +181,60 @@ def _admit_batch(
     if admitted.isEmpty():
         return
     docs = admitted.select("doc_id", "source", "text")
-    if catalog.table_exists(namespace, corpus_table):
+
+    def _corpus_append() -> None:
+        if catalog.table_exists(namespace, corpus_table):
+            catalog.append(
+                namespace, corpus_table, docs,
+                batch_id=batch_id, writer_id=writer_id,
+            )
+        else:
+            catalog.create_table(
+                namespace, corpus_table, docs,
+                batch_id=batch_id, writer_id=writer_id,
+            )
+
+    def _state_append(table_suffix: str, df: DataFrame) -> None:
         catalog.append(
-            namespace, corpus_table, docs,
+            namespace, f"{state_prefix}_{table_suffix}", df,
             batch_id=batch_id, writer_id=writer_id,
         )
-    else:
-        catalog.create_table(
-            namespace, corpus_table, docs,
-            batch_id=batch_id, writer_id=writer_id,
-        )
-    catalog.append(
-        namespace,
-        f"{state_prefix}_fingerprints",
-        docs.select(fingerprint(F.col("text")).alias("fingerprint")),
-        batch_id=batch_id,
-        writer_id=writer_id,
-    )
-    catalog.append(
-        namespace,
-        f"{state_prefix}_signatures",
-        _banded_signatures(docs, "text", "doc_id"),
-        batch_id=batch_id,
-        writer_id=writer_id,
-    )
-    catalog.append(
-        namespace,
-        f"{state_prefix}_consumed",
-        admitted.groupBy("source").agg(F.sum("n_mix_tokens").alias("consumed")),
-        batch_id=batch_id,
-        writer_id=writer_id,
-    )
+
+    # The four fan-out appends are mutually independent by the replay
+    # contract: the staged trail above is the durable decision artifact,
+    # each append derives from it alone and is batch_id-guarded, so ANY
+    # subset may commit before a crash and the replay no-ops exactly the
+    # committed ones (tests/test_streaming.py pins a partial-commit
+    # crash).  Running them from a small driver thread pool overlaps the
+    # four jobs — the later jobs' tasks back-fill executors idled by the
+    # earlier jobs' single-task tail stages (each append here is a small
+    # write job whose wall time is mostly fixed latency).  Measured at
+    # sf0.1: the sequential fan-out was ~2.3s/batch, signatures alone
+    # 1.5s; overlapped the fan-out is bounded by the slowest append.
+    tail = [
+        _corpus_append,
+        lambda: _state_append(
+            "fingerprints",
+            docs.select(fingerprint(F.col("text")).alias("fingerprint")),
+        ),
+        lambda: _state_append(
+            "signatures", _banded_signatures(docs, "text", "doc_id")
+        ),
+        lambda: _state_append(
+            "consumed",
+            admitted.groupBy("source").agg(
+                F.sum("n_mix_tokens").alias("consumed")
+            ),
+        ),
+    ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(tail)) as pool:
+        futures = [pool.submit(fn) for fn in tail]
+        # surface the FIRST failure after every append settled (a crash
+        # mid-pool leaves the usual any-subset-committed state)
+        for f in futures:
+            f.result()
 
 
 def stream_curated_admission(

@@ -636,12 +636,15 @@ def test_compact_consumed_log_preserves_totals(spark, tmp_path):
 
 def test_stream_admission_crash_replay_partial_commit(spark, tmp_path):
     """The replay contract at the worst crash point (r10 ADVICE): the
-    stream dies AFTER the batch's fingerprints hit the state table but
-    BEFORE its signatures/consumed deltas commit.  A replay that re-ran
-    the gates would see the batch's own fingerprints and reject every
-    doc (signatures lost forever, budget undercounted); the staged
-    decision artifact must instead fan the remaining appends out
-    unchanged — and a second replay must be a full no-op."""
+    stream dies with the batch's fingerprints already in the state table
+    but its signatures delta never committed.  A replay that re-ran the
+    gates would see the batch's own fingerprints and reject every doc
+    (signatures lost forever); the staged decision artifact must instead
+    fan the remaining appends out unchanged — and a second replay must
+    be a full no-op.  The fan-out appends run CONCURRENTLY (r13), so the
+    simulated crash refuses the signatures append outright (raise before
+    commit) — any-subset-committed is exactly the state the contract
+    must survive, whichever appends the pool finished."""
     from snowflake_iceberg_cld_bcdr_demo_spark.functions.text import (
         bpe_piece_count,
     )
@@ -670,22 +673,23 @@ def test_stream_admission_crash_replay_partial_commit(spark, tmp_path):
     )
     kw = dict(token_budget=100_000, shares={"src0": 1.0})
 
-    # first attempt crashes immediately after the fingerprints append
+    # first attempt crashes on the signatures append (refused before its
+    # commit — deterministic under the concurrent fan-out: every OTHER
+    # append may or may not have landed, the contract covers any subset)
     real_append = cat.append
 
     def crashing_append(namespace, table, df, **kwargs):
-        snap = real_append(namespace, table, df, **kwargs)
-        if table == "adm_fingerprints":
-            raise RuntimeError("simulated crash after fingerprints commit")
-        return snap
+        if table == "adm_signatures":
+            raise RuntimeError("simulated crash before signatures commit")
+        return real_append(namespace, table, df, **kwargs)
 
     cat.append = crashing_append
     with pytest.raises(RuntimeError, match="simulated crash"):
         C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
     cat.append = real_append
 
-    # partial-commit state: decisions staged, corpus + fingerprints in,
-    # signatures + consumed missing
+    # partial-commit state: decisions staged, signatures missing (the
+    # other appends committed — the pool always drains every future)
     assert cat.batch_committed("db", "adm_staging", 0)
     assert cat.load("db", "adm_fingerprints").count() == 3  # 2 corpus + 1
     sig_docs = {
@@ -693,7 +697,7 @@ def test_stream_admission_crash_replay_partial_commit(spark, tmp_path):
         .select("doc_id").distinct().collect()
     }
     assert 105 not in sig_docs
-    assert cat.load("db", "adm_consumed").count() == 1  # initial only
+    assert cat.load("db", "adm_consumed").count() == 2  # initial + batch
 
     # replay (what foreachBatch does on restart): completes the fan-out
     C._admit_batch(batch, 0, cat, "db", "corpus", "adm", **kw)
