@@ -2486,7 +2486,12 @@ def curated_incremental_admit(
         shares,
         consumed=consumed,
     ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
-    return flags.join(mix, "doc_id", "left").select(
+    # the admission verdict is bounded by the batch (the operator's
+    # standing posture: the batch side broadcasts — fp probe, banded
+    # signatures, nd_drop all do); without the hint the final trail
+    # assembly was a SortMergeJoin that exchanged BOTH batch-sized
+    # sides (2 Exchange + 2 Sort in the certified plan)
+    return flags.join(F.broadcast(mix), "doc_id", "left").select(
         "doc_id",
         "source",
         "n_collapsed",
