@@ -474,6 +474,7 @@ def mixture_token_budget(
     text_col: str = "text",
     key_buckets: int = 64,
     consumed: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Token-budgeted data mixture — :func:`mixture_sample`'s doc-count
     quotas re-expressed in the currency that actually matters for LLM
@@ -533,12 +534,21 @@ def mixture_token_budget(
     kb = (
         F.conv(F.substring(key, 1, 4), 16, 10).cast("long") * key_buckets / 65536
     ).cast("int")
+    # ``tokens_col`` names a PRECOMPUTED per-doc piece count (must be
+    # bpe_piece_count over the same text, computed upstream) so a caller
+    # whose trail already carries the count — e.g. curated_corpus, whose
+    # flag table would otherwise persist corpus-sized TEXT just to meter
+    # tokens here — can keep text out of its artifact entirely
     tagged = docs.select(
         F.col(id_col),
         F.col(group_col),
         key.alias("_k"),
         kb.alias("_kb"),
-        bpe_piece_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        (
+            F.col(tokens_col).cast("long")
+            if tokens_col is not None
+            else bpe_piece_count(F.col(text_col)).cast("long")
+        ).alias("n_tokens"),
     )
     counts = tagged.groupBy(group_col, "_kb").agg(F.sum("n_tokens").alias("_tb"))
     wg = Window.partitionBy(group_col)
@@ -1534,7 +1544,7 @@ def curated_corpus(
     """
     from pyspark.sql import Window
 
-    from ..functions.text import fingerprint, normalized_text
+    from ..functions.text import bpe_piece_count, fingerprint, normalized_text
     from . import extract, textops
     from .dedup import (
         _banded_signatures,
@@ -1849,16 +1859,33 @@ def curated_corpus(
     # materialization point (mixture + final assembly both consume it).
     # Rooted at d2 so it keeps ONE ROW PER INPUT DOC: docs the dedup
     # gates dropped never reached the ES/PII/blocklist stages, so their
-    # chars/redaction counters coalesce to 0 and their text stays the
-    # cleaned (pre-ES) form — it is never shipped anyway.
+    # chars/redaction counters coalesce to 0.  TEXT never enters this
+    # assembly (guide: decide with small rows): the only downstream
+    # text consumer was the mixture walk's BPE meter over SURVIVORS,
+    # and every possible survivor reached the scrub stage (the d4
+    # universe is exactly the dedup survivors + eval docs; eval rows
+    # are excluded from the mixture), so the scrubbed side's piece
+    # count — computed ROW-LOCALLY before its join exchange — is the
+    # only token column the walk can ever read.  The flag table now
+    # persists a long where it used to persist the corpus text a
+    # second time (the shipped text lives in the `scrubbed` stage);
+    # docs that never reached scrub carry NULL, which no consumer
+    # reads.
     d4info = d4.select(
         "doc_id",
         "es_dropped_chars",
         "pii_redactions",
-        F.col("text").alias("_stext"),
+        bpe_piece_count(F.col("text")).cast("long").alias("_stok"),
     )
     flags = (
-        d2.join(dflags, "doc_id", "left")
+        d2.select(
+            "doc_id",
+            "source",
+            "n_raw_tokens",
+            "n_collapsed",
+            "n_boiler_dropped",
+        )
+        .join(dflags, "doc_id", "left")
         .join(d4info, "doc_id", "left")
         .join(nb, "doc_id", "left")
         .join(dec, "doc_id", "left")
@@ -1886,7 +1913,11 @@ def curated_corpus(
             F.coalesce("pii_redactions", F.lit(0).cast("long")).alias(
                 "pii_redactions"
             ),
-            F.coalesce("_stext", F.col("text")).alias("text"),
+            # the shipped-text piece count — the lone quantity the
+            # mixture walk needs from the text, computed row-locally
+            # before the join so the text itself never crosses one
+            # (NULL for docs the dedup gates dropped: never survivors)
+            F.col("_stok").alias("n_bpe_tokens"),
             # eval rows have no dedup verdict: gates do not apply there
             F.coalesce("e_keep", F.lit(True)).alias("e_keep"),
             F.coalesce("nd_keep", F.lit(True)).alias("nd_keep"),
@@ -1911,9 +1942,11 @@ def curated_corpus(
         & F.col("media_ok")
     )
 
-    # 10. token-budgeted mixture over the survivors' scrubbed text
+    # 10. token-budgeted mixture over the survivors' scrubbed text —
+    # metered by the precomputed per-doc piece count (same expression
+    # over the same text, computed before the flag assembly)
     mix = mixture_token_budget(
-        flags.filter(survivor), token_budget, shares
+        flags.filter(survivor), token_budget, shares, tokens_col="n_bpe_tokens"
     ).select("doc_id", F.lit(True).alias("_adm"), F.col("n_tokens").alias("_mt"))
 
     # 11. split assignment + final decision trail
