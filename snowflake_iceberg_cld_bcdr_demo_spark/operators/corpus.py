@@ -535,17 +535,31 @@ def mixture_token_budget(
         F.conv(F.substring(key, 1, 4), 16, 10).cast("long") * key_buckets / 65536
     ).cast("int")
     # ``tokens_col`` names a PRECOMPUTED per-doc piece count (must be
-    # bpe_piece_count over the same text, computed upstream) so a caller
-    # whose trail already carries the count — e.g. curated_corpus, whose
-    # flag table would otherwise persist corpus-sized TEXT just to meter
-    # tokens here — can keep text out of its artifact entirely
+    # bpe_piece_count over the same text, computed upstream, and
+    # NON-NULL for every row — see the raise_error guard below) so a
+    # caller whose trail already carries the count — e.g.
+    # curated_corpus, whose flag table would otherwise persist
+    # corpus-sized TEXT just to meter tokens here — can keep text out
+    # of its artifact entirely.  A NULL count would silently ride the
+    # budget walk for free (F.sum skips NULLs in both the bucket totals
+    # and the cumulative sum), admitting the doc without consuming
+    # budget, so it fails loudly instead.
     tagged = docs.select(
         F.col(id_col),
         F.col(group_col),
         key.alias("_k"),
         kb.alias("_kb"),
         (
-            F.col(tokens_col).cast("long")
+            F.coalesce(
+                F.col(tokens_col).cast("long"),
+                F.raise_error(
+                    F.lit(
+                        f"mixture_token_budget: NULL in tokens_col "
+                        f"{tokens_col!r} — precomputed token counts must "
+                        "be non-null for every metered row"
+                    )
+                ),
+            )
             if tokens_col is not None
             else bpe_piece_count(F.col(text_col)).cast("long")
         ).alias("n_tokens"),
@@ -1604,6 +1618,21 @@ def curated_corpus(
         path = f"{stage_dir}/{name}"
         sc = spark.sparkContext
         sc.setJobDescription(f"curated_corpus: stage {name}")
+        plan_dir = os.environ.get("SPARK_GRAFT_STAGE_PLAN_DIR")
+        if plan_dir:
+            # measurement hook (guide §1/§7.2): the stage WRITES are
+            # where the pipeline's exchanges live, but the registry
+            # captures only the post-stage tail plan — dump each stage
+            # job's formatted plan so shuffle counts are auditable
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            os.makedirs(plan_dir, exist_ok=True)
+            with open(f"{plan_dir}/stage_{name}.txt", "w") as fh:
+                fh.write(buf.getvalue())
         if os.environ.get("SPARK_GRAFT_STAGE_TIMING") == "1":
             import sys
             import time
@@ -1877,22 +1906,50 @@ def curated_corpus(
         "pii_redactions",
         bpe_piece_count(F.col("text")).cast("long").alias("_stok"),
     )
-    flags = (
-        d2.select(
-            "doc_id",
-            "source",
-            "n_raw_tokens",
-            "n_collapsed",
-            "n_boiler_dropped",
-        )
-        .join(dflags, "doc_id", "left")
-        .join(d4info, "doc_id", "left")
-        .join(nb, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-        .join(sem, "doc_id", "left")
-        .join(bl, "doc_id", "left")
+    # FUSED assembly (guide §2.4): every gate emits AT MOST ONE row per
+    # doc_id, so the former chain of seven sequential doc_id left joins
+    # (each paying its own exchange + sort into a SortMergeJoin) is
+    # equivalent to ONE union of the per-gate verdict frames, ONE hash
+    # aggregation on doc_id — `first(ignorenulls=True)` picks the
+    # gate's single non-null value exactly as the left join did — and
+    # ONE left join back to the d2 base columns.  Every fused column is
+    # a boolean or a long, so the aggregation buffer stays primitive
+    # and the agg is a true HashAggregate (a `first(source)` STRING
+    # buffer would demote the whole union to sort-based aggregation —
+    # measured: two corpus-wide Sorts — which is why the base columns
+    # ride the final join instead of the union).  The union sides stay
+    # independent computations — the gates-computed-independently
+    # contract is untouched; the re-attachment pays two exchanges (the
+    # union agg + the d2 side of the join; the agg output is already
+    # hash-partitioned on doc_id for the join) instead of seven.
+    from functools import reduce as _reduce
+
+    gate_sides = [dflags, d4info, nb, dec, sem, bl]
+    if mv is not None:
+        gate_sides.append(mv)
+    unioned = _reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), gate_sides
     )
-    flags = flags if mv is None else flags.join(mv, "doc_id", "left")
+    _gv = lambda c: F.first(c, ignorenulls=True)
+    gates = unioned.groupBy("doc_id").agg(
+        _gv("e_keep").alias("e_keep"),
+        _gv("nd_keep").alias("nd_keep"),
+        _gv("es_dropped_chars").alias("es_dropped_chars"),
+        _gv("pii_redactions").alias("pii_redactions"),
+        _gv("_stok").alias("_stok"),
+        _gv("nb_keep").alias("nb_keep"),
+        _gv("contaminated").alias("contaminated"),
+        _gv("leaked").alias("leaked"),
+        _gv("blocklisted").alias("blocklisted"),
+        *([_gv("media_ok").alias("media_ok")] if mv is not None else []),
+    )
+    flags = d2.select(
+        "doc_id",
+        "source",
+        "n_raw_tokens",
+        "n_collapsed",
+        "n_boiler_dropped",
+    ).join(gates, "doc_id", "left")
     flags = (
         flags.withColumn(
             "media_ok",
