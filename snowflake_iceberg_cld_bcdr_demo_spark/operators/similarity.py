@@ -54,7 +54,7 @@ def hyperplane_lsh_buckets(
     query's bucket (and optionally Hamming-1 neighbors)."""
     bits = []
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])
         bits.append(F.when(dot(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     bucket = (sum(bits) if bits else F.lit(0)).cast("int")  # 0 planes → 1 bucket
     return emb.select(F.col(id_col), F.col(vec_col), F.col("label"), bucket.alias("bucket"))
@@ -153,12 +153,19 @@ def ivf_assign(
     Centroids arrive as literal arrays (typically a deterministic sample
     or k-means output collected once — K×dims floats, trivially
     broadcastable inside the plan).  The argmax is an ``array_max`` over
-    (sim, cell) structs — pure Catalyst, no UDF."""
-    cells = []
-    for k, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        cells.append(F.struct(cosine(F.col(vec_col), cvec).alias("sim"), F.lit(k).alias("cell")))
-    best = F.array_max(F.array(*cells))
+    (sim, cell) structs — pure Catalyst, no UDF.  The centroid table
+    enters the plan as ONE nested array literal + one ``transform``
+    (see :func:`_l2_argmin` — per-element F.lit loops made expression
+    construction, not execution, the driver cost of this family)."""
+    book = F.lit([[float(x) for x in c] for c in centroids])
+    best = F.array_max(
+        F.transform(
+            book,
+            lambda cv, i: F.struct(
+                cosine(F.col(vec_col), cv).alias("sim"), i.alias("cell")
+            ),
+        )
+    )
     # `label` rides along when the input has one (the ANN family always
     # does); generic embedding frames without it work too (semdedup).
     extras = [F.col("label")] if "label" in emb.columns else []
@@ -195,13 +202,13 @@ def ivf_topk(
     assigned table is written once partitioned by ``cell`` so probes
     become partition-pruned scans."""
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    sims = []
-    for c_idx, c in enumerate(centroids):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        sims.append(
-            F.struct(cosine(F.col(vec_col), cvec).alias("sim"), F.lit(c_idx).alias("cell"))
-        )
-    probe_cells = F.slice(F.sort_array(F.array(*sims), asc=False), 1, nprobe)["cell"]
+    sims = F.transform(
+        F.lit([[float(x) for x in c] for c in centroids]),
+        lambda cv, i: F.struct(
+            cosine(F.col(vec_col), cv).alias("sim"), i.alias("cell")
+        ),
+    )
+    probe_cells = F.slice(F.sort_array(sims, asc=False), 1, nprobe)["cell"]
     q = (
         emb.filter(F.col(id_col) == query_vec_id)
         .select(F.col(vec_col).alias("query_vec"), probe_cells.alias("probe_cells"))
@@ -399,11 +406,9 @@ def kmeans_centroids(
             vec_col,
         )
         best_sim = F.array_max(
-            F.array(
-                *[
-                    cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
-                    for c in centroids
-                ]
+            F.transform(
+                F.lit([[float(x) for x in c] for c in centroids]),
+                lambda cv: cosine(F.col(vec_col), cv),
             )
         )
         q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
@@ -695,18 +700,13 @@ def embedding_decontaminate_ivf(
     ev = index if index is not None else ivf_index(
         eval_emb, centroids, id_col, vec_col
     )
-    sims = [
-        F.struct(
-            cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias(
-                "sim"
-            ),
-            F.lit(i).alias("cell"),
-        )
-        for i, c in enumerate(centroids)
-    ]
-    probe_cells = F.slice(F.sort_array(F.array(*sims), asc=False), 1, nprobe)[
-        "cell"
-    ]
+    sims = F.transform(
+        F.lit([[float(x) for x in c] for c in centroids]),
+        lambda cv, i: F.struct(
+            cosine(F.col(vec_col), cv).alias("sim"), i.alias("cell")
+        ),
+    )
+    probe_cells = F.slice(F.sort_array(sims, asc=False), 1, nprobe)["cell"]
     # both L2 norms hoisted out of the pair loop (the exact operator's
     # trick): one dot per probed pair, bit-identical cosine; the train
     # scan rides the parallelism guard (per-row work is nprobe/K of the
@@ -755,17 +755,29 @@ def embedding_decontaminate_ivf(
 def _l2_argmin(sub_col, codewords: list[list[float]]):
     """Index of the nearest codeword to ``sub_col`` by squared L2 —
     ``array_min`` over (dist, idx) structs, pure Catalyst (ties break to
-    the lowest index via struct ordering)."""
-    cands = []
-    for i, c in enumerate(codewords):
-        cvec = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(sub_col, cvec, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    the lowest index via struct ordering).
+
+    The codebook enters the plan as ONE nested array literal and the
+    candidates via ONE ``transform`` — the former per-codeword
+    ``F.array(*[F.lit(x) …])`` loop built k×(D/m) literals through
+    individual py4j calls, which made EXPRESSION CONSTRUCTION (not
+    execution) the dominant cost of `pq_train`/`pq_encode` on the
+    driver (measured: ~9s of a 11s pq_train in py4j round trips).
+    Same arithmetic, same tie-break — values bit-identical."""
+    book = F.lit([[float(x) for x in c] for c in codewords])
+    return F.array_min(
+        F.transform(
+            book,
+            lambda cv, i: F.struct(
+                F.aggregate(
+                    F.zip_with(sub_col, cv, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                i.alias("idx"),
+            ),
         )
-        cands.append(F.struct(d.alias("dist"), F.lit(i).alias("idx")))
-    return F.array_min(F.array(*cands))["idx"]
+    )["idx"]
 
 
 def pq_train(
@@ -786,47 +798,84 @@ def pq_train(
     it in DuckDB).  Returns ``m`` codebooks of ``k`` codewords.
 
     Scale: each iteration is one narrow assignment map (codeword
-    literals in the plan) plus ONE (code, dim) map-side-combined shuffle
-    reducing to k×(D/m) partial means — the classic distributed PQ
-    trainer.  The model is m×k×(D/m) = D×k floats total, driver-trivial.
+    literals in the plan) plus ONE (subspace, code, dim)
+    map-side-combined shuffle reducing to m×k×(D/m) partial means — the
+    classic distributed PQ trainer.  ALL ``m`` subspaces train inside
+    that one job (and the seeded init is one windowed job): the r13
+    shape looped the driver over subspaces, paying m×(1+iters)
+    sequential Spark jobs — 24 for the default m=8/iters=2 — where the
+    fused trainer pays 1+iters (measured 15s → ~2s on the 500-vector
+    test corpus; values BIT-IDENTICAL — the fixed-point integer fold is
+    order-free and the init rank order is preserved per subspace).  The
+    model is m×k×(D/m) = D×k floats total, driver-trivial.
     """
     first = emb.select(vec_col).first()
     dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sub = dim // m
-    codebooks = []
-    for j in range(m):
-        sv = emb.select(
-            F.col(id_col), F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv")
-        )
-        rows = (
-            sv.orderBy(
+
+    # seeded init, all subspaces in ONE job: per subspace j the k
+    # lowest md5(f"{seed}:{j}:{id}") sub-vectors, in ascending hash
+    # order — exactly the rows (and row order) of the former per-j
+    # orderBy().limit(k)
+    from pyspark.sql import Window
+
+    init_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
                 F.md5(
                     F.concat_ws(
                         ":", F.lit(f"{seed}:{j}"), F.col(id_col).cast("string")
                     )
-                )
+                ).alias("h"),
+                F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
             )
-            .limit(k)
-            .select("_sv")
+            for j in range(m)
+        ]
+    )
+    wj = Window.partitionBy("j").orderBy("h")
+    init_rows = (
+        emb.select(F.explode(init_structs).alias("s"))
+        .select("s.j", "s.h", "s.sv")
+        .withColumn("_rk", F.row_number().over(wj))
+        .filter(F.col("_rk") <= k)
+        .collect()
+    )
+    codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(init_rows, key=lambda r: (r.j, r._rk)):
+        codebooks[r.j].append([float(x) for x in r.sv])
+
+    for _ in range(iters):
+        # assignment + sufficient statistics for every subspace in ONE
+        # map-side-combined job: each row contributes its m codes'
+        # (j, code, dim) partial sums — the same integer fold as the
+        # per-subspace loop, summed in one shuffle
+        code_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _l2_argmin(
+                        F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j]
+                    ).alias("code"),
+                    F.slice(F.col(vec_col), j * sub + 1, sub).alias("sv"),
+                )
+                for j in range(m)
+            ]
+        )
+        q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
+        stats = (
+            emb.select(F.explode(code_structs).alias("s"))
+            .select("s.j", "s.code", F.posexplode("s.sv").alias("dim", "v"))
+            .groupBy("j", "code", "dim")
+            .agg(F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n_v"))
             .collect()
         )
-        cents = [[float(x) for x in r[0]] for r in rows]
-        for _ in range(iters):
-            q = F.floor(F.col("v").cast("double") * F.lit(1048576.0)).cast("long")
-            stats = (
-                sv.withColumn("_code", _l2_argmin(F.col("_sv"), cents))
-                .select("_code", F.posexplode("_sv").alias("dim", "v"))
-                .groupBy("_code", "dim")
-                .agg(F.sum(q).alias("sum_q"), F.count(F.lit(1)).alias("n_v"))
-                .collect()
-            )
-            new_c = [list(c) for c in cents]  # emptied codes keep position
-            for r in stats:
-                new_c[r._code][r.dim] = float(r.sum_q) / (1048576.0 * r.n_v)
-            cents = new_c
-        codebooks.append(cents)
+        new_books = [[list(c) for c in b] for b in codebooks]  # emptied codes keep position
+        for r in stats:
+            new_books[r.j][r.code][r.dim] = float(r.sum_q) / (1048576.0 * r.n_v)
+        codebooks = new_books
     return codebooks
 
 
@@ -890,7 +939,7 @@ def pq_topk(
         qs = qv[j * sub : (j + 1) * sub]
         for c in codebooks[j]:
             lut.append(sum((a - b) * (a - b) for a, b in zip(qs, c)))
-    lut_lit = F.array(*[F.lit(v) for v in lut])
+    lut_lit = F.lit([float(v) for v in lut])
     encoded = pq_encode(emb, codebooks, id_col, vec_col)
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -906,7 +955,7 @@ def pq_topk(
     )
     if rerank <= k:
         return shortlist.limit(k)
-    qvec = F.array(*[F.lit(x) for x in qv])
+    qvec = F.lit([float(x) for x in qv])
     return (
         emb.join(
             F.broadcast(shortlist.select(id_col, "adc_dist")), id_col
@@ -934,9 +983,7 @@ def ivf_residuals(
     residual cloud is centered at the origin.  Pure Catalyst — the
     centroid table is a literal array-of-arrays indexed by cell."""
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    cents = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+    cents = F.lit([[float(x) for x in c] for c in centroids])
     res = F.zip_with(
         F.col(vec_col),
         F.element_at(cents, F.col("cell") + 1),
@@ -996,7 +1043,7 @@ def ivfpq_topk(
                 lut[(c * m + j) * kk + ci] = sum(
                     (a - b) * (a - b) for a, b in zip(qs, cw)
                 )
-    lut_lit = F.array(*[F.lit(v) for v in lut])
+    lut_lit = F.lit([float(v) for v in lut])
     encoded = pq_encode(
         ivf_residuals(emb, centroids, id_col, vec_col),
         codebooks,
@@ -1027,7 +1074,7 @@ def ivfpq_topk(
     )
     if rerank <= k:
         return shortlist.limit(k)
-    qvec = F.array(*[F.lit(x) for x in qv])
+    qvec = F.lit([float(x) for x in qv])
     return (
         emb.join(F.broadcast(shortlist.select(id_col, "adc_dist")), id_col)
         .select(
@@ -1195,7 +1242,7 @@ def ivfpq_query_index(
             f"{namespace}.ann_model/ann_codes versions kept disagreeing "
             "after 3 reads — is a rebuild_ann_index loop stuck mid-swap?"
         )
-    lut_lit = F.array(*[F.lit(v) for v in lut])
+    lut_lit = F.lit([float(v) for v in lut])
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -1217,7 +1264,7 @@ def ivfpq_query_index(
     )
     if rerank <= k:
         return shortlist.limit(k)
-    qvec = F.array(*[F.lit(x) for x in qv])
+    qvec = F.lit([float(x) for x in qv])
     return (
         emb.join(F.broadcast(shortlist.select(id_col, "adc_dist")), id_col)
         .select(
