@@ -72,18 +72,42 @@ def save_admission_state(
         catalog.create_table(namespace, f"{prefix}_{name}", state[name])
 
 
+#: state tables that never change inside a stream run (retrain offline
+#: and :func:`save_admission_state` to rotate) — safe to reuse across
+#: micro-batches via ``load_admission_state(frozen_cache=...)``
+FROZEN_STATE_TABLES = ("nb_model", "nb_tau", "emb_index")
+
+
 def load_admission_state(
-    catalog: LakehouseCatalog, namespace: str, prefix: str
+    catalog: LakehouseCatalog,
+    namespace: str,
+    prefix: str,
+    frozen_cache: dict[str, DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Reload the admission index.  ``consumed`` is stored as an
     append-only delta log; it aggregates back to per-source totals here
-    (sources are few — this is a tiny map-side groupBy)."""
+    (sources are few — this is a tiny map-side groupBy).
+
+    ``frozen_cache`` (a dict the caller keeps across calls) memoizes the
+    FROZEN tables' DataFrames — the model/tau/IVF index never move
+    inside a stream run, so re-resolving their snapshots every
+    micro-batch is pure per-batch driver overhead; the mutable tables
+    (fingerprints/signatures/consumed) are re-resolved every call so
+    batch N+1 sees batch N's appends."""
+    cache = frozen_cache if frozen_cache is not None else {}
     state = {
-        name: catalog.load(namespace, f"{prefix}_{name}")
+        name: cache[name] if name in cache
+        else catalog.load(namespace, f"{prefix}_{name}")
         for name in STATE_TABLES
     }
-    if catalog.table_exists(namespace, f"{prefix}_emb_index"):
+    if "emb_index" in cache:
+        state["emb_index"] = cache["emb_index"]
+    elif catalog.table_exists(namespace, f"{prefix}_emb_index"):
         state["emb_index"] = catalog.load(namespace, f"{prefix}_emb_index")
+    if frozen_cache is not None:
+        for name in FROZEN_STATE_TABLES:
+            if name in state:
+                frozen_cache[name] = state[name]
     state["consumed"] = (
         state["consumed"]
         .groupBy("source")
@@ -108,6 +132,7 @@ def _admit_batch(
     boiler_grams: DataFrame | None = None,
     es_windows: DataFrame | None = None,
     writer_id: str | None = None,
+    frozen_cache: dict[str, DataFrame] | None = None,
 ) -> None:
     """One micro-batch of :func:`stream_curated_admission` (module-level
     so crash-replay is testable without a StreamingQuery).  Gate → stage
@@ -120,27 +145,10 @@ def _admit_batch(
     if batch_df.isEmpty():
         return
     staging_table = f"{state_prefix}_staging"
-    if catalog.batch_committed(namespace, staging_table, batch_id, writer_id):
-        # Crash-replay: this batch's gate decisions are already durable,
-        # and the state tables may already contain its own fingerprints/
-        # signatures (recomputing the gates now would reject everything
-        # as exact dups).  Fan the appends out from the staged trail
-        # instead; the batch_id guard on each append no-ops the ones
-        # that committed before the crash.
-        admitted = (
-            catalog.load(namespace, staging_table)
-            .filter(
-                (F.col("batch_id") == batch_id)
-                # null-safe: two stream lineages may both have a batch 0
-                # staged; only THIS writer's trail replays
-                & F.col("writer_id").eqNullSafe(
-                    F.lit(writer_id).cast("string")
-                )
-            )
-            .drop("batch_id", "writer_id")
+    if not catalog.batch_committed(namespace, staging_table, batch_id, writer_id):
+        state = load_admission_state(
+            catalog, namespace, state_prefix, frozen_cache=frozen_cache
         )
-    else:
-        state = load_admission_state(catalog, namespace, state_prefix)
         trail = corpus_ops.curated_incremental_admit(
             batch_df,
             None,
@@ -155,18 +163,20 @@ def _admit_batch(
             state=state,
             include_text=True,
         )
-        admitted = (
-            trail.filter("admitted")
-            .select("doc_id", "source", "text", "n_mix_tokens")
-            # the decision trail feeds five sinks: evaluate the gates
-            # once, not once per append
-            .localCheckpoint()
-        )
         # Make the decision artifact durable BEFORE any state append
         # (staged even when empty, so a replay never re-runs the gates
-        # for a batch whose decisions were already taken).
-        staged = admitted.withColumn("batch_id", F.lit(batch_id)).withColumn(
-            "writer_id", F.lit(writer_id).cast("string")
+        # for a batch whose decisions were already taken).  The gates
+        # evaluate exactly ONCE — into this write; the fan-out below
+        # reads the stored trail back, the same derivation a crash
+        # replay uses (r13 additionally materialized the trail through
+        # an eager localCheckpoint first — a whole extra executor-memory
+        # copy of the batch plus its write, per batch, for data the
+        # staging table stores anyway).
+        staged = (
+            trail.filter("admitted")
+            .select("doc_id", "source", "text", "n_mix_tokens")
+            .withColumn("batch_id", F.lit(batch_id))
+            .withColumn("writer_id", F.lit(writer_id).cast("string"))
         )
         if catalog.table_exists(namespace, staging_table):
             catalog.append(
@@ -178,6 +188,20 @@ def _admit_batch(
                 namespace, staging_table, staged,
                 batch_id=batch_id, writer_id=writer_id,
             )
+    # Fan out from the DURABLE decision artifact — first run and crash
+    # replay take the identical path; each append below is additionally
+    # batch_id-guarded, so a replay no-ops the ones that committed
+    # before a crash.
+    admitted = (
+        catalog.load(namespace, staging_table)
+        .filter(
+            (F.col("batch_id") == batch_id)
+            # null-safe: two stream lineages may both have a batch 0
+            # staged; only THIS writer's trail replays
+            & F.col("writer_id").eqNullSafe(F.lit(writer_id).cast("string"))
+        )
+        .drop("batch_id", "writer_id")
+    )
     if admitted.isEmpty():
         return
     docs = admitted.select("doc_id", "source", "text")
@@ -229,8 +253,17 @@ def _admit_batch(
     ]
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
+    # inheritable_thread_target: under PySpark's default pinned-thread
+    # mode a bare pool thread pins a fresh JVM thread that is never
+    # reclaimed (4 leaked per batch on a long-running stream) and does
+    # NOT inherit the stream's job group — query.stop() could not cancel
+    # in-flight appends.  The wrapper propagates the submitting thread's
+    # local properties (job group/description) into each worker and
+    # unpins its JVM thread when the task exits.
     with ThreadPoolExecutor(max_workers=len(tail)) as pool:
-        futures = [pool.submit(fn) for fn in tail]
+        futures = [pool.submit(inheritable_thread_target(fn)) for fn in tail]
         # surface the FIRST failure after every append settled (a crash
         # mid-pool leaves the usual any-subset-committed state)
         for f in futures:
@@ -279,6 +312,9 @@ def stream_curated_admission(
     from .events import checkpoint_writer_id
 
     wid = checkpoint_writer_id(checkpoint_dir)
+    # frozen model/tau/IVF DataFrames survive across micro-batches (one
+    # snapshot resolution per stream run, not per batch)
+    frozen: dict[str, DataFrame] = {}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         _admit_batch(
@@ -296,6 +332,7 @@ def stream_curated_admission(
             boiler_grams=boiler_grams,
             es_windows=es_windows,
             writer_id=wid,
+            frozen_cache=frozen,
         )
 
     writer = (
