@@ -132,21 +132,23 @@ def _compact_record(out: dict) -> dict:
             rec["sf1_spot"]["degraded"] = True
     # last-resort shrink: should the record ever outgrow the capture
     # anyway (e.g. every budget breached at once), shed the LIGHTEST
-    # entries pool by pool — per-query medians first, then extras, then
-    # the smallest (least alarming) scale ratios — before losing
+    # entries pool by pool — extras first (round-over-round additions),
+    # then the smallest (least alarming) scale ratios, and the frozen
+    # headline medians only as the final pool — before losing
     # value / breaches / anomalies off the top.  Everything shed is
     # still in BENCH_DETAIL.json.
     def _len() -> int:
         return len(json.dumps(rec, separators=(",", ":")))
 
-    pools = [rec["queries"], rec["extras"]]
+    pools = [rec["extras"]]
     if "sf1_spot" in rec:
         pools.append(rec["sf1_spot"].get("ratio_vs_linear", {}))
+    pools.append(rec["queries"])
     for pool in pools:
-        while _len() > 1900 and pool:
+        while _len() > 1750 and pool:
             del pool[min(pool, key=pool.get)]
             rec["omitted"] = rec.get("omitted", 0) + 1
-    if _len() > 1900:  # final stage: breach dicts -> [best, budget(, "coload")]
+    if _len() > 1750:  # final stage: breach dicts -> [best, budget(, "coload")]
         rec["budget_breaches"] = {
             n: [b.get("best"), b.get("budget")] + (["coload"] if b.get("coload") else [])
             for n, b in rec["budget_breaches"].items()
@@ -227,6 +229,18 @@ EXTRAS = ["curated_corpus_report", "curated_incremental_admit"]
 #: show.
 STREAM_EXTRA = "stream_curated_admission_two_waves"
 
+#: Persisted-index SERVE paths (r14 measurement additions — never
+#: before benched): state is built and persisted ONCE per scale (the
+#: untimed ship cost, memoized for the process), and each timed run
+#: serves from the stored artifact — the O(batch)/partition-pruned
+#: claim these operators make is measured here, with the sf1 spot
+#: probing a 10x index against the same fixed batch/query load.
+SERVE_EXTRAS = [
+    "bm25_search_many_served",
+    "media_neardup_from_index",
+    "admit_media_assets",
+]
+
 EXTRA_BUDGETS = {
     # in-session r12 spread: medians 22.2-29.8 s, best runs 22-26 s
     # (the eleven-gate composed pipeline is the most variance-exposed
@@ -243,6 +257,11 @@ EXTRA_BUDGETS = {
     # admission cost; the scrub chain is lineage-cut so ES/boiler
     # evaluate once, not once per downstream gate.
     "curated_incremental_admit": 20.0,
+    # r14 serve extras: ~2.5-3x their first recorded medians (1.44 /
+    # 0.31 / 1.41 s on a quiet host) — min-adjudicated like the rest
+    "bm25_search_many_served": 4.0,
+    "media_neardup_from_index": 1.2,
+    "admit_media_assets": 4.0,
 }
 
 #: sf1 spot-check set: the most expensive headline queries, plus the
@@ -330,6 +349,128 @@ def _time_query(
         rs.append(_time_once(spec, spark, sf_dir))
         extra += 1
     return round(statistics.median(rs), 3), rs, las
+
+
+_SERVE_STATE: dict[str, dict] = {}
+
+
+def _serve_state(spark, sf_dir: str) -> dict:
+    """Ship-time state for the SERVE_EXTRAS, built once per scale
+    (untimed): the BM25 inverted index written as parquet tables, and
+    the media fingerprint index as a kind-partitioned lakehouse table.
+    The media asset count scales with the sf1 multiplier so the sf1
+    spot probes a 10x index with the same fixed batch."""
+    st = _SERVE_STATE.get(sf_dir)
+    if st is not None:
+        return st
+    import atexit
+    import shutil
+    import tempfile
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal.media import (
+        synthesize_decodable_images,
+        synthesize_decodable_videos,
+        synthesize_decodable_wavs,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import retrieval
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators.mediaindex import (
+        build_media_fp_index,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.lakehouse import (
+        LakehouseCatalog,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.sources.testdata import table
+
+    root = tempfile.mkdtemp(prefix="bench_serve_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    idx = retrieval.retrieval_index(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    for part in ("postings", "doclens"):
+        idx[part].write.mode("overwrite").parquet(f"{root}/bm25_{part}")
+    mult = SF1_MULT if sf_dir == SF1_DIR else 1
+    n = 200 * mult
+    assets = (
+        synthesize_decodable_images(spark, n)
+        .unionByName(synthesize_decodable_wavs(spark, n))
+        .unionByName(synthesize_decodable_videos(spark, n))
+        .localCheckpoint(eager=False)
+    )
+    cat = LakehouseCatalog(spark, f"{root}/wh", name=f"bench_serve_{mult}")
+    build_media_fp_index(cat, "db", assets)
+    st = {"root": root, "cat": cat, "mult": mult}
+    _SERVE_STATE[sf_dir] = st
+    return st
+
+
+class _ServeSpec:
+    """Minimal QuerySpec stand-in for the serve extras (same ``name`` /
+    ``build`` surface `_time_query` uses)."""
+
+    def __init__(self, name: str, fn):
+        self.name, self._fn = name, fn
+
+    def build(self, spark, sf_dir: str):
+        return self._fn(spark, sf_dir)
+
+
+def _bm25_served(spark, sf_dir: str):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators import retrieval
+    from snowflake_iceberg_cld_bcdr_demo_spark.plans.pipeline import (
+        _BM25_MANY_QUERIES,
+    )
+
+    st = _serve_state(spark, sf_dir)
+    idx = {
+        part: spark.read.parquet(f"{st['root']}/bm25_{part}")
+        for part in ("postings", "doclens")
+    }
+    queries = spark.createDataFrame(
+        _BM25_MANY_QUERIES, "query_id int, term string"
+    )
+    return retrieval.bm25_search_many(idx, queries, top_k=10)
+
+
+def _media_neardup_served(spark, sf_dir: str):
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators.mediaindex import (
+        media_neardup_from_index,
+    )
+
+    st = _serve_state(spark, sf_dir)
+    return media_neardup_from_index(st["cat"], "db", "image", max_hamming=1)
+
+
+def _admit_media_served(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from snowflake_iceberg_cld_bcdr_demo_spark.multimodal.media import (
+        synthesize_decodable_images,
+    )
+    from snowflake_iceberg_cld_bcdr_demo_spark.operators.mediaindex import (
+        admit_media_assets,
+    )
+
+    st = _serve_state(spark, sf_dir)
+    # fixed 40-image batch, ids disjoint from the stored index; the
+    # batch_id/writer_id guard makes every timed run's append a replay
+    # no-op so state does not grow across runs (decisions identical —
+    # the probe's self-id exclusion is the operator's replay contract)
+    batch = synthesize_decodable_images(spark, 40, seed=99).withColumn(
+        "asset_id", F.concat(F.lit("NEW-"), F.col("asset_id"))
+    )
+    return admit_media_assets(
+        st["cat"], "db", batch, max_hamming=1, kinds=("image",),
+        batch_id=0, writer_id="bench_admit",
+    )
+
+
+SERVE_SPECS = {
+    "bm25_search_many_served": _ServeSpec("bm25_search_many_served", _bm25_served),
+    "media_neardup_from_index": _ServeSpec(
+        "media_neardup_from_index", _media_neardup_served
+    ),
+    "admit_media_assets": _ServeSpec("admit_media_assets", _admit_media_served),
+}
 
 
 def _time_stream_admission(spark, sf_dir: str) -> float:
@@ -429,6 +570,17 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    for name in SERVE_EXTRAS:
+        # the cold discard pays the one-time persisted-state build (the
+        # ship cost); the median measures the recurring SERVE cost
+        extras[name], runs[name], loadavgs[name] = _time_query(
+            SERVE_SPECS[name], spark, SF_DIR, budget=EXTRA_BUDGETS.get(name)
+        )
+        print(
+            f"# extra {name}: median {extras[name]:.3f}s of {runs[name]}",
+            file=sys.stderr,
+        )
+
     loadavgs[STREAM_EXTRA] = [_loadavg1()]
     extras[STREAM_EXTRA] = _time_stream_admission(spark, SF_DIR)
     runs[STREAM_EXTRA] = [extras[STREAM_EXTRA]]
@@ -512,7 +664,10 @@ def main() -> None:
             for name in spot_queries:
                 if name in SF1_WARM_FIRST:
                     _time_once(QUERY_SPECS[name], spark, SF1_DIR)
-                spot_load[name] = _loadavg1()
+                # one loadavg PER spot run (r13 recorded only the first
+                # run's, so a confirmation re-run's diagnostics could
+                # mismatch the adjudicated number)
+                spot_load[name] = [_loadavg1()]
                 spot[name] = _time_once(QUERY_SPECS[name], spark, SF1_DIR)
                 spot_runs[name] = [spot[name]]
                 # floor the base at the timer resolution: a legitimate
@@ -533,6 +688,7 @@ def main() -> None:
                     ratio[name] > 1.0
                     and time.perf_counter() - T_START <= SF1_HARD_CAP_S - 60
                 ):
+                    spot_load[name].append(_loadavg1())
                     spot_runs[name].append(_time_once(QUERY_SPECS[name], spark, SF1_DIR))
                     spot[name] = min(spot_runs[name])
                     ratio[name] = round(spot[name] / (SF1_MULT * base), 2)
@@ -553,7 +709,7 @@ def main() -> None:
                 degraded is None
                 and time.perf_counter() - T_START <= SF1_HARD_CAP_S - 180
             ):
-                spot_load[STREAM_EXTRA] = _loadavg1()
+                spot_load[STREAM_EXTRA] = [_loadavg1()]
                 spot[STREAM_EXTRA] = _time_stream_admission(spark, SF1_DIR)
                 base = max(extras.get(STREAM_EXTRA, 0.0), 0.001)
                 ratio[STREAM_EXTRA] = round(spot[STREAM_EXTRA] / (SF1_MULT * base), 2)
@@ -564,6 +720,23 @@ def main() -> None:
                 )
             else:
                 stream_skip = f"{STREAM_EXTRA}: wall budget exhausted"
+            # serve-path spots (fixed batch/query load vs a 10x index —
+            # the O(batch) claim): run LAST, each gated on remaining
+            # wall so they can never starve the record above
+            for name in ("admit_media_assets", "bm25_search_many_served"):
+                if time.perf_counter() - T_START > SF1_HARD_CAP_S - 60:
+                    break
+                _time_once(SERVE_SPECS[name], spark, SF1_DIR)  # state build
+                spot_load[name] = [_loadavg1()]
+                spot[name] = _time_once(SERVE_SPECS[name], spark, SF1_DIR)
+                spot_runs[name] = [spot[name]]
+                base = max(extras.get(name, 0.0), 0.001)
+                ratio[name] = round(spot[name] / (SF1_MULT * base), 2)
+                print(
+                    f"# sf1_spot {name}: {spot[name]:.3f}s "
+                    f"({ratio[name]:.2f}x of linear)",
+                    file=sys.stderr,
+                )
             out["sf1_spot"] = {
                 "scale_multiple": SF1_MULT,
                 "queries": spot,

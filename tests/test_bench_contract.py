@@ -16,8 +16,13 @@ def _worst_case_out():
     import bench
 
     all_q = list(bench.HEADLINE)
-    extras = list(bench.EXTRAS) + [bench.STREAM_EXTRA]
-    spot_q = list(bench.SF1_SPOT_QUERIES) + [bench.STREAM_EXTRA]
+    extras = list(bench.EXTRAS) + list(bench.SERVE_EXTRAS) + [bench.STREAM_EXTRA]
+    spot_q = (
+        list(bench.SF1_SPOT_QUERIES)
+        + [bench.STREAM_EXTRA]
+        # the serve-path spots run last, wall permitting (r14)
+        + ["admit_media_assets", "bm25_search_many_served"]
+    )
     # worst realistic shapes: three-digit medians, several breaches
     # (all coload-annotated), full spot with anomalies + a skip note
     out = {
@@ -46,7 +51,7 @@ def _worst_case_out():
             "scale_multiple": 10,
             "queries": {n: 123.456 for n in spot_q},
             "ratio_vs_linear": {n: 12.34 for n in spot_q},
-            "loadavg": {n: 31.99 for n in spot_q},
+            "loadavg": {n: [31.99] for n in spot_q},
             "anomalies": spot_q[:4],
             "degraded": "sf0.1 phase took 999s (> 600s): reduced to headline-only spot set",
             "skipped_queries": [f"{bench.STREAM_EXTRA}: wall budget exhausted"],
