@@ -189,18 +189,23 @@ def test_runbook_hour_simulation_full_composition(spark, stack):
         return {r.heartbeat_id for r in log.select("heartbeat_id").collect()}
 
     before_ids = _log_ids()
-    for now in range(0, 3600, 30):
+    # a simulated half hour exercises every composition fact the full
+    # hour did (cadence, suspend/resume without cadence loss, daily
+    # once-only, per-cycle monitoring battery) at half the suite wall —
+    # the r13 full-hour version was a 48s test whose second half added
+    # no new state transitions
+    for now in range(0, 1800, 30):
         if now == 330:
             sched.suspend("replicate_definitions")
         sched.tick(now=float(now))
 
     t = sched.tasks
-    assert t["sync_prod"].runs == 12            # 0, 300, ..., 3300
-    assert t["secondary_heartbeat"].runs == 12
+    assert t["sync_prod"].runs == 6             # 0, 300, ..., 1500
+    assert t["secondary_heartbeat"].runs == 6
     assert t["schema_drift_check"].runs == 1    # daily: t0 only
     # suspended at 330 (missing its t=600 slot), resumed by the t=600
-    # heartbeat, back on cadence from 630 -> same 6 runs as undisturbed
-    assert t["replicate_definitions"].runs == 6
+    # heartbeat, back on cadence from 630 -> same 3 runs as undisturbed
+    assert t["replicate_definitions"].runs == 3
     assert not t["replicate_definitions"].suspended
     assert all(task.failures == 0 for task in t.values()), {
         n: task.last_error for n, task in t.items()
@@ -212,8 +217,8 @@ def test_runbook_hour_simulation_full_composition(spark, stack):
     for r in rows:
         by_type.setdefault(r.check_type, []).append(r)
     # every cycle records the full battery, incl. the round-5 checks
-    assert len(by_type["TABLE_LIFECYCLE"]) == 12
-    assert len(by_type["STREAM_PROGRESS"]) == 12
+    assert len(by_type["TABLE_LIFECYCLE"]) == 6
+    assert len(by_type["STREAM_PROGRESS"]) == 6
     assert all(r.status == "SUCCESS" for r in by_type["TABLE_LIFECYCLE"])
     # streams=[] exercises the REAL branch (not SKIPPED)
     assert all(r.status == "SUCCESS" for r in by_type["STREAM_PROGRESS"])

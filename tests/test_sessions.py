@@ -68,7 +68,20 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # A stateful availableNow query idles in-state awaiting event-time
+    # timeouts after processing all input, so a bare awaitTermination
+    # burns its FULL timeout (measured: this one test was 182s of the
+    # suite — all of it in that wait).  The two gap-closed sessions are
+    # emitted by the data batches themselves; poll for them, keep the
+    # same 180s ceiling as the correctness deadline.
+    import time as _time
+
+    _deadline = _time.time() + 180
+    while _time.time() < _deadline:
+        if q.awaitTermination(2):
+            break
+        if spark.table("sess_out").count() >= 2:
+            break
     q.stop()  # stateful availableNow can idle awaiting timeouts — don't
     # leak an active query (a later same-name registration would fail)
     closed = spark.table("sess_out").collect()
